@@ -1,0 +1,110 @@
+"""OHLCV candle / windowed-stat aggregations (SURVEY.md §2.4 A1-A8, §2.8 T2-T3).
+
+The reference builds candles with order-sensitive ``first``/``last`` after a
+pre-sort (``kafka_to_kafka_by_spark_for_druid.py:99-132``,
+``processing_raw_data_from_gcs.py:110,122-141``). Order-dependent aggregates
+are nondeterministic under shuffle, so we use ``min_by``/``max_by`` keyed on a
+total order (timestamp + unique tiebreaker) — same semantics, deterministic on
+any cluster (SURVEY §7.3 item 3).
+
+Scale notes: one hash aggregation = one shuffle on the grouping keys; partial
+aggregation (map-side combine) is automatic. Candle grouping keys
+(window bucket, instrument) are high-cardinality and evenly spread, so no
+salting is needed; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICROS_PER_SEC = 1_000_000
+
+
+def order_key(ts_col: str, *tiebreak: str) -> Column:
+    """Total-order key for deterministic first/last (struct compare)."""
+    return F.struct(*[F.col(c) for c in (ts_col, *tiebreak)])
+
+
+def ohlcv_aggs(
+    price_col: str,
+    ts_col: str,
+    tiebreak: Sequence[str],
+    volume_cents_col: str | None = None,
+) -> list[Column]:
+    """A1-A5 as deterministic aggregate expressions.
+
+    open  = price at min order key   (A1 ``first`` intent)
+    close = price at max order key   (A2 ``last`` intent)
+    high/low = max/min price         (A3)
+    volume sums as exact integer cents when ``volume_cents_col`` given (A4).
+    """
+    key = order_key(ts_col, *tiebreak)
+    aggs = [
+        F.min_by(F.col(price_col), key).alias("open"),
+        F.max(F.col(price_col)).alias("high"),
+        F.min(F.col(price_col)).alias("low"),
+        F.max_by(F.col(price_col), key).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ]
+    if volume_cents_col is not None:
+        aggs.append((F.sum(volume_cents_col) / F.lit(100.0)).alias("volume"))
+    return aggs
+
+
+def tumbling_candles(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    price_col: str,
+    width_seconds: int,
+    tiebreak: Sequence[str] = (),
+    volume_cents_col: str | None = None,
+) -> DataFrame:
+    """T2: tumbling-window OHLCV candles, batch form.
+
+    Uses ``F.window`` (same operator the streaming path uses —
+    ``kafka_to_kafka_by_spark_for_druid.py:100,110``) and projects
+    ``window.start`` so batch and oracle column shapes match.
+    """
+    w = F.window(F.col(ts_col), f"{width_seconds} seconds")
+    return (
+        df.groupBy(w.alias("w"), *key_cols)
+        .agg(*ohlcv_aggs(price_col, ts_col, tiebreak, volume_cents_col))
+        .withColumn("w_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def sliding_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    width_seconds: int,
+    slide_seconds: int,
+) -> DataFrame:
+    """T3: sliding-window mean/stddev/count stats, batch form.
+
+    Reference intent: ``kafka_upbit_realtime_processing.py:107-118`` —
+    ``window(server_datetime, "10 minute", "15 second")`` + avg/stddev aggs.
+    stddev is guarded to NULL for n==1 groups (Spark yields NaN, DuckDB NULL).
+
+    Scale note: an event lands in width/slide panes — state/shuffle amplifies
+    by that factor (40x in the reference's 10min/15s case, SURVEY §7.3 item 1).
+    Keep the ratio modest or pre-aggregate per slide-pane then roll up.
+    """
+    w = F.window(F.col(ts_col), f"{width_seconds} seconds", f"{slide_seconds} seconds")
+    n = F.count(F.lit(1))
+    return (
+        df.groupBy(w.alias("w"), *key_cols)
+        .agg(
+            n.alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.when(n > 1, F.round(F.stddev_samp(value_col), 4)).alias("stddev_value"),
+        )
+        .withColumn("w_start", F.col("w.start"))
+        .drop("w")
+    )

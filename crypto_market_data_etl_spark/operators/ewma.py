@@ -1,0 +1,121 @@
+"""EWMA + order-flow-imbalance operators (SURVEY §2.5 W3-W4, §2.9 U1-U2).
+
+Reference intent (``spark_src/kafka_upbit_realtime_processing.py:67-76``):
+
+- ``calculate_ewma``: pandas GROUPED_AGG UDF, ``series.ewm(alpha=0.8,
+  adjust=False).mean().iloc[-1]`` over a running window — i.e. the recurrence
+  ``y_t = a*x_t + (1-a)*y_{t-1}``, ``y_0 = x_0``.
+- ``calculate_ofi``: order-flow imbalance from the lagged best-of-book
+  (incomplete in the reference; semantics reconstructed from ``:121-128``).
+
+Engine forms:
+
+1. :func:`ewma_tail` — **closed-form columnar** EWMA over the trailing N rows
+   per key, pure built-in expressions (no Python in the hot path):
+   ``y_last = (1-a)^(m-1) * (x_0 + sum_{i>=1} a*(1-a)^{-i} * x_i)``.
+   N is bounded (default 30) because ``(1-a)^{-i}`` grows geometrically —
+   beyond ~40 steps the terms overflow double range; terms older than that
+   contribute < 1e-18 of the result anyway, so the tail IS the EWMA.
+2. :func:`ewma_full` — exact full-history EWMA per key via one Arrow-batched
+   ``applyInPandas`` (pandas ``ewm`` recurrence); for when the whole series is
+   wanted, at pandas-per-group cost. This is also the shape the streaming
+   stateful variant carries (streaming/stateful.py keeps {last_ewma} state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewma_tail(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.8,
+    n: int = 30,
+    out: str = "ewma",
+) -> DataFrame:
+    """Last EWMA value per key over the trailing ``n`` rows, closed form."""
+    beta = 1.0 - alpha
+    w_desc = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    w_asc = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    tail = (
+        df.withColumn("__rnd", F.row_number().over(w_desc))
+        .filter(F.col("__rnd") <= n)
+        .withColumn("__i", F.row_number().over(w_asc) - 1)
+    )
+    term = (
+        F.when(F.col("__i") == 0, F.lit(1.0)).otherwise(F.lit(alpha))
+        * F.pow(F.lit(beta), -F.col("__i"))
+        * F.col(value_col)
+    )
+    return tail.groupBy(*key_cols).agg(
+        F.round(F.pow(F.lit(beta), F.max("__i")) * F.sum(term), 6).alias(out)
+    )
+
+
+def ewma_full(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.8,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exact running EWMA for every row, per key (appends column ``out``).
+
+    ``applyInPandas`` per key: the recurrence is inherently sequential per
+    key, so per-key Arrow batches are the right physical shape; keys are
+    independent => embarrassingly parallel across executors.
+    """
+    schema = df.schema.add(out, "double")
+    order = list(order_cols)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        pdf[out] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(per_key, schema=schema)
+
+
+def with_ofi(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    bid_price: str = "best_bid_price",
+    bid_size: str = "best_bid_size",
+    ask_price: str = "best_ask_price",
+    ask_size: str = "best_ask_size",
+    out: str = "ofi",
+) -> DataFrame:
+    """Per-row order-flow imbalance vs the previous snapshot (lag-based).
+
+    OFI (Cont-Kukanov-Stoikov form, the reference's ``:123-128`` intent):
+    bid contribution  = +bid_size            if bid_price  > prev_bid_price
+                      =  bid_size - prev     if bid_price == prev
+                      = -prev_bid_size       if bid_price  < prev
+    ask contribution mirrored with opposite sign; ofi = bid_c - ask_c.
+    First row per key has no predecessor -> NULL.
+    Pure ``lag`` + ``when`` built-ins — no UDF (the reference attempted a row
+    UDF, ``kafka_upbit_realtime_processing.py:71-76``, left incomplete).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    p_bp, p_bs = F.lag(bid_price).over(w), F.lag(bid_size).over(w)
+    p_ap, p_as = F.lag(ask_price).over(w), F.lag(ask_size).over(w)
+    bid_c = (
+        F.when(F.col(bid_price) > p_bp, F.col(bid_size))
+        .when(F.col(bid_price) == p_bp, F.col(bid_size) - p_bs)
+        .otherwise(-p_bs)
+    )
+    ask_c = (
+        F.when(F.col(ask_price) < p_ap, F.col(ask_size))
+        .when(F.col(ask_price) == p_ap, F.col(ask_size) - p_as)
+        .otherwise(-p_as)
+    )
+    return df.withColumn(out, F.when(p_bp.isNotNull(), bid_c - ask_c))

@@ -1,0 +1,522 @@
+"""Core query plans: the reference's operator surface on the driver testdata.
+
+Mapping (FIXTURES.md §4): ``events`` stands in for the trade/orderbook streams
+(``user_id`` ~ instrument code, ``value`` ~ price/notional, ``event_type`` ~
+ask/bid side, ``event_id`` ~ sequential_id); the TPC-H-ish tables exercise the
+relational layer (joins/aggs/windows/sorts) the extension operators build on.
+
+Determinism policy for oracle hash-parity (every rule mirrored in the SQL):
+
+- ordering keys are always ``(ts_us, event_id)`` — total order, no ties;
+- money values go through exact integer cents for sums/cumsums;
+- float aggregates are rounded: money 2dp, averages/ratios 6dp, stddev 4dp;
+- stddev of singleton groups is NULL on both sides (Spark returns NaN);
+- event time is bigint µs (``ts_us``) or ``timestamp_micros`` thereof; the
+  oracle mirrors with ``epoch_ns(ts)//1000`` / ``make_timestamp``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.bars import dollar_bars, with_cents
+from ..operators.candles import sliding_stats, tumbling_candles
+from ..operators.ewma import ewma_tail
+from ..schemas import load_table
+
+# flagship parameters (arbitrary but fixed; oracle uses the same constants)
+BAR_SIZE = 500.0  # "dollar"-bar notional per bar
+BAR_CENTS = int(BAR_SIZE * 100)
+ASOF_TOL_US = 86_400_000_000  # 24 h as-of lookback band, in µs
+CANDLE_S = 21_600  # 6 h tumbling candles
+SLIDE_W_S, SLIDE_S_S = 21_600, 7_200  # 6 h window / 2 h slide (3 panes/event)
+BUY_TYPES = ("click", "purchase")  # "BID"-analog event types for TFI/OFI
+
+_EVENTS_US = "SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# q01 pricing summary — TPC-H Q1 shape (filter pushdown + 8-agg hash agg)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.expr("CAST('1998-09-03' AS TIMESTAMP_NTZ)")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-03'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 revenue by nation — multi-way join; dims broadcast
+# --------------------------------------------------------------------------
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 top-3 customers per nation — agg + join + ranking window (top-k)
+# --------------------------------------------------------------------------
+
+def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = with_cents(load_table(spark, sf_dir, "orders"), "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg((F.sum("cents") / 100.0).alias("spend"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.join(customer, spend.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "spend", "n_orders", "rnk")
+    )
+
+
+Q03_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, c_name, spend, n_orders,
+       row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS rnk
+FROM spend
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+QUALIFY rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 tumbling OHLCV candles (T2 + A1-A5)
+# --------------------------------------------------------------------------
+
+def q04_candles_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_cents(_events(spark, sf_dir), "value")
+    return tumbling_candles(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        price_col="value",
+        width_seconds=CANDLE_S,
+        tiebreak=["event_id"],
+        volume_cents_col="cents",
+    ).select("w_start", "user_id", "open", "high", "low", "close", "n_trades", "volume")
+
+
+Q04_SQL = f"""
+WITH e AS (
+  SELECT *, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_ns(ts)//1000 AS ts_us
+  FROM events
+)
+SELECT make_timestamp((ts_us // {CANDLE_S * 1_000_000}) * {CANDLE_S * 1_000_000}) AS w_start,
+       user_id,
+       first(value ORDER BY ts_us, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts_us, event_id) AS close,
+       count(*) AS n_trades,
+       sum(cents) / 100.0 AS volume
+FROM e
+GROUP BY 1, 2
+"""
+
+# NOTE on the candle ordering key: tumbling_candles orders by the *timestamp
+# column* (µs-exact) + event_id; the oracle orders by ts_us + event_id — the
+# same total order since ts is timestamp_micros(ts_us).
+
+
+# --------------------------------------------------------------------------
+# q05 sliding-window stats (T3 + A6-A7)
+# --------------------------------------------------------------------------
+
+def q05_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return sliding_stats(
+        ev, ["event_type"], "ts", "value", SLIDE_W_S, SLIDE_S_S
+    ).select("w_start", "event_type", "n_events", "avg_value", "stddev_value")
+
+
+_N_PANES = SLIDE_W_S // SLIDE_S_S
+Q05_SQL = f"""
+WITH e AS ({_EVENTS_US}),
+x AS (
+  SELECT e.*, ((ts_us // {SLIDE_S_S * 1_000_000}) - j) * {SLIDE_S_S * 1_000_000} AS ws_us
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_N_PANES - 1})) AS j)
+)
+SELECT make_timestamp(ws_us) AS w_start, event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 4) END AS stddev_value
+FROM x
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 daily stats per event type (P9 date derivation + A3/A4/A6)
+# --------------------------------------------------------------------------
+
+def q06_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_cents(_events(spark, sf_dir), "value")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day, event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 trade-flow imbalance (P8 + A5: signed conditional sum)
+# --------------------------------------------------------------------------
+
+def q07_tfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_cents(_events(spark, sf_dir), "value")
+    signed = F.when(F.col("event_type").isin(*BUY_TYPES), F.col("cents")).otherwise(
+        -F.col("cents")
+    )
+    return ev.groupBy("user_id").agg(
+        (F.sum(signed) / 100.0).alias("tfi"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q07_SQL = f"""
+SELECT user_id,
+       sum(CASE WHEN event_type IN ('click', 'purchase')
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE -CAST(round(value * 100) AS BIGINT) END) / 100.0 AS tfi,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 dollar bars (O1 + W1 + P12 + A1-A5) — SURVEY §3.3 core
+# --------------------------------------------------------------------------
+
+_BARS_CTE = f"""
+WITH e AS (
+  SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 2 = 1
+),
+c AS (
+  SELECT *, sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM e
+),
+bars AS (
+  SELECT user_id, (cum_cents - 1) // {BAR_CENTS} AS bar_num,
+         first(value ORDER BY ts_us, event_id) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         last(value ORDER BY ts_us, event_id) AS close,
+         count(*) AS n_trades,
+         sum(cents) / 100.0 AS notional,
+         max(ts_us) AS bar_end_us
+  FROM c GROUP BY 1, 2
+)
+"""
+
+
+def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).filter(F.col("event_id") % 2 == 1)
+
+
+def _snaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .select("user_id", "ts_us", "event_id", "value")
+    )
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dollar_bars(
+        _trades(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts_us",
+        notional_col="value",
+        bar_size=BAR_SIZE,
+        tiebreak=["event_id"],
+    )
+
+
+def q08_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bars(spark, sf_dir).select(
+        "user_id", "bar_num", "open", "high", "low", "close", "n_trades",
+        "notional", "bar_end_us",
+    )
+
+
+Q08_SQL = _BARS_CTE + "SELECT * FROM bars"
+
+
+# --------------------------------------------------------------------------
+# q09 flagship — dollar bars + as-of join back to the snapshot slice
+# (SURVEY §3.3 end-to-end: derive → cumsum → bucket → bar agg → as-of)
+# --------------------------------------------------------------------------
+
+def q09_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    snaps = _snaps(spark, sf_dir)
+    joined = asof_join(
+        bars,
+        snaps,
+        on=["user_id"],
+        left_ts="bar_end_us",
+        right_ts="ts_us",
+        tolerance=ASOF_TOL_US,
+        right_tiebreak=["event_id"],
+        left_keys=["user_id", "bar_num"],
+    )
+    return joined.select(
+        "user_id", "bar_num", "open", "high", "low", "close", "n_trades",
+        "notional", "bar_end_us",
+        F.col("ts_us_r").alias("snap_ts_us"),
+        F.col("event_id_r").alias("snap_event_id"),
+        F.col("value_r").alias("snap_value"),
+    )
+
+
+Q09_SQL = _BARS_CTE + f""",
+s AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id, value
+  FROM events WHERE event_id % 2 = 0
+),
+j AS (
+  SELECT bars.*, s.ts_us AS snap_ts_us, s.event_id AS snap_event_id,
+         s.value AS snap_value,
+         row_number() OVER (PARTITION BY bars.user_id, bars.bar_num
+             ORDER BY s.ts_us DESC NULLS LAST, s.event_id DESC NULLS LAST) AS rn
+  FROM bars LEFT JOIN s
+    ON s.user_id = bars.user_id
+   AND s.ts_us <= bars.bar_end_us
+   AND s.ts_us >= bars.bar_end_us - {ASOF_TOL_US}
+)
+SELECT user_id, bar_num, open, high, low, close, n_trades, notional, bar_end_us,
+       snap_ts_us, snap_event_id, snap_value
+FROM j WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 JSON payload parsing (P1-P3 analog on the props column)
+# --------------------------------------------------------------------------
+
+def q10_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return (
+        ev.filter(F.col("k").isNotNull() & (F.col("k") >= 10))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q10_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
+FROM e WHERE k IS NOT NULL AND k >= 10
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 EWMA (U1/W4 intent) — closed-form columnar over the trailing 30 rows
+# --------------------------------------------------------------------------
+
+def q11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_tail(
+        _events(spark, sf_dir),
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        value_col="value",
+        alpha=0.8,
+        n=30,
+    )
+
+
+Q11_SQL = f"""
+WITH e AS ({_EVENTS_US}),
+r AS (
+  SELECT user_id, value, ts_us, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rnd
+  FROM e
+),
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS i
+  FROM r WHERE rnd <= 30
+)
+SELECT user_id,
+       round(power(0.2, max(i)) *
+             sum((CASE WHEN i = 0 THEN 1.0 ELSE 0.8 END) * power(0.2, -i) * value),
+             6) AS ewma
+FROM t GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 flow imbalance via lag (W3 + P8: per-row delta vs previous event)
+# --------------------------------------------------------------------------
+
+def q12_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_cents(_events(spark, sf_dir), "value")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dc = F.col("cents") - F.lag("cents").over(w)
+    signed = F.when(F.col("event_type").isin(*BUY_TYPES), dc).otherwise(-dc)
+    return (
+        ev.withColumn("signed", signed)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("signed") / 100.0).alias("ofi"),
+            F.count("signed").alias("n_moves"),
+        )
+    )
+
+
+Q12_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT user_id, event_type,
+         cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dc
+  FROM e
+)
+SELECT user_id,
+       sum(CASE WHEN event_type IN ('click', 'purchase') THEN dc ELSE -dc END) / 100.0 AS ofi,
+       count(dc) AS n_moves
+FROM d GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_customers": q03_top_customers,
+    "q04_candles_tumbling": q04_candles_tumbling,
+    "q05_sliding_stats": q05_sliding_stats,
+    "q06_daily_stats": q06_daily_stats,
+    "q07_tfi": q07_tfi,
+    "q08_dollar_bars": q08_dollar_bars,
+    "q09_flagship": q09_flagship,
+    "q10_parse_props": q10_parse_props,
+    "q11_ewma": q11_ewma,
+    "q12_flow_imbalance": q12_flow_imbalance,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_revenue_by_nation": Q02_SQL,
+    "q03_top_customers": Q03_SQL,
+    "q04_candles_tumbling": Q04_SQL,
+    "q05_sliding_stats": Q05_SQL,
+    "q06_daily_stats": Q06_SQL,
+    "q07_tfi": Q07_SQL,
+    "q08_dollar_bars": Q08_SQL,
+    "q09_flagship": Q09_SQL,
+    "q10_parse_props": Q10_SQL,
+    "q11_ewma": Q11_SQL,
+    "q12_flow_imbalance": Q12_SQL,
+}
