@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension surface (BASELINE.json): approximate-nearest-neighbor primitives.
+
+- :func:`cosine_topk` — brute-force cosine top-k of a bounded query set
+  against the corpus. The query side is broadcast (it is small by contract);
+  the corpus streams through — no shuffle of the big side at all. This is the
+  exactness baseline; cost O(|Q| x |corpus| x dim).
+- :func:`lsh_buckets` — random-hyperplane (sign) LSH: each vector gets a
+  b-bit bucket signature; near neighbors collide with high probability.
+  Candidate generation = equi-join on the bucket — the 100 TB path (per-
+  bucket work instead of |Q| x |corpus|). Hyperplane weights are +-1 derived
+  from md5(plane, dim) — deterministic, reproducible in the DuckDB oracle,
+  and multiplication-free in spirit (sign flips).
+
+Dot products run as ``zip_with`` + ``aggregate`` higher-order functions —
+JVM-side columnar fold, no Python. For very wide embeddings a Pandas-UDF
+(numpy dot) variant wins; at dim=64 the HOF fold is faster than Arrow
+round-trips.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (brute force, broadcast queries).
+
+    Output: (q_id, n_id, rnk, sim). Ties broken by neighbor id.
+    """
+    q = F.broadcast(
+        with_norm(queries, vec_col, "q_norm").select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "q_norm"
+        )
+    )
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), "c_norm"
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        c.crossJoin(q)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "sim")
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic +-1 hyperplanes: sign = high bit of md5(f"{p}_{d}")[0]."""
+    return [
+        [
+            1 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] in "89abcdef" else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucket signature per vector: (id, bucket, n_in_bucket)."""
+    planes = hyperplane_weights(n_planes, dim)
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in plane])) > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    out = df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return out.withColumn("n_in_bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+
+
+def lsh_candidates(buckets: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Candidate pairs = same bucket (equi-join; the ANN scale path)."""
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    return a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "bucket"
+    )

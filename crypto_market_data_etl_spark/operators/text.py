@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines (extension surface).
+
+Language-ID scoring, quality scoring, token counting, and document
+fingerprinting — all as built-in column expressions (regex/split/md5), no
+Python in the hot path. Each is one narrow-shuffle aggregation or a pure
+projection, so they compose with dedup/similarity at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Languages the hash-profile scorer can emit (sorted — ties break by order).
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+#: Stopword list for quality scoring (domain vocabulary of the test corpus).
+STOPWORDS = ["the", "a", "of", "and", "data", "value"]
+
+
+def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language-ID via token-profile scoring.
+
+    Real language ID scores tokens/char-n-grams against per-language profiles;
+    here the profile membership test is hash-derived (token t belongs to lang
+    L's profile iff md5(L|t) starts in '0'-'3' — a deterministic 1/4-density
+    profile) so the oracle can replicate it exactly. The *plumbing* — explode
+    tokens, score per (doc, lang), argmax with deterministic tie-break — is
+    the operator; swap the profile test for real trained profiles in prod.
+
+    Output: (id, pred_lang, best_score).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    scores = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{lang}|"), F.col("tok"))), 1, 1).isin(
+                    "0", "1", "2", "3"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias(f"score_{lang}")
+        for lang in LANGS
+    ]
+    per_doc = toks.groupBy(id_col).agg(*scores)
+    # argmax with tie-break on lang order: pack (score, neg-rank) structs
+    packed = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"),
+                F.lit(-i).alias("nrank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANGS)
+        ]
+    )
+    best = F.array_max(packed)
+    return per_doc.select(
+        id_col,
+        best.getField("lang").alias("pred_lang"),
+        best.getField("score").alias("best_score"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality metrics + composite score per document.
+
+    n_tokens, avg token length, stopword ratio, punctuation ratio, digit
+    ratio; score = 0.4*stopword + 0.3*(1-punct) + 0.3*(1-digit), rounded.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = F.split(text, " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    stop_ratio = F.round(n_stop * 1.0 / n_tokens, 6)
+    punct_ratio = F.round(n_punct * 1.0 / n_chars, 6)
+    digit_ratio = F.round(n_digit * 1.0 / n_chars, 6)
+    score = F.round(
+        0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * (1 - digit_ratio), 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6).alias("avg_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Corpus token statistics per group (source/shard/lang)."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.round(F.avg(n_tokens), 6).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint.
+
+    Hash every word ``gram_n``-gram (rolling-hash analog via md5), take the
+    min hash in every sliding window of ``window`` consecutive grams, and
+    digest the sorted distinct window-minima. Near-identical documents share
+    most window minima -> similar fingerprint sets; the single digest is the
+    exact-match index key. Output: (id, n_minima, fingerprint).
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (gram_n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
+    )
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("i", "gram")).withColumn(
+        "h", F.md5("gram")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    minima = (
+        g.withColumn("minh", F.min("h").over(w))
+        .withColumn("n_grams", n_grams)
+        .filter(F.col("i") <= F.col("n_grams") - window)
+        .select(id_col, "minh")
+        .distinct()
+    )
+    return minima.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_minima"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minh")))).alias("fingerprint"),
+    )

@@ -1,11 +1,379 @@
-"""Extension query plans: LLM-data-pipeline operators (filled incrementally).
+"""Extension query plans: LLM-data-pipeline operators with DuckDB oracles.
 
-Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
-text analysis, multimodal column plumbing — each with a DuckDB oracle where
-SQL-expressible.
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force cosine top-k / sign-LSH buckets), text analysis (lang-ID /
+quality / token stats / fingerprints), multimodal column plumbing.
+
+Hash family is md5 everywhere so the oracle computes identical digests; all
+pair generation goes through LSH band equi-joins (never O(n^2) cross joins).
+``x12_multimodal_features`` is intentionally oracle-less (mapInPandas decode
+stub — non-SQL-expressible; driver records the rows-only check).
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_jaccard_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import blob_metadata, extract_features, to_blob_table
+from ..operators.similarity import cosine_topk, hyperplane_weights, lsh_buckets
+from ..operators.text import LANGS, STOPWORDS, fingerprints, lang_scores, quality_scores, token_stats
+from ..schemas import load_table
+
+N_HASHES, ROWS_PER_BAND = 15, 3
+QUERY_MOD = 50  # every 50th vector is an ANN query
+N_PLANES, DIM = 16, 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# x01 exact dedup (hash-groupBy) on documents + injected duplicates
+# --------------------------------------------------------------------------
+
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # deterministically re-inject every 10th doc as a duplicate (new id)
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return exact_dedup(docs.unionByName(dupes), ["text"], "doc_id")
+
+
+X01_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM all_docs GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# x02 MinHash + LSH near-dup candidate pairs with estimated jaccard
+# --------------------------------------------------------------------------
+
+def x02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_jaccard_pairs(
+        _docs(spark, sf_dir), n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND
+    )
+
+
+_SHINGLES_CTE = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS s
+  FROM toks
+),
+seeds AS (SELECT unnest(generate_series(0, {n_last})) AS i),
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {rpb} AS band_idx, md5(string_agg(mh, '|' ORDER BY i)) AS band_sig
+  FROM sig GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+""".format(n_last=N_HASHES - 1, rpb=ROWS_PER_BAND)
+
+X02_SQL = _SHINGLES_CTE + f"""
+SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+       CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {float(N_HASHES)} AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# x03 SimHash signatures
+# --------------------------------------------------------------------------
+
+def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+X03_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+e AS (
+  SELECT doc_id, tok, pos FROM toks
+  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN substr(md5(tok), pos, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS sgn
+  FROM e GROUP BY doc_id, pos
+)
+SELECT doc_id,
+       string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# x04 exact n-gram jaccard over LSH candidate pairs
+# --------------------------------------------------------------------------
+
+def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND
+    )
+
+
+X04_SQL = _SHINGLES_CTE + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+       round(coalesce(n_inter, 0) / (sa.n_sh + sb.n_sh - coalesce(n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# x05 brute-force cosine top-k
+# --------------------------------------------------------------------------
+
+def x05_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, embs.filter(F.col("vec_id") % QUERY_MOD == 0), k=5)
+
+
+X05_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sims AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+  FROM q CROSS JOIN c WHERE q_id <> n_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rnk,
+       sim
+FROM sims
+QUALIFY rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# x06 sign-LSH bucket signatures
+# --------------------------------------------------------------------------
+
+def x06_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(_embs(spark, sf_dir), n_planes=N_PLANES, dim=DIM)
+
+
+def _lsh_sql() -> str:
+    planes = hyperplane_weights(N_PLANES, DIM)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(embedding, ["
+        + ", ".join(f"{w}.0" for w in plane)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH b AS (SELECT vec_id, {bits} AS bucket FROM embeddings)
+SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+FROM b
+"""
+
+
+X06_SQL = _lsh_sql()
+
+
+# --------------------------------------------------------------------------
+# x07 language-ID scoring (hash-profile argmax)
+# --------------------------------------------------------------------------
+
+def x07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_scores(_docs(spark, sf_dir))
+
+
+X07_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(sum(CASE WHEN substr(md5(lang || '|' || tok), 1, 1) IN ('0','1','2','3')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS score
+  FROM toks CROSS JOIN (SELECT unnest({LANGS!r}) AS lang)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang AS pred_lang, score AS best_score
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# x08 quality scoring
+# --------------------------------------------------------------------------
+
+def x08_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+X08_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars_m,
+         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(str_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens,
+       round((n_chars_m - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_tok_len,
+       round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+       round(n_punct * 1.0 / n_chars_m, 6) AS punct_ratio,
+       round(n_digit * 1.0 / n_chars_m, 6) AS digit_ratio,
+       round(0.4 * round(n_stop * 1.0 / n_tokens, 6)
+           + 0.3 * (1 - round(n_punct * 1.0 / n_chars_m, 6))
+           + 0.3 * (1 - round(n_digit * 1.0 / n_chars_m, 6)), 6) AS quality
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# x09 token stats per source
+# --------------------------------------------------------------------------
+
+def x09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+X09_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(str_split(text, ' '))), 6) AS avg_tokens,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# x10 winnowing fingerprints
+# --------------------------------------------------------------------------
+
+def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+X10_SQL = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, i, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h,
+         len(tk) - 2 AS n_grams
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i FROM toks)
+),
+m AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+  FROM g
+),
+mins AS (SELECT DISTINCT doc_id, minh FROM m WHERE i <= n_grams - 3)
+SELECT doc_id, count(*) AS n_minima,
+       md5(string_agg(minh, '|' ORDER BY minh)) AS fingerprint
+FROM mins GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# x11 multimodal metadata (binary column plumbing, no payload scan)
+# --------------------------------------------------------------------------
+
+def x11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blob_metadata(to_blob_table(_docs(spark, sf_dir)))
+
+
+X11_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS modality,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         md5(text) AS content_hash
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, content_hash,
+       CAST(64 + (ascii(substr(content_hash, 1, 1)) % 16) * 8 AS INTEGER) AS width,
+       CAST(64 + (ascii(substr(content_hash, 2, 1)) % 16) * 8 AS INTEGER) AS height,
+       CAST(floor(n_bytes / 100) + 1 AS INTEGER) AS n_frames
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# x12 multimodal feature extraction (mapInPandas decode stub — rows-only)
+# --------------------------------------------------------------------------
+
+def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(to_blob_table(_docs(spark, sf_dir)))
+
+
+QUERIES = {
+    "x01_dedup_exact": x01_dedup_exact,
+    "x02_minhash_pairs": x02_minhash_pairs,
+    "x03_simhash": x03_simhash,
+    "x04_ngram_jaccard": x04_ngram_jaccard,
+    "x05_embedding_topk": x05_embedding_topk,
+    "x06_lsh_buckets": x06_lsh_buckets,
+    "x07_lang_id": x07_lang_id,
+    "x08_quality": x08_quality,
+    "x09_token_stats": x09_token_stats,
+    "x10_fingerprint": x10_fingerprint,
+    "x11_multimodal_meta": x11_multimodal_meta,
+    "x12_multimodal_features": x12_multimodal_features,  # rows-only (no oracle)
+}
+
+ORACLES = {
+    "x01_dedup_exact": X01_SQL,
+    "x02_minhash_pairs": X02_SQL,
+    "x03_simhash": X03_SQL,
+    "x04_ngram_jaccard": X04_SQL,
+    "x05_embedding_topk": X05_SQL,
+    "x06_lsh_buckets": X06_SQL,
+    "x07_lang_id": X07_SQL,
+    "x08_quality": X08_SQL,
+    "x09_token_stats": X09_SQL,
+    "x10_fingerprint": X10_SQL,
+    "x11_multimodal_meta": X11_SQL,
+}
