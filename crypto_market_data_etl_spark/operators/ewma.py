@@ -73,7 +73,11 @@ def ewma_full(
     key, so per-key Arrow batches are the right physical shape; keys are
     independent => embarrassingly parallel across executors.
     """
-    schema = df.schema.add(out, "double")
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, and df.schema is
+    # the DataFrame's own cached object
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out, T.DoubleType())])
     order = list(order_cols)
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:

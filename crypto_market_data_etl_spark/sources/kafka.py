@@ -1,0 +1,108 @@
+"""Kafka source/sink builders (SURVEY §2.1 S1/S2/S3/S7).
+
+No Kafka broker exists in the test environment, so these are *builders*: they
+produce fully-configured ``DataStreamReader``/``DataFrameReader`` objects (or
+option dicts, unit-testable without a broker). The semantics they encode:
+
+- S1 streaming source: subscribe topic(s), unbounded
+  (reference ``kafka_upbit_realtime_processing.py:79-83``).
+- S2 bounded batch source: exact per-partition ``[start, end)`` offsets as
+  JSON literals (``kafka_to_gcs_by_spark_batch.py:81-87``).
+- S3 offsets-for-timestamp: the reference resolves offsets with an external
+  ``KafkaConsumer.offsets_for_times`` + Airflow XCom
+  (``dags_spark_submit_bash_operator_batch_kafka_to_gcs.py:21-56``); Spark's
+  built-in ``startingOffsetsByTimestamp`` / ``endingOffsetsByTimestamp``
+  options subsume that whole hop — no external consumer, no orchestration
+  dependency, and the broker does the timestamp->offset binary search.
+- S7 streaming sink: JSON-serialized rows to a topic, checkpointed
+  (``kafka_upbit_realtime_processing.py:130-143``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def kafka_offsets_json(topic: str, partition_offsets: dict[int, int]) -> str:
+    """Per-partition offsets JSON literal for S2 (reference builds these by
+    hand at ``kafka_to_gcs_by_spark_batch.py:85-86``)."""
+    return json.dumps({topic: {str(p): o for p, o in partition_offsets.items()}})
+
+
+def kafka_timestamps_json(topic: str, partition_ts_ms: dict[int, int]) -> str:
+    """Per-partition timestamp (epoch ms) JSON for the ByTimestamp options."""
+    return json.dumps({topic: {str(p): t for p, t in partition_ts_ms.items()}})
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    **extra: str,
+):
+    """S1: streaming Kafka reader (returns the configured DataStreamReader;
+    call ``.load()`` where a broker exists)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def kafka_batch_reader(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str | None = None,
+    ending_offsets: str | None = None,
+    starting_ts: str | None = None,
+    ending_ts: str | None = None,
+    **extra: str,
+):
+    """S2/S3: bounded Kafka reader by offsets or by timestamps (built-in
+    replacement for the reference's external offset resolution)."""
+    reader = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+    )
+    if starting_offsets is not None:
+        reader = reader.option("startingOffsets", starting_offsets)
+    if ending_offsets is not None:
+        reader = reader.option("endingOffsets", ending_offsets)
+    if starting_ts is not None:
+        reader = reader.option("startingOffsetsByTimestamp", starting_ts)
+    if ending_ts is not None:
+        reader = reader.option("endingOffsetsByTimestamp", ending_ts)
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def kafka_stream_writer(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    trigger_seconds: int = 15,
+    output_mode: str = "update",
+):
+    """S7: Kafka streaming sink builder (df must already have a ``value``
+    column — see ``functions.derive.to_kafka_value``). One checkpoint dir per
+    query (reference bug note: a shared checkpoint silently drops one query —
+    ``kafka_to_gcs_by_spark_streaming.py:72-76``)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )

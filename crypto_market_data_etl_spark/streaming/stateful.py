@@ -1,0 +1,83 @@
+"""Custom stateful streaming operators (SURVEY §4 item 2, §7.2).
+
+The reference *intends* a running EWMA and a lag-based OFI on a streaming
+DataFrame (``kafka_upbit_realtime_processing.py:99-104,121-128``) — both are
+rejected by Structured Streaming (non-time window functions are unsupported
+on streams). The supported mechanism is per-key state:
+``applyInPandasWithState`` keyed by instrument, carrying the tiny recurrence
+state across micro-batches:
+
+- EWMA: state = last smoothed value (one double per key).
+- OFI:  state = previous best-of-book (4 doubles per key).
+
+State size is O(keys), not O(events) — this scales to any stream volume; the
+only requirement is per-key in-order arrival within the watermark, which the
+micro-batch sort below plus the source's per-key ordering (Kafka partitioning
+by code) provides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stateful_ewma(
+    df: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    alpha: float = 0.8,
+    out: str = "ewma",
+) -> DataFrame:
+    """Running EWMA per key on a streaming DataFrame.
+
+    Emits every input row with its EWMA (recurrence
+    ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` seeded by the first value),
+    continuing across micro-batches via one double of state per key.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(ts_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_ewma", T.DoubleType())])
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            values = pdf[value_col].tolist()
+            ewmas = []
+            for x in values:
+                last = x if last is None else alpha * x + (1 - alpha) * last
+                ewmas.append(last)
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(values),
+                    ts_col: pdf[ts_col].tolist(),
+                    value_col: values,
+                    out: ewmas,
+                }
+            )
+        if last is not None:
+            state.update((float(last),))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,146 @@
+"""Operator unit tests: as-of join vs pd.merge_asof, dollar bars, EWMA, OFI."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crypto_market_data_etl_spark.operators.asof import asof_join, merge_asof_grouped
+from crypto_market_data_etl_spark.operators.bars import dollar_bars
+from crypto_market_data_etl_spark.operators.ewma import ewma_full, ewma_tail, with_ofi
+
+
+def _random_asof_frames(spark, seed=7, n_left=200, n_right=400):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, 3, n_left),
+            "lts": rng.integers(0, 10_000, n_left),
+            "lval": rng.normal(size=n_left).round(3),
+        }
+    ).drop_duplicates(["key", "lts"])
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, 3, n_right),
+            "rts": rng.integers(0, 10_000, n_right),
+            "rval": rng.normal(size=n_right).round(3),
+        }
+    ).drop_duplicates(["key", "rts"])
+    return left, right
+
+
+def _expected_asof(left, right, tol):
+    out = []
+    for _, lrow in left.iterrows():
+        cand = right[
+            (right.key == lrow.key)
+            & (right.rts <= lrow.lts)
+            & (right.rts >= lrow.lts - tol)
+        ]
+        if cand.empty:
+            out.append((lrow.key, lrow.lts, None))
+        else:
+            best = cand.sort_values("rts").iloc[-1]
+            out.append((lrow.key, lrow.lts, best.rts))
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+def test_asof_join_matches_bruteforce(spark):
+    left, right = _random_asof_frames(spark)
+    tol = 500
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = asof_join(
+        ldf, rdf, on=["key"], left_ts="lts", right_ts="rts", tolerance=tol,
+        left_keys=["key", "lts"],
+    ).collect()
+    got_s = sorted(
+        [(r.key, r.lts, r.rts_r) for r in got], key=lambda t: (t[0], t[1])
+    )
+    assert got_s == _expected_asof(left, right, tol)
+
+
+def test_merge_asof_grouped_agrees_with_bucketed(spark):
+    left, right = _random_asof_frames(spark, seed=11)
+    tol = 500
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    a = sorted(
+        [
+            (r.key, r.lts, r.rts_r)
+            for r in asof_join(
+                ldf, rdf, ["key"], "lts", "rts", tol, left_keys=["key", "lts"]
+            ).collect()
+        ]
+    )
+    b = sorted(
+        [
+            (r.key, r.lts, r.rts_r)
+            for r in merge_asof_grouped(ldf, rdf, ["key"], "lts", "rts", tol).collect()
+        ]
+    )
+    assert a == b
+
+
+def test_dollar_bars_boundaries(spark):
+    # 6 trades of 4.00 each, bar_size 10 -> cum cents 400,800,...,2400;
+    # bar = (cum-1)//1000 -> [0,0,1,1,1,2]: the boundary-crossing trade
+    # (cum=2000) closes bar 1
+    rows = [(1, i, 4.0) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "key long, ts long, price double")
+    bars = dollar_bars(
+        df, ["key"], "ts", notional_col="price", bar_size=10.0, tiebreak=[]
+    ).orderBy("bar_num").collect()
+    assert [b.bar_num for b in bars] == [0, 1, 2]
+    assert [b.n_trades for b in bars] == [2, 3, 1]
+    assert [b.notional for b in bars] == [8.0, 12.0, 4.0]
+    assert [b.bar_end_us for b in bars] == [2, 5, 6]
+
+
+def test_ewma_full_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"key": [1] * 50 + [2] * 50, "ts": list(range(50)) * 2,
+         "value": rng.normal(size=100)}
+    )
+    got = (
+        ewma_full(spark.createDataFrame(pdf), ["key"], ["ts"], "value")
+        .orderBy("key", "ts")
+        .toPandas()
+    )
+    for k in (1, 2):
+        expected = (
+            pdf[pdf.key == k].sort_values("ts")["value"]
+            .ewm(alpha=0.8, adjust=False).mean().to_numpy()
+        )
+        np.testing.assert_allclose(
+            got[got.key == k]["ewma"].to_numpy(), expected, rtol=1e-12
+        )
+
+
+def test_ewma_tail_matches_pandas_tail(spark):
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({"key": [1] * 100, "ts": range(100), "value": rng.normal(size=100)})
+    got = ewma_tail(spark.createDataFrame(pdf), ["key"], ["ts"], "value", n=30).collect()[0]
+    expected = (
+        pdf.sort_values("ts").tail(30)["value"].ewm(alpha=0.8, adjust=False).mean().iloc[-1]
+    )
+    assert abs(got.ewma - round(expected, 6)) < 1e-6
+
+
+def test_with_ofi(spark):
+    rows = [
+        # ts, bid_price, bid_size, ask_price, ask_size
+        (1, 100.0, 5.0, 101.0, 7.0),
+        (2, 100.0, 6.0, 101.0, 4.0),  # bid == prev: +1; ask ==: -(4-7)=+3 -> 1+3=4
+        (3, 101.0, 2.0, 102.0, 3.0),  # bid up: +2 ; ask up: -(-7)? ask_price>prev -> -prev(-4) => contrib - (−4)… see operator
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, best_bid_price double, best_bid_size double, "
+        "best_ask_price double, best_ask_size double"
+    )
+    out = with_ofi(df.withColumn("key", F.lit(1)), ["key"], ["ts"]).orderBy("ts").collect()
+    assert out[0].ofi is None
+    # row2: bid_c = 6-5 = 1 ; ask_c (ask_price == prev) = 4-7 = -3 ; ofi = 1-(-3) = 4
+    assert abs(out[1].ofi - 4.0) < 1e-9
+    # row3: bid_price > prev -> bid_c = 2 ; ask_price > prev -> ask_c = -prev_as = -4 ; ofi = 2-(-4) = 6
+    assert abs(out[2].ofi - 6.0) < 1e-9

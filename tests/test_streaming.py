@@ -1,0 +1,152 @@
+"""Structured Streaming: candles, sliding stats, watermark late-drop,
+stateful EWMA across micro-batches (file source + memory sink)."""
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crypto_market_data_etl_spark.streaming.candles import (
+    run_to_memory,
+    stream_candles,
+    stream_sliding_stats,
+)
+from crypto_market_data_etl_spark.streaming.stateful import stateful_ewma
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("code", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows, n_files=1):
+    df = spark.createDataFrame(rows, "code long, ts_us long, value double").withColumn(
+        "ts", F.timestamp_micros("ts_us")
+    )
+    df.coalesce(n_files).write.mode("append").parquet(path)
+    # FileStreamSource orders batches by file mod-time, which is second-
+    # granular through Hadoop's local FS (ties break by random part-file
+    # name); keep writes >1s apart so maxFilesPerTrigger=1 replays in order
+    time.sleep(1.1)
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+US = 1_000_000
+
+
+def test_stream_candles_update_mode(spark, tmp_path):
+    path = str(tmp_path / "in")
+    rows = [
+        (1, 0 * US, 10.0),
+        (1, 3 * US, 30.0),
+        (1, 9 * US, 20.0),   # window [0,10): open 10 high 30 low 10 close 20
+        (1, 12 * US, 50.0),  # window [10,20)
+    ]
+    _write_batch(spark, path, rows)
+    out = stream_candles(
+        _stream(spark, path), ["code"], "ts", "value", width_seconds=10,
+        watermark="5 seconds", tiebreak=["ts_us"],
+    )
+    q = run_to_memory(out, "candles_update", output_mode="update")
+    try:
+        got = {r.w_start.second: r for r in spark.sql("SELECT * FROM candles_update").collect()}
+        w0 = got[0]
+        assert (w0.open, w0.high, w0.low, w0.close, w0.n_trades) == (10.0, 30.0, 10.0, 20.0, 3)
+        assert got[10].open == 50.0
+    finally:
+        q.stop()
+
+
+def test_stream_candles_append_finalizes_on_watermark(spark, tmp_path):
+    path = str(tmp_path / "in")
+    # batch 1: window [0,10); batch 2 advances watermark past 10s -> emit w0
+    _write_batch(spark, path, [(1, 1 * US, 10.0), (1, 9 * US, 20.0)])
+    _write_batch(spark, path, [(1, 40 * US, 99.0)])
+    out = stream_candles(
+        _stream(spark, path), ["code"], "ts", "value", width_seconds=10,
+        watermark="5 seconds", tiebreak=["ts_us"],
+    )
+    q = run_to_memory(out, "candles_append", output_mode="append")
+    try:
+        rows = spark.sql("SELECT * FROM candles_append").collect()
+        finalized = [r for r in rows if r.w_start.second == 0]
+        assert len(finalized) == 1
+        assert (finalized[0].open, finalized[0].close) == (10.0, 20.0)
+        # the 40s window is NOT final yet (watermark hasn't passed its end)
+        assert all(r.w_start.second != 40 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_late_row_dropped(spark, tmp_path):
+    # NOTE Spark >= 3.4 filters late events against the PREVIOUS batch's
+    # watermark (eviction uses the current one), so the late row must arrive
+    # two batches after the watermark-advancing event to be discarded.
+    path = str(tmp_path / "in")
+    _write_batch(spark, path, [(1, 1 * US, 10.0)])
+    _write_batch(spark, path, [(1, 120 * US, 50.0)])  # watermark -> 115s
+    _write_batch(spark, path, [(1, 125 * US, 51.0)])  # late-filter wm now 115s
+    _write_batch(spark, path, [(1, 2 * US, 99.0)])    # late beyond watermark
+    out = stream_candles(
+        _stream(spark, path), ["code"], "ts", "value", width_seconds=10,
+        watermark="5 seconds", tiebreak=["ts_us"],
+    )
+    q = run_to_memory(out, "candles_late", output_mode="append")
+    try:
+        w0 = [r for r in spark.sql("SELECT * FROM candles_late").collect()
+              if r.w_start.second == 0 and r.w_start.minute == 0]
+        # late 99.0 was discarded: the [0,10) candle emitted once, only 10.0
+        assert len(w0) == 1 and w0[0].n_trades == 1 and w0[0].high == 10.0
+    finally:
+        q.stop()
+
+
+def test_stream_sliding_stats(spark, tmp_path):
+    path = str(tmp_path / "in")
+    _write_batch(spark, path, [(1, 2 * US, 10.0), (1, 7 * US, 30.0)])
+    out = stream_sliding_stats(
+        _stream(spark, path), ["code"], "ts", "value",
+        width_seconds=10, slide_seconds=5, watermark="10 seconds",
+    )
+    q = run_to_memory(out, "slide", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM slide").collect()
+        # event at 7s belongs to panes starting 0 and 5; event at 2s to -5 and 0
+        pane0 = [r for r in rows if r.w_start.second == 0 and r.w_start.minute == 0]
+        assert pane0[0].n_events == 2 and abs(pane0[0].avg_value - 20.0) < 1e-9
+    finally:
+        q.stop()
+
+
+def test_stateful_ewma_across_microbatches(spark, tmp_path):
+    path = str(tmp_path / "in")
+    series = [(1, i * US, float(v)) for i, v in enumerate([10, 20, 15, 40, 5])]
+    # two files -> two micro-batches (maxFilesPerTrigger=1): state must carry
+    _write_batch(spark, path, series[:3])
+    _write_batch(spark, path, series[3:])
+    stream = _stream(spark, path).select("code", "ts_us", "value")
+    out = stateful_ewma(stream, key_col="code", ts_col="ts_us", value_col="value")
+    q = run_to_memory(out, "ewma_out", output_mode="append")
+    try:
+        got = (
+            spark.sql("SELECT * FROM ewma_out ORDER BY ts_us").toPandas()["ewma"].tolist()
+        )
+        expected = (
+            pd.Series([10.0, 20.0, 15.0, 40.0, 5.0]).ewm(alpha=0.8, adjust=False).mean().tolist()
+        )
+        assert got == pytest.approx(expected, rel=1e-12)
+    finally:
+        q.stop()
