@@ -42,6 +42,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     from crypto_market_data_etl_spark import plans
+    from crypto_market_data_etl_spark.schemas import TESTDATA_TABLES, load_table
+
+    # warm up the JVM / codegen / file-index caches so per-query timings
+    # measure the queries, not session startup
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
 
     qs = plans.all_queries()
     timings: dict[str, float] = {}

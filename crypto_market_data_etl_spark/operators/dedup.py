@@ -123,7 +123,10 @@ def minhash_jaccard_pairs(
     """Full MinHash-LSH near-dup pipeline: candidate pairs + estimated jaccard
     (= fraction of matching minhashes)."""
     sh = word_shingles(df, id_col, text_col, shingle_n)
-    sig = minhash_signatures(sh, id_col, n_hashes)
+    # the signature table is referenced three times (bands + both pair
+    # sides); Spark does not share subtrees, so materialize it once — the
+    # same move a production LSH pipeline makes by checkpointing signatures
+    sig = minhash_signatures(sh, id_col, n_hashes).persist()
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("mhs").alias("mhs_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("mhs").alias("mhs_b"))
@@ -157,7 +160,7 @@ def ngram_jaccard_pairs(
     exclusion from per-doc set sizes. O(candidates x shared shingles), never
     all-pairs.
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sig = minhash_signatures(sh, id_col, n_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)

@@ -88,6 +88,40 @@ def ewma_full(
     return df.groupBy(*key_cols).applyInPandas(per_key, schema=schema)
 
 
+def ewma_over_window(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.8,
+    out: str = "ewma",
+) -> DataFrame:
+    """U1/W4 in the reference's own mechanism: a GROUPED_AGG pandas UDF
+    applied over a running window frame.
+
+    Reference: ``kafka_upbit_realtime_processing.py:67-70,99-104`` —
+    ``pandas_udf(..., GROUPED_AGG)`` of ``series.ewm(alpha).mean().iloc[-1]``
+    over ``rowsBetween(unboundedPreceding, currentRow)``. Exact but
+    O(n^2) per key (the frame re-sends the whole prefix per row through
+    Arrow); prefer :func:`ewma_full` (one pass per key) — kept for parity
+    and as the template for custom windowed pandas aggregates.
+    """
+    import pandas as pd  # noqa: F811 - keep UDF self-contained
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ewma_last(s: pd.Series) -> float:
+        return s.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, _ewma_last(F.col(value_col)).over(w))
+
+
 def with_ofi(
     df: DataFrame,
     key_cols: Sequence[str],

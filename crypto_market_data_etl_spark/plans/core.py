@@ -491,6 +491,57 @@ FROM d GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q13 semi/anti joins — customer activity per nation (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+def q13_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    active = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(active, nation.n_nationkey == active.c_nationkey, "left")
+        .drop("c_nationkey")
+        .join(inactive, nation.n_nationkey == inactive.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+    )
+
+
+Q13_SQL = """
+WITH active AS (
+  SELECT c_nationkey, count(*) AS n_active
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+),
+inactive AS (
+  SELECT c_nationkey, count(*) AS n_inactive
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT n_name,
+       coalesce(n_active, 0) AS n_active,
+       coalesce(n_inactive, 0) AS n_inactive
+FROM nation
+LEFT JOIN active   ON n_nationkey = active.c_nationkey
+LEFT JOIN inactive ON n_nationkey = inactive.c_nationkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -504,9 +555,11 @@ QUERIES = {
     "q10_parse_props": q10_parse_props,
     "q11_ewma": q11_ewma,
     "q12_flow_imbalance": q12_flow_imbalance,
+    "q13_customer_activity": q13_customer_activity,
 }
 
 ORACLES = {
+    "q13_customer_activity": Q13_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_revenue_by_nation": Q02_SQL,
     "q03_top_customers": Q03_SQL,

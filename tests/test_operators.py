@@ -6,7 +6,12 @@ from pyspark.sql import functions as F
 
 from crypto_market_data_etl_spark.operators.asof import asof_join, merge_asof_grouped
 from crypto_market_data_etl_spark.operators.bars import dollar_bars
-from crypto_market_data_etl_spark.operators.ewma import ewma_full, ewma_tail, with_ofi
+from crypto_market_data_etl_spark.operators.ewma import (
+    ewma_full,
+    ewma_over_window,
+    ewma_tail,
+    with_ofi,
+)
 
 
 def _random_asof_frames(spark, seed=7, n_left=200, n_right=400):
@@ -125,6 +130,21 @@ def test_ewma_tail_matches_pandas_tail(spark):
         pdf.sort_values("ts").tail(30)["value"].ewm(alpha=0.8, adjust=False).mean().iloc[-1]
     )
     assert abs(got.ewma - round(expected, 6)) < 1e-6
+
+
+def test_ewma_over_window_matches_ewma_full(spark):
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"key": [1] * 20 + [2] * 20, "ts": list(range(20)) * 2,
+                        "value": rng.normal(size=40)})
+    df = spark.createDataFrame(pdf)
+    via_udf = {
+        (r.key, r.ts): r.ewma
+        for r in ewma_over_window(df, ["key"], ["ts"], "value").collect()
+    }
+    via_full = {(r.key, r.ts): r.ewma for r in ewma_full(df, ["key"], ["ts"], "value").collect()}
+    assert set(via_udf) == set(via_full)
+    for k, v in via_full.items():
+        assert abs(via_udf[k] - v) < 1e-9
 
 
 def test_with_ofi(spark):

@@ -131,6 +131,32 @@ def test_stream_sliding_stats(spark, tmp_path):
         q.stop()
 
 
+def test_two_concurrent_queries_one_session(spark, tmp_path):
+    # T6: the reference runs two StreamingQuerys per app on daemon threads
+    # (kafka_upbit_realtime_processing.py:208-217); Structured Streaming
+    # handles concurrent queries natively — each with its own checkpoint.
+    path = str(tmp_path / "in")
+    _write_batch(spark, path, [(1, 1 * US, 10.0), (2, 2 * US, 20.0)])
+    base = _stream(spark, path)
+    q1 = run_to_memory(
+        stream_candles(base, ["code"], "ts", "value", 10, "5 seconds", ["ts_us"]),
+        "multi_a", output_mode="update",
+    )
+    q2 = run_to_memory(
+        stream_sliding_stats(base, ["code"], "ts", "value", 10, 5, "5 seconds"),
+        "multi_b", output_mode="update",
+    )
+    try:
+        assert len(spark.streams.active) >= 2
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert spark.sql("SELECT * FROM multi_a").count() == 2
+        assert spark.sql("SELECT * FROM multi_b").count() == 4  # 2 keys x 2 panes
+    finally:
+        q1.stop()
+        q2.stop()
+
+
 def test_stateful_ewma_across_microbatches(spark, tmp_path):
     path = str(tmp_path / "in")
     series = [(1, i * US, float(v)) for i, v in enumerate([10, 20, 15, 40, 5])]
