@@ -85,12 +85,16 @@ def sliding_stats(
     value_col: str,
     width_seconds: int,
     slide_seconds: int,
+    cents_col: str | None = None,
 ) -> DataFrame:
     """T3: sliding-window mean/stddev/count stats, batch form.
 
     Reference intent: ``kafka_upbit_realtime_processing.py:107-118`` —
     ``window(server_datetime, "10 minute", "15 second")`` + avg/stddev aggs.
     stddev is guarded to NULL for n==1 groups (Spark yields NaN, DuckDB NULL).
+    With ``cents_col`` the mean is computed as exact-integer-sum / count —
+    reproducible under any summation order (a float ``avg`` can land on a
+    rounding boundary and differ from the oracle by 1 ulp).
 
     Scale note: an event lands in width/slide panes — state/shuffle amplifies
     by that factor (40x in the reference's 10min/15s case, SURVEY §7.3 item 1).
@@ -98,11 +102,18 @@ def sliding_stats(
     """
     w = F.window(F.col(ts_col), f"{width_seconds} seconds", f"{slide_seconds} seconds")
     n = F.count(F.lit(1))
+    # exact-rational mean left UNROUNDED: the double is bit-identical on any
+    # engine, while round() implementations disagree on .5-at-6dp boundaries
+    avg = (
+        F.sum(cents_col) / 100.0 / n
+        if cents_col is not None
+        else F.round(F.avg(value_col), 6)
+    )
     return (
         df.groupBy(w.alias("w"), *key_cols)
         .agg(
             n.alias("n_events"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            avg.alias("avg_value"),
             F.when(n > 1, F.round(F.stddev_samp(value_col), 4)).alias("stddev_value"),
         )
         .withColumn("w_start", F.col("w.start"))

@@ -99,10 +99,11 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def token_stats(df: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
     """Corpus token statistics per group (source/shard/lang)."""
     n_tokens = F.size(F.split(F.col(text_col), " "))
+    n = F.count(F.lit(1))
     return df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        n.alias("n_docs"),
         F.sum(n_tokens).alias("total_tokens"),
-        F.round(F.avg(n_tokens), 6).alias("avg_tokens"),
+        (F.sum(n_tokens) / n).alias("avg_tokens"),  # exact int sum, unrounded
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").alias("total_chars"),
     )

@@ -46,38 +46,53 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") < F.expr("CAST('1998-09-03' AS TIMESTAMP_NTZ)")
+    # money columns are 2-decimal: integer-cents sums are exact, and the
+    # derived sums/averages below are bit-identical to the oracle under any
+    # summation order (only the product sums need a rounding guard)
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.expr("CAST('1998-09-03' AS TIMESTAMP_NTZ)"))
+        .withColumn("qty_c", cents("l_quantity"))
+        .withColumn("price_c", cents("l_extendedprice"))
+        .withColumn("disc_c", cents("l_discount"))
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            (F.sum("qty_c") / 100.0).alias("sum_qty"),
+            (F.sum("price_c") / 100.0).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum("qty_c") / 100.0 / n).alias("avg_qty"),
+            (F.sum("price_c") / 100.0 / n).alias("avg_price"),
+            (F.sum("disc_c") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 Q01_SQL = """
+WITH li AS (
+  SELECT *,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS disc_c
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       sum(qty_c) / 100.0                                               AS sum_qty,
+       sum(price_c) / 100.0                                             AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       sum(qty_c) / 100.0 / count(*)                                    AS avg_qty,
+       sum(price_c) / 100.0 / count(*)                                  AS avg_price,
+       sum(disc_c) / 100.0 / count(*)                                   AS avg_disc,
        count(*)                                                         AS count_order
-FROM lineitem
-WHERE l_shipdate < TIMESTAMP '1998-09-03'
+FROM li
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -202,9 +217,9 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def q05_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = with_cents(_events(spark, sf_dir), "value")
     return sliding_stats(
-        ev, ["event_type"], "ts", "value", SLIDE_W_S, SLIDE_S_S
+        ev, ["event_type"], "ts", "value", SLIDE_W_S, SLIDE_S_S, cents_col="cents"
     ).select("w_start", "event_type", "n_events", "avg_value", "stddev_value")
 
 
@@ -217,7 +232,7 @@ x AS (
 )
 SELECT make_timestamp(ws_us) AS w_start, event_type,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS avg_value,
        CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 4) END AS stddev_value
 FROM x
 GROUP BY 1, 2
@@ -230,12 +245,13 @@ GROUP BY 1, 2
 
 def q06_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = with_cents(_events(spark, sf_dir), "value")
+    n = F.count(F.lit(1))
     return (
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            n.alias("n"),
             (F.sum("cents") / 100.0).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (F.sum("cents") / 100.0 / n).alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -246,7 +262,7 @@ Q06_SQL = """
 SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day, event_type,
        count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
-       round(avg(value), 6) AS avg_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS avg_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM events
@@ -398,12 +414,13 @@ def q10_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
         "k", F.get_json_object("props", "$.k").cast("int")
     )
+    n = F.count(F.lit(1))
     return (
         ev.filter(F.col("k").isNotNull() & (F.col("k") >= 10))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            n.alias("n"),
+            (F.sum("k") / n).alias("avg_k"),  # exact integer sum, unrounded
             F.max("k").alias("max_k"),
         )
     )
@@ -414,7 +431,9 @@ WITH e AS (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
   FROM events
 )
-SELECT event_type, count(*) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) / (count(*) * 1.0) AS avg_k,
+       max(k) AS max_k
 FROM e WHERE k IS NOT NULL AND k >= 10
 GROUP BY event_type
 """

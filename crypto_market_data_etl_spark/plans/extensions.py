@@ -282,7 +282,7 @@ X09_SQL = """
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
-       round(avg(len(str_split(text, ' '))), 6) AS avg_tokens,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) / (count(*) * 1.0) AS avg_tokens,
        count(DISTINCT lang) AS n_langs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
