@@ -81,14 +81,8 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def lsh_buckets(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 16,
-    dim: int = 64,
-) -> DataFrame:
-    """Sign-LSH bucket signature per vector: (id, bucket, n_in_bucket)."""
+def bucket_signature(vec_col: str, n_planes: int, dim: int):
+    """Sign-LSH bucket signature Column (bitstring of hyperplane sides)."""
     planes = hyperplane_weights(n_planes, dim)
     bits = [
         F.when(
@@ -97,8 +91,61 @@ def lsh_buckets(
         ).otherwise(F.lit("0"))
         for plane in planes
     ]
-    out = df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucket signature per vector: (id, bucket, n_in_bucket)."""
+    out = df.select(
+        F.col(id_col), bucket_signature(vec_col, n_planes, dim).alias("bucket")
+    )
     return out.withColumn("n_in_bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate nearest neighbors: LSH bucket candidates + exact rerank.
+
+    The 100 TB path: per-vector candidates come from a *bucket equi-join*
+    (cost = sum of bucket sizes squared, tunable via n_planes), then exact
+    cosine only on candidates, rank per query. vs :func:`cosine_topk`'s
+    |Q| x |corpus|. Recall is probabilistic (neighbors in other buckets are
+    missed) — multi-probe or band-OR raises it; this is the single-table
+    variant. Output: (q_id, n_id, rnk, sim) like cosine_topk.
+    """
+    sig = bucket_signature(vec_col, n_planes, dim)
+    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a = t.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    b = t.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "sim")
+    )
 
 
 def lsh_candidates(buckets: DataFrame, id_col: str = "vec_id") -> DataFrame:

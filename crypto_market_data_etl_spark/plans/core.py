@@ -511,6 +511,56 @@ FROM d GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# q14 streaming replay — tumbling candles computed by an ACTUAL Structured
+# Streaming query (file source -> watermark -> windowed agg -> memory sink),
+# oracle-checked against the same SQL as the batch q04. Demonstrates that the
+# streaming and batch paths share one semantic definition.
+# --------------------------------------------------------------------------
+
+def q14_stream_candles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..session import tune
+    from ..streaming.candles import stream_candles
+
+    tune(spark)  # nanosAsLong must be set before the streaming schema binds
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    candles = stream_candles(
+        stream, ["user_id"], "ts", "value", width_seconds=CANDLE_S,
+        watermark="10 seconds", tiebreak=["event_id"], volume_cents_col="cents",
+    )
+    name = "q14_stream_candles_replay_sink"
+    q = (
+        candles.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()  # single file -> single micro-batch
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "w_start", "user_id", "open", "high", "low", "close", "n_trades", "volume"
+    )
+
+
+# --------------------------------------------------------------------------
 # q13 semi/anti joins — customer activity per nation (EXISTS / NOT EXISTS)
 # --------------------------------------------------------------------------
 
@@ -575,10 +625,12 @@ QUERIES = {
     "q11_ewma": q11_ewma,
     "q12_flow_imbalance": q12_flow_imbalance,
     "q13_customer_activity": q13_customer_activity,
+    "q14_stream_candles_replay": q14_stream_candles_replay,
 }
 
 ORACLES = {
     "q13_customer_activity": Q13_SQL,
+    "q14_stream_candles_replay": Q04_SQL,  # identical semantics to batch q04
     "q01_pricing_summary": Q01_SQL,
     "q02_revenue_by_nation": Q02_SQL,
     "q03_top_customers": Q03_SQL,

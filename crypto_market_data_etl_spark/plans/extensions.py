@@ -22,7 +22,12 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import blob_metadata, extract_features, to_blob_table
-from ..operators.similarity import cosine_topk, hyperplane_weights, lsh_buckets
+from ..operators.similarity import (
+    cosine_topk,
+    hyperplane_weights,
+    lsh_ann_topk,
+    lsh_buckets,
+)
 from ..operators.text import LANGS, STOPWORDS, fingerprints, lang_scores, quality_scores, token_stats
 from ..schemas import load_table
 
@@ -215,6 +220,46 @@ X06_SQL = _lsh_sql()
 
 
 # --------------------------------------------------------------------------
+# x13 LSH-ANN: bucket candidates + exact cosine rerank (the scale path)
+# --------------------------------------------------------------------------
+
+ANN_PLANES, ANN_K = 6, 3
+
+
+def x13_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_topk(_embs(spark, sf_dir), n_planes=ANN_PLANES, k=ANN_K)
+
+
+def _ann_sql() -> str:
+    planes = hyperplane_weights(ANN_PLANES, DIM)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{w}.0" for w in plane)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bits} AS bucket FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rnk,
+       sim
+FROM sims
+QUALIFY rnk <= {ANN_K}
+"""
+
+
+X13_SQL = _ann_sql()
+
+
+# --------------------------------------------------------------------------
 # x07 language-ID scoring (hash-profile argmax)
 # --------------------------------------------------------------------------
 
@@ -362,6 +407,7 @@ QUERIES = {
     "x10_fingerprint": x10_fingerprint,
     "x11_multimodal_meta": x11_multimodal_meta,
     "x12_multimodal_features": x12_multimodal_features,  # rows-only (no oracle)
+    "x13_lsh_ann": x13_lsh_ann,
 }
 
 ORACLES = {
@@ -376,4 +422,5 @@ ORACLES = {
     "x09_token_stats": X09_SQL,
     "x10_fingerprint": X10_SQL,
     "x11_multimodal_meta": X11_SQL,
+    "x13_lsh_ann": X13_SQL,
 }
