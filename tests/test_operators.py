@@ -4,7 +4,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from crypto_market_data_etl_spark.operators.asof import asof_join, merge_asof_grouped
+from crypto_market_data_etl_spark.operators.asof import (
+    asof_join,
+    asof_join_adaptive,
+    merge_asof_grouped,
+)
 from crypto_market_data_etl_spark.operators.bars import dollar_bars
 from crypto_market_data_etl_spark.operators.ewma import (
     ewma_full,
@@ -84,6 +88,29 @@ def test_merge_asof_grouped_agrees_with_bucketed(spark):
         ]
     )
     assert a == b
+
+
+def test_asof_join_adaptive_matches_bruteforce(spark):
+    left, right = _random_asof_frames(spark, seed=13)
+    tol = 500
+    got = asof_join_adaptive(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        ["key"], "lts", "rts", tol, right_tiebreak=[],
+    ).collect()
+    got_s = sorted([(r.key, r.lts, r.rts_r) for r in got], key=lambda t: (t[0], t[1]))
+    assert got_s == _expected_asof(left, right, tol)
+
+
+def test_asof_join_adaptive_tie_and_duplicate_ts(spark):
+    # two right rows at the same ts: the tiebreak winner owns the interval
+    ldf = spark.createDataFrame([(1, 100)], "key long, lts long")
+    rdf = spark.createDataFrame(
+        [(1, 90, 7), (1, 90, 9), (1, 50, 1)], "key long, rts long, rid long"
+    )
+    row = asof_join_adaptive(
+        ldf, rdf, ["key"], "lts", "rts", 1000, right_tiebreak=["rid"]
+    ).collect()[0]
+    assert (row.rts_r, row.rid_r) == (90, 9)
 
 
 def test_dollar_bars_boundaries(spark):
