@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): the as-of join variants agree with each
+other and with brute force on arbitrary inputs; dollar bars partition trades
+exactly."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crypto_market_data_etl_spark.operators.asof import asof_join, asof_join_adaptive
+from crypto_market_data_etl_spark.operators.bars import dollar_bars
+
+# one shared strategy: small integer domains force collisions (ties, empty
+# bands, single-key data, duplicate timestamps)
+asof_case = st.fixed_dictionaries(
+    {
+        "lrows": st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25
+        ),
+        "rrows": st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 5)),
+            min_size=0,
+            max_size=40,
+        ),
+        "tol": st.integers(1, 30),
+    }
+)
+
+
+def _brute(lrows, rrows, tol):
+    out = []
+    for key, lts in lrows:
+        cand = [r for r in rrows if r[0] == key and r[1] <= lts and r[1] >= lts - tol]
+        best = max(cand, key=lambda r: (r[1], r[2])) if cand else (None, None, None)
+        out.append((key, lts, best[1], best[2]))
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_case)
+def test_asof_variants_agree_with_bruteforce(spark, case):
+    lrows = sorted(set(case["lrows"]))
+    rrows = sorted(set(case["rrows"]))
+    tol = case["tol"]
+    ldf = spark.createDataFrame(
+        pd.DataFrame(lrows, columns=["key", "lts"]), "key long, lts long"
+    )
+    rdf = (
+        spark.createDataFrame(
+            pd.DataFrame(rrows, columns=["key", "rts", "rid"]),
+            "key long, rts long, rid long",
+        )
+        if rrows
+        else spark.createDataFrame([], "key long, rts long, rid long")
+    )
+    expected = _brute(lrows, rrows, tol)
+
+    got_rank = sorted(
+        [
+            (r.key, r.lts, r.rts_r, r.rid_r)
+            for r in asof_join(
+                ldf, rdf, ["key"], "lts", "rts", tol,
+                right_tiebreak=["rid"], left_keys=["key", "lts"],
+            ).collect()
+        ],
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got_rank == expected
+
+    got_adaptive = sorted(
+        [
+            (r.key, r.lts, r.rts_r, r.rid_r)
+            for r in asof_join_adaptive(
+                ldf, rdf, ["key"], "lts", "rts", tol, right_tiebreak=["rid"]
+            ).collect()
+        ],
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got_adaptive == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(1, 9999)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1, 50),
+    st.sampled_from([None, 7]),
+)
+def test_dollar_bars_partition_trades_exactly(spark, rows, bar_size, block_span):
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "cents_raw"])
+    pdf["price"] = pdf["cents_raw"] / 100.0
+    df = spark.createDataFrame(pdf[["key", "ts", "price"]])
+    bars = dollar_bars(
+        df, ["key"], "ts", "price", float(bar_size), block_span=block_span
+    ).collect()
+    # every trade lands in exactly one bar; notional conserved
+    assert sum(b.n_trades for b in bars) == len(pdf)
+    assert abs(sum(b.notional for b in bars) - pdf.price.sum()) < 1e-6
+    # bar numbers per key are distinct, non-negative, and the last bar id is
+    # pinned by the total notional (a single oversized trade may SKIP ids —
+    # it closes a bar several widths ahead; density is not an invariant)
+    per_key = {}
+    for b in bars:
+        per_key.setdefault(b.key, []).append(b.bar_num)
+    for key, nums in per_key.items():
+        nums.sort()
+        assert nums[0] >= 0
+        assert nums == sorted(set(nums))
+        total_cents = int(round(pdf[pdf.key == key].price.sum() * 100))
+        assert nums[-1] == (total_cents - 1) // (bar_size * 100)
