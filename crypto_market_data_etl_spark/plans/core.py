@@ -611,6 +611,135 @@ LEFT JOIN inactive ON n_nationkey = inactive.c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q15 sessionization — gap-based sessions via lag + running flag-sum
+# (the batch form of streaming session windows; guide "Common OLAP patterns")
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 3_600_000_000  # 1 h inactivity closes a session
+
+
+def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("__new", new_sess)
+        .withColumn("sess_id", F.sum("__new").over(w_run))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("sess_start_us"),
+            F.max("ts_us").alias("sess_end_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH e AS ({_EVENTS_US}),
+g AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, sess_id, count(*) AS n_events,
+       min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 rollup — hierarchical totals (region > nation > grand total)
+# --------------------------------------------------------------------------
+
+def q16_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q16_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 exact quantiles — percentile (exact, interpolated) per group
+# --------------------------------------------------------------------------
+
+def q17_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q17_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS median,
+       round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 global sort + limit — deterministic top-k
+# --------------------------------------------------------------------------
+
+def q18_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -626,11 +755,19 @@ QUERIES = {
     "q12_flow_imbalance": q12_flow_imbalance,
     "q13_customer_activity": q13_customer_activity,
     "q14_stream_candles_replay": q14_stream_candles_replay,
+    "q15_sessionization": q15_sessionization,
+    "q16_revenue_rollup": q16_revenue_rollup,
+    "q17_quantiles": q17_quantiles,
+    "q18_top_orders": q18_top_orders,
 }
 
 ORACLES = {
     "q13_customer_activity": Q13_SQL,
     "q14_stream_candles_replay": Q04_SQL,  # identical semantics to batch q04
+    "q15_sessionization": Q15_SQL,
+    "q16_revenue_rollup": Q16_SQL,
+    "q17_quantiles": Q17_SQL,
+    "q18_top_orders": Q18_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_revenue_by_nation": Q02_SQL,
     "q03_top_customers": Q03_SQL,

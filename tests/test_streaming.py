@@ -157,6 +157,55 @@ def test_two_concurrent_queries_one_session(spark, tmp_path):
         q2.stop()
 
 
+def test_session_window_stream(spark, tmp_path):
+    # T8 family: session windows close after the gap elapses in event time
+    path = str(tmp_path / "in")
+    _write_batch(spark, path, [
+        (1, 0 * US, 1.0), (1, 3 * US, 2.0),   # session A: [0, 3+5)
+        (1, 20 * US, 5.0),                     # session B
+        (1, 60 * US, 9.0),                     # advances watermark, closes A+B
+    ])
+    stream = _stream(spark, path)
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.session_window("ts", "5 seconds").alias("w"), "code")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    q = run_to_memory(agg, "sessions", output_mode="append")
+    try:
+        rows = {r.w.start.second: r for r in spark.sql("SELECT * FROM sessions").collect()}
+        assert rows[0].n == 2 and rows[0].total == 3.0
+        assert rows[0].w.end.second == 8  # last event + gap
+        assert rows[20].n == 1 and rows[20].total == 5.0
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_parquet_sink_idempotent(spark, tmp_path):
+    from crypto_market_data_etl_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    _write_batch(spark, in_path, [(1, 1 * US, 10.0), (2, 2 * US, 20.0)])
+    _write_batch(spark, in_path, [(3, 3 * US, 30.0)])
+    stream = _stream(spark, in_path).select("code", "ts_us", "value")
+    q = foreach_batch_parquet_sink(
+        stream, out_path, str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out_path)
+    assert got.count() == 3
+    assert {r.batch_id for r in got.select("batch_id").distinct().collect()} == {0, 1}
+    # replaying batch 0 (same id) overwrites, not duplicates
+    b0 = spark.read.parquet(out_path).filter(F.col("batch_id") == 0).drop("batch_id")
+    b0_df = spark.createDataFrame(b0.collect(), b0.schema)
+    b0_df.write.mode("overwrite").parquet(out_path + "/batch_id=0")
+    assert spark.read.parquet(out_path).count() == 3
+
+
 def test_stateful_ewma_across_microbatches(spark, tmp_path):
     path = str(tmp_path / "in")
     series = [(1, i * US, float(v)) for i, v in enumerate([10, 20, 15, 40, 5])]
