@@ -1,1 +1,15 @@
 """Composable DataFrame -> DataFrame operators (SURVEY.md §2.3-2.9 + extensions)."""
+
+from .asof import asof_join, asof_join_adaptive, merge_asof_grouped  # noqa: F401
+from .bars import blocked_cumsum, dollar_bars, with_cents  # noqa: F401
+from .candles import ohlcv_aggs, sliding_stats, tumbling_candles  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_jaccard_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .ewma import ewma_full, ewma_over_window, ewma_tail, with_ofi  # noqa: F401
+from .multimodal import blob_metadata, extract_features, to_blob_table  # noqa: F401
+from .similarity import cosine_topk, lsh_ann_topk, lsh_buckets  # noqa: F401
+from .text import fingerprints, lang_scores, quality_scores, token_stats  # noqa: F401
