@@ -148,6 +148,105 @@ def lsh_ann_topk(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidates.
+
+    Same shape as MinHash near-dup for text: sign-LSH buckets generate
+    candidates (equi-join), exact cosine filters. ``n_planes`` tunes recall:
+    P(same bucket) = (1 - theta/pi)^planes for angle theta. Output:
+    (id_a, id_b, sim) with sim >= threshold, id_a < id_b.
+    """
+    sig = bucket_signature(vec_col, n_planes, dim)
+    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = t.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 3,
+    centroid_filter=None,
+) -> DataFrame:
+    """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
+
+    Index build: every vector is assigned to its nearest centroid (argmin
+    cosine distance) — one broadcast of the centroid set, one pass, giving
+    the inverted lists as a (centroid_id, vector) table. Query: probe the
+    ``n_probe`` nearest cells and rerank exactly within them.
+
+    Centroids here are a deterministic sample of the corpus
+    (``centroid_filter``, default ``id % 50 == 1``) so the whole pipeline is
+    reproducible in the SQL oracle; production swaps in k-means centroids —
+    the index/probe/rerank plumbing is identical. Output: (q_id, n_id, rnk,
+    sim) — approximate: neighbors outside probed cells are missed.
+    """
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 50 == 1
+    cents = F.broadcast(
+        df.filter(centroid_filter).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+
+    def nearest_cells(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
+        sim = _dot(F.col(svec), F.col("c_vec")) / (
+            F.sqrt(_dot(F.col(svec), F.col(svec)))
+            * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+        )
+        w = Window.partitionBy(sid).orderBy(F.col("c_sim").desc(), F.col("c_id"))
+        return (
+            side.crossJoin(cents)
+            .withColumn("c_sim", F.round(sim, 6))
+            .withColumn("c_rnk", F.row_number().over(w))
+            .filter(F.col("c_rnk") <= n)
+            .drop("c_vec", "c_sim", "c_rnk")
+        )
+
+    inv = nearest_cells(
+        df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        "n_id", "n_vec", 1,
+    )
+    probes = nearest_cells(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id", "q_vec", n_probe,
+    )
+    sim = _dot(F.col("q_vec"), F.col("n_vec")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("n_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        probes.join(inv, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "sim")
+    )
+
+
 def lsh_candidates(buckets: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Candidate pairs = same bucket (equi-join; the ANN scale path)."""
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")

@@ -96,14 +96,28 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum marks
+#: (the GPT-2 pre-tokenizer shape, simplified to a regex both engines share).
+#: NOTE a literal space, not \s: Spark SQL string literals consume the
+#: backslash ('\s' -> 's'), silently changing the class.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
 def token_stats(df: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
-    """Corpus token statistics per group (source/shard/lang)."""
+    """Corpus token statistics per group (source/shard/lang).
+
+    Two token counts: whitespace tokens (split) and BPE-ish regex tokens
+    (letter/digit/punct runs — the subword pre-tokenization granularity an
+    LLM-data pipeline budgets by).
+    """
     n_tokens = F.size(F.split(F.col(text_col), " "))
+    n_bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)"))
     n = F.count(F.lit(1))
     return df.groupBy(group_col).agg(
         n.alias("n_docs"),
         F.sum(n_tokens).alias("total_tokens"),
         (F.sum(n_tokens) / n).alias("avg_tokens"),  # exact int sum, unrounded
+        F.sum(n_bpe).alias("total_bpe_tokens"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").alias("total_chars"),
     )

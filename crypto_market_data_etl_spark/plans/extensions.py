@@ -24,7 +24,9 @@ from ..operators.dedup import (
 from ..operators.multimodal import blob_metadata, extract_features, to_blob_table
 from ..operators.similarity import (
     cosine_topk,
+    embedding_neardup_pairs,
     hyperplane_weights,
+    ivf_ann_topk,
     lsh_ann_topk,
     lsh_buckets,
 )
@@ -260,6 +262,101 @@ X13_SQL = _ann_sql()
 
 
 # --------------------------------------------------------------------------
+# x14 embedding-cosine near-dup pairs (LSH candidates + threshold)
+# --------------------------------------------------------------------------
+
+NEARDUP_PLANES, NEARDUP_THRESHOLD = 8, 0.25
+
+
+def x14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _embs(spark, sf_dir), n_planes=NEARDUP_PLANES, threshold=NEARDUP_THRESHOLD
+    )
+
+
+def _neardup_sql() -> str:
+    planes = hyperplane_weights(NEARDUP_PLANES, DIM)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{w}.0" for w in plane)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bits} AS bucket FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {NEARDUP_THRESHOLD}
+"""
+
+
+X14_SQL = _neardup_sql()
+
+
+# --------------------------------------------------------------------------
+# x15 IVF-style ANN: deterministic centroid cells + multi-probe rerank
+# --------------------------------------------------------------------------
+
+IVF_PROBE, IVF_K = 2, 3
+
+
+def x15_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return ivf_ann_topk(
+        embs, embs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        n_probe=IVF_PROBE, k=IVF_K,
+    )
+
+
+X15_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 50 = 1
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+assign AS (
+  SELECT vec_id AS n_id, vv AS n_vec, c_id
+  FROM v CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_dot_product(vv, cv) /
+                   (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             c_id
+  ) <= 1
+),
+probes AS (
+  SELECT vec_id AS q_id, vv AS q_vec, c_id
+  FROM v CROSS JOIN c
+  WHERE vec_id % {QUERY_MOD} = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_dot_product(vv, cv) /
+                   (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             c_id
+  ) <= {IVF_PROBE}
+),
+sims AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(q_vec, n_vec) /
+               (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(n_vec, n_vec))), 6) AS sim
+  FROM probes JOIN assign USING (c_id)
+  WHERE q_id <> n_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rnk,
+       sim
+FROM sims
+QUALIFY rnk <= {IVF_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # x07 language-ID scoring (hash-profile argmax)
 # --------------------------------------------------------------------------
 
@@ -323,11 +420,13 @@ def x09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
-X09_SQL = """
+X09_SQL = r"""
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(sum(len(str_split(text, ' '))) AS BIGINT) / (count(*) * 1.0) AS avg_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+           AS total_bpe_tokens,
        count(DISTINCT lang) AS n_langs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
@@ -408,6 +507,8 @@ QUERIES = {
     "x11_multimodal_meta": x11_multimodal_meta,
     "x12_multimodal_features": x12_multimodal_features,  # rows-only (no oracle)
     "x13_lsh_ann": x13_lsh_ann,
+    "x14_embedding_neardup": x14_embedding_neardup,
+    "x15_ivf_ann": x15_ivf_ann,
 }
 
 ORACLES = {
@@ -423,4 +524,6 @@ ORACLES = {
     "x10_fingerprint": X10_SQL,
     "x11_multimodal_meta": X11_SQL,
     "x13_lsh_ann": X13_SQL,
+    "x14_embedding_neardup": X14_SQL,
+    "x15_ivf_ann": X15_SQL,
 }
