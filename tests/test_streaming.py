@@ -181,6 +181,22 @@ def test_session_window_stream(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # T8 family: watermarked dropDuplicates — exact dedup on a stream with
+    # bounded state (the streaming arm of operators/dedup.exact_dedup)
+    path = str(tmp_path / "in")
+    _write_batch(spark, path, [(1, 1 * US, 10.0), (1, 1 * US, 10.0), (2, 2 * US, 5.0)])
+    _write_batch(spark, path, [(1, 1 * US, 10.0), (3, 3 * US, 7.0)])  # replayed dup
+    stream = _stream(spark, path)
+    deduped = stream.withWatermark("ts", "1 minute").dropDuplicates(["code", "ts"])
+    q = run_to_memory(deduped, "dedup_stream", output_mode="append")
+    try:
+        rows = spark.sql("SELECT code, count(*) n FROM dedup_stream GROUP BY code").collect()
+        assert {r.code: r.n for r in rows} == {1: 1, 2: 1, 3: 1}
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_parquet_sink_idempotent(spark, tmp_path):
     from crypto_market_data_etl_spark.streaming.sinks import foreach_batch_parquet_sink
 
