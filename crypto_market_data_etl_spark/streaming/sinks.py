@@ -21,6 +21,7 @@ def foreach_batch_parquet_sink(
     path: str,
     checkpoint: str,
     partition_cols: tuple[str, ...] = (),
+    output_mode: str = "update",
 ):
     """Idempotent micro-batch parquet sink; returns the DataStreamWriter
     (call ``.start()``). Read the result with
@@ -36,5 +37,5 @@ def foreach_batch_parquet_sink(
     return (
         stream_df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+        .outputMode(output_mode)
     )

@@ -131,6 +131,41 @@ def test_stream_sliding_stats(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_ewma_checkpoint_recovery(spark, tmp_path):
+    # T5: stop the query, append data, restart from the SAME checkpoint —
+    # per-key EWMA state must resume, not reset (exactly-once state store)
+    from crypto_market_data_etl_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    series = [10.0, 20.0, 15.0, 40.0, 5.0]
+    _write_batch(spark, in_path, [(1, i * US, v) for i, v in enumerate(series[:3])])
+
+    def start():
+        stream = _stream(spark, in_path).select("code", "ts_us", "value")
+        out = stateful_ewma(stream, key_col="code", ts_col="ts_us", value_col="value")
+        return foreach_batch_parquet_sink(out, out_path, ckpt, output_mode="append").start()
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_batch(spark, in_path, [(1, (3 + i) * US, v) for i, v in enumerate(series[3:])])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.read.parquet(out_path).orderBy("ts_us").toPandas()["ewma"].tolist()
+    )
+    expected = pd.Series(series).ewm(alpha=0.8, adjust=False).mean().tolist()
+    # the post-restart rows continue the recurrence from checkpointed state
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
 def test_two_concurrent_queries_one_session(spark, tmp_path):
     # T6: the reference runs two StreamingQuerys per app on daemon threads
     # (kafka_upbit_realtime_processing.py:208-217); Structured Streaming
