@@ -50,12 +50,16 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     qs = plans.all_queries()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(repeats):  # best-of-N damps box noise
+            t0 = time.time()
+            n = len(fn(spark, sf_dir).collect())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
