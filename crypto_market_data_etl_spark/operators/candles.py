@@ -78,6 +78,68 @@ def tumbling_candles(
     )
 
 
+def candle_partials(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    price_col: str,
+    width_us: int,
+    tiebreak: Sequence[str] = (),
+    volume_cents_col: str | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate partials at ``width_us`` grain.
+
+    Each partial carries a MERGEABLE state: (open@min-key, close@max-key,
+    high, low, cents, n, min/max order keys). Coarser candles are computed by
+    :func:`rollup_candles` from partials alone — the raw events are never
+    re-scanned. This is the TimescaleDB continuous-aggregate / OLAP-cube
+    pattern: at 100 TB you materialize minute partials once and serve
+    hour/day/week queries from ~1/60000th of the data.
+    """
+    bucket = F.expr(f"{ts_us_col} div {width_us}")
+    key = order_key(ts_us_col, *tiebreak)
+    aggs = [
+        F.min_by(F.col(price_col), key).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(F.col(price_col), key).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.min(key).alias("first_key"),
+        F.max(key).alias("last_key"),
+    ]
+    if volume_cents_col is not None:
+        aggs.append(F.sum(volume_cents_col).alias("cents"))
+    return df.groupBy(bucket.alias("bucket"), *key_cols).agg(*aggs)
+
+
+def rollup_candles(
+    partials: DataFrame,
+    key_cols: Sequence[str],
+    factor: int,
+) -> DataFrame:
+    """Merge fine-grained candle partials into candles ``factor`` x coarser.
+
+    Pure partial-merge: open = open of the partial with the smallest
+    first_key, close = close of the largest last_key, high/low/volume/count
+    associative. Output matches computing the coarse candle from raw events
+    (asserted in tests and by the q19 oracle).
+    """
+    coarse = F.expr(f"bucket div {factor}")
+    return (
+        partials.groupBy(coarse.alias("bucket"), *key_cols)
+        .agg(
+            F.min_by("open", F.col("first_key")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("last_key")).alias("close"),
+            F.sum("n_trades").alias("n_trades"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
 def sliding_stats(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -740,6 +740,74 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# q19 hypertable rollup — daily candles served from hourly partials
+# (continuous-aggregate pattern; oracle computes directly from raw events)
+# --------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
+
+
+def q19_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import candle_partials, rollup_candles
+
+    ev = with_cents(_events(spark, sf_dir), "value")
+    hourly = candle_partials(
+        ev, ["user_id"], "ts_us", "value", HOUR_US, ["event_id"], "cents"
+    )
+    daily = rollup_candles(hourly, ["user_id"], 24)
+    return daily.select(
+        F.timestamp_micros(F.col("bucket") * DAY_US).alias("w_start"),
+        "user_id", "open", "high", "low", "close", "n_trades",
+        (F.col("cents") / 100.0).alias("volume"),
+    )
+
+
+Q19_SQL = f"""
+WITH e AS (
+  SELECT *, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_ns(ts)//1000 AS ts_us
+  FROM events
+)
+SELECT make_timestamp((ts_us // {DAY_US}) * {DAY_US}) AS w_start,
+       user_id,
+       first(value ORDER BY ts_us, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts_us, event_id) AS close,
+       count(*) AS n_trades,
+       sum(cents) / 100.0 AS volume
+FROM e
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 heavy hitters — share-threshold frequency per group
+# --------------------------------------------------------------------------
+
+def q20_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _events(spark, sf_dir), ["event_type"], "user_id", min_share=0.005
+    )
+
+
+Q20_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+tot AS (
+  SELECT *, sum(n) OVER (PARTITION BY event_type) AS total FROM counts
+)
+SELECT event_type, user_id, n, n / (total * 1.0) AS share
+FROM tot WHERE n / (total * 1.0) >= 0.005
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -759,6 +827,8 @@ QUERIES = {
     "q16_revenue_rollup": q16_revenue_rollup,
     "q17_quantiles": q17_quantiles,
     "q18_top_orders": q18_top_orders,
+    "q19_hypertable_rollup": q19_hypertable_rollup,
+    "q20_heavy_hitters": q20_heavy_hitters,
 }
 
 ORACLES = {
@@ -768,6 +838,8 @@ ORACLES = {
     "q16_revenue_rollup": Q16_SQL,
     "q17_quantiles": Q17_SQL,
     "q18_top_orders": Q18_SQL,
+    "q19_hypertable_rollup": Q19_SQL,
+    "q20_heavy_hitters": Q20_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_revenue_by_nation": Q02_SQL,
     "q03_top_customers": Q03_SQL,

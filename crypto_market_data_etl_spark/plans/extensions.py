@@ -493,6 +493,17 @@ def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(to_blob_table(_docs(spark, sf_dir)))
 
 
+# --------------------------------------------------------------------------
+# x16 HLL distinct counting (DataSketches; mergeable partials — rows-only:
+# sketch internals are engine-specific, accuracy asserted in pytest)
+# --------------------------------------------------------------------------
+
+def x16_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), ["source"], "text").drop("sketch")
+
+
 QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x02_minhash_pairs": x02_minhash_pairs,
@@ -509,6 +520,7 @@ QUERIES = {
     "x13_lsh_ann": x13_lsh_ann,
     "x14_embedding_neardup": x14_embedding_neardup,
     "x15_ivf_ann": x15_ivf_ann,
+    "x16_hll_distinct": x16_hll_distinct,  # rows-only (sketch internals)
 }
 
 ORACLES = {
