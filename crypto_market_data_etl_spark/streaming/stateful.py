@@ -27,6 +27,66 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def stateful_dollar_bars(
+    df: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    notional_cents_col: str = "cents",
+    bar_cents: int = 300_000_000_00,
+) -> DataFrame:
+    """Streaming dollar bars: running notional cumsum per key carried as
+    state (SURVEY §7.2 — inherently sequential per key, the stateful-op
+    route; the reference computes bars only in batch).
+
+    Emits one row per input event with its cumulative cents and bar id —
+    identical assignment to ``operators.bars.dollar_bars`` on the same data
+    (asserted in tests). Bar-level OHLCV is then a downstream groupBy on
+    (key, bar_num). State = one bigint per key. Requires per-key in-order
+    arrival across micro-batches (Kafka keyed by instrument provides it).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(ts_col, T.LongType()),
+            T.StructField(notional_cents_col, T.LongType()),
+            T.StructField("cum_cents", T.LongType()),
+            T.StructField("bar_num", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cum", T.LongType())])
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        cum = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            cums, bars = [], []
+            for c in pdf[notional_cents_col].astype("int64"):
+                cum += int(c)
+                cums.append(cum)
+                bars.append((cum - 1) // bar_cents)
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(cums),
+                    ts_col: pdf[ts_col].tolist(),
+                    notional_cents_col: pdf[notional_cents_col].tolist(),
+                    "cum_cents": cums,
+                    "bar_num": bars,
+                }
+            )
+        state.update((int(cum),))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_ewma(
     df: DataFrame,
     key_col: str = "code",

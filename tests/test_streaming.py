@@ -13,7 +13,10 @@ from crypto_market_data_etl_spark.streaming.candles import (
     stream_candles,
     stream_sliding_stats,
 )
-from crypto_market_data_etl_spark.streaming.stateful import stateful_ewma
+from crypto_market_data_etl_spark.streaming.stateful import (
+    stateful_dollar_bars,
+    stateful_ewma,
+)
 
 SCHEMA = T.StructType(
     [
@@ -190,6 +193,63 @@ def test_two_concurrent_queries_one_session(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_stateful_dollar_bars_match_batch(spark, tmp_path):
+    # streaming bar assignment must equal the batch operator on the same data
+    from crypto_market_data_etl_spark.operators.bars import dollar_bars
+
+    path = str(tmp_path / "in")
+    rows1 = [(1, i * US, float(v)) for i, v in enumerate([4, 4, 4])]
+    rows2 = [(1, (3 + i) * US, float(v)) for i, v in enumerate([4, 4, 4])]
+    _write_batch(spark, path, rows1)
+    _write_batch(spark, path, rows2)
+    stream = _stream(spark, path).select(
+        "code", "ts_us", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    out = stateful_dollar_bars(stream, "code", "ts_us", "cents", bar_cents=1000)
+    q = run_to_memory(out, "sbars", output_mode="append")
+    try:
+        got = {
+            r.ts_us: (r.cum_cents, r.bar_num)
+            for r in spark.sql("SELECT * FROM sbars").collect()
+        }
+    finally:
+        q.stop()
+    batch_df = spark.createDataFrame(rows1 + rows2, "code long, ts_us long, value double")
+    expected_bars = dollar_bars(batch_df, ["code"], "ts_us", "value", 10.0)
+    # per-event check: cum goes 400..2400, bars [0,0,1,1,1,2] across batches
+    assert [got[i * US] for i in range(6)] == [
+        (400, 0), (800, 0), (1200, 1), (1600, 1), (2000, 1), (2400, 2),
+    ]
+    # and the bar ids seen match the batch operator's bars
+    assert {b.bar_num for b in expected_bars.collect()} == {v[1] for v in got.values()}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    # T8 family: stream-stream inner join with watermarks + time band
+    la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_batch(spark, la, [(1, 10 * US, 1.0), (2, 50 * US, 2.0)])
+    _write_batch(spark, lb, [(1, 12 * US, 9.0), (2, 200 * US, 8.0)])
+    a = _stream(spark, la).select(
+        "code", F.col("ts").alias("a_ts"), F.col("value").alias("a_val")
+    ).withWatermark("a_ts", "10 seconds")
+    b = _stream(spark, lb).select(
+        F.col("code").alias("b_code"), F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_val"),
+    ).withWatermark("b_ts", "10 seconds")
+    joined = a.join(
+        b,
+        (F.col("code") == F.col("b_code"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 SECONDS")),
+    )
+    q = run_to_memory(joined, "ssjoin", output_mode="append")
+    try:
+        rows = spark.sql("SELECT code, a_val, b_val FROM ssjoin").collect()
+        assert [(r.code, r.a_val, r.b_val) for r in rows] == [(1, 1.0, 9.0)]
+    finally:
+        q.stop()
 
 
 def test_session_window_stream(spark, tmp_path):
