@@ -2,7 +2,6 @@
 
 import json
 
-from pyspark.sql import functions as F
 
 from crypto_market_data_etl_spark.functions import (
     best_of_book,

@@ -1,7 +1,6 @@
 """Physical-plan regression tests: the optimizations we rely on at scale must
 be visible in the executed plan, not assumed (SURVEY §4)."""
 
-import pytest
 
 from crypto_market_data_etl_spark.plans import core, extensions
 from tests.conftest import SF_SMOKE

@@ -2,7 +2,7 @@
 other and with brute force on arbitrary inputs; dollar bars partition trades
 exactly."""
 
-import numpy as np
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

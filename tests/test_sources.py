@@ -3,7 +3,6 @@ round-trip, Kafka option builders (no broker — S1/S2/S7 configs only)."""
 
 import json
 
-from pyspark.sql import functions as F
 
 from crypto_market_data_etl_spark.schemas import TRADE_SCHEMA, wrapped
 from crypto_market_data_etl_spark.sources.files import (
