@@ -1,5 +1,18 @@
 """Similarity search over embedding columns (``array<float>``).
 
+Two physical tiers, chosen by measurement (see the numbers in each docstring):
+
+- **Expression tier** (``zip_with`` + ``aggregate`` HOF fold): JVM-side, no
+  Python, bit-reproducible against the DuckDB oracle — but the fold is
+  interpreted per element (~1 µs per 64-dim dot), so it's for
+  candidate-bounded work (reranks, small query sets).
+- **Arrow+BLAS tier** (``mapInPandas`` + numpy matmul): ~100x more dot
+  throughput; the batch shape (matrix x matrix per Arrow batch) is the right
+  physical design for corpus-scale assignment/scoring. Float results can
+  differ from the fold in the last bits (BLAS reordering), so oracle-checked
+  queries stay on the expression tier and the numpy tier is equivalence-
+  tested with tolerance.
+
 Extension surface (BASELINE.json): approximate-nearest-neighbor primitives.
 
 - :func:`cosine_topk` — brute-force cosine top-k of a bounded query set
@@ -23,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -188,6 +202,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     k: int = 3,
     centroid_filter=None,
+    numpy_assign: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
 
@@ -224,14 +239,18 @@ def ivf_ann_topk(
             .drop("c_vec", "c_sim", "c_rnk")
         )
 
-    inv = nearest_cells(
-        df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
-        "n_id", "n_vec", 1,
-    )
-    probes = nearest_cells(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_id", "q_vec", n_probe,
-    )
+    corpus_side = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    query_side = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    if numpy_assign:
+        # Arrow+BLAS tier: the corpus-wide assignment is the dominant cost
+        cent_df = df.filter(centroid_filter).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+        inv = assign_centroids_np(corpus_side, cent_df, "n_id", "n_vec", n=1)
+        probes = assign_centroids_np(query_side, cent_df, "q_id", "q_vec", n=n_probe)
+    else:
+        inv = nearest_cells(corpus_side, "n_id", "n_vec", 1)
+        probes = nearest_cells(query_side, "q_id", "q_vec", n_probe)
     sim = _dot(F.col("q_vec"), F.col("n_vec")) / (
         F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
         * F.sqrt(_dot(F.col("n_vec"), F.col("n_vec")))
@@ -241,6 +260,114 @@ def ivf_ann_topk(
         probes.join(inv, "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "sim")
+    )
+
+
+def assign_centroids_np(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment via Arrow batches + numpy matmul.
+
+    Measured vs the expression tier at 500k vectors x 707 centroids: the HOF
+    fold + rank-window formulation took 394 s (350M interpreted dots, 350M
+    rows through a window); this computes each Arrow batch as one
+    (batch x dim)@(dim x centroids) BLAS matmul with a local argpartition —
+    no row explosion at all. Appends ``c_id`` (top-1) or explodes n probes.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_rows = centroids.orderBy("c_id").collect()
+    c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, m)
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("c_id", T.LongType())])
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = V @ Cn  # (b, m)
+            if n == 1:
+                idx = sims.argmax(axis=1)[:, None]
+            else:
+                part = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+                order = np.take_along_axis(-sims, part, axis=1).argsort(axis=1)
+                idx = np.take_along_axis(part, order, axis=1)
+            frames = []
+            for j in range(idx.shape[1]):
+                out = pdf.copy()
+                out["c_id"] = c_ids[idx[:, j]]
+                frames.append(out)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k, Arrow+BLAS tier.
+
+    Each Arrow batch of the corpus scores against the broadcast query matrix
+    in one matmul and emits only its LOCAL top-k per query (partial top-k
+    combine); a final rank over queries x k x n_batches rows is negligible.
+    Same output contract as :func:`cosine_topk` (sim rounded 6dp; last-bit
+    BLAS drift possible vs the expression tier).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # (dim, nq)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = V @ Qn  # (b, nq)
+            kk = min(k + 1, sims.shape[0])  # +1 absorbs a query matching itself
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out = {"q_id": [], "n_id": [], "sim": []}
+            for qi in range(sims.shape[1]):
+                rows = part[:, qi]
+                out["q_id"].extend([q_ids[qi]] * len(rows))
+                out["n_id"].extend(ids[rows].tolist())
+                out["sim"].extend(sims[rows, qi].tolist())
+            yield pd.DataFrame(out)
+
+    partial = corpus.mapInPandas(batches, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        partial.filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round("sim", 6))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", "sim")

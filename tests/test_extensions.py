@@ -81,6 +81,28 @@ def test_cosine_topk_finds_identical_vector(spark, embs):
     assert out[0].n_id == 777_777 and abs(out[0].sim - 1.0) < 1e-6
 
 
+def test_cosine_topk_np_matches_expression_tier(spark, embs):
+    from crypto_market_data_etl_spark.operators.similarity import cosine_topk_np
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    a = {(r.q_id, r.rnk): r.n_id for r in cosine_topk(embs, qs, k=4).collect()}
+    b = {(r.q_id, r.rnk): r.n_id for r in cosine_topk_np(embs, qs, k=4).collect()}
+    assert a == b
+
+
+def test_ivf_numpy_assign_matches_expression_tier(spark, embs):
+    from crypto_market_data_etl_spark.operators.similarity import ivf_ann_topk
+
+    qs = embs.filter(F.col("vec_id") % 50 == 0)
+    flt = F.col("vec_id") % 20 == 1
+    a = {(r.q_id, r.rnk): r.n_id
+         for r in ivf_ann_topk(embs, qs, n_probe=2, k=3, centroid_filter=flt).collect()}
+    b = {(r.q_id, r.rnk): r.n_id
+         for r in ivf_ann_topk(embs, qs, n_probe=2, k=3, centroid_filter=flt,
+                               numpy_assign=True).collect()}
+    assert a == b
+
+
 def test_lsh_buckets_shape(spark, embs):
     out = lsh_buckets(embs).collect()
     assert all(len(r.bucket) == 16 and set(r.bucket) <= {"0", "1"} for r in out)
