@@ -195,6 +195,41 @@ def test_two_concurrent_queries_one_session(spark, tmp_path):
         q2.stop()
 
 
+def test_stateful_ofi_matches_batch_lag(spark, tmp_path):
+    from crypto_market_data_etl_spark.operators.ewma import with_ofi
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_ofi
+
+    rows = [
+        # code, ts_us, bp, bs, ap, asz
+        (1, 1, 100.0, 5.0, 101.0, 7.0),
+        (1, 2, 100.0, 6.0, 101.0, 4.0),
+        (1, 3, 101.0, 2.0, 102.0, 3.0),
+        (1, 4, 100.5, 1.0, 101.5, 2.0),
+    ]
+    schema = (
+        "code long, ts_us long, best_bid_price double, best_bid_size double, "
+        "best_ask_price double, best_ask_size double"
+    )
+    in_path = str(tmp_path / "in")
+    df1 = spark.createDataFrame(rows[:2], schema)
+    df2 = spark.createDataFrame(rows[2:], schema)
+    df1.coalesce(1).write.mode("append").parquet(in_path)
+    time.sleep(1.1)
+    df2.coalesce(1).write.mode("append").parquet(in_path)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in_path)
+    )
+    q = run_to_memory(stateful_ofi(stream), "sofi", output_mode="append")
+    try:
+        got = {r.ts_us: r.ofi for r in spark.sql("SELECT * FROM sofi").collect()}
+    finally:
+        q.stop()
+    batch = with_ofi(spark.createDataFrame(rows, schema), ["code"], ["ts_us"])
+    expected = {r.ts_us: r.ofi for r in batch.collect()}
+    assert got == expected  # incl. state carrying across the batch boundary
+
+
 def test_stateful_dollar_bars_match_batch(spark, tmp_path):
     # streaming bar assignment must equal the batch operator on the same data
     from crypto_market_data_etl_spark.operators.bars import dollar_bars
