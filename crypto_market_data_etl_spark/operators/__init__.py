@@ -11,5 +11,15 @@ from .dedup import (  # noqa: F401
 )
 from .ewma import ewma_full, ewma_over_window, ewma_tail, with_ofi  # noqa: F401
 from .multimodal import blob_metadata, extract_features, to_blob_table  # noqa: F401
-from .similarity import cosine_topk, lsh_ann_topk, lsh_buckets  # noqa: F401
+from .candles import candle_partials, rollup_candles  # noqa: F401
+from .similarity import (  # noqa: F401
+    assign_centroids_np,
+    cosine_topk,
+    cosine_topk_np,
+    embedding_neardup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    lsh_buckets,
+)
+from .sketches import approx_quantiles, heavy_hitters, hll_distinct, hll_merge  # noqa: F401
 from .text import fingerprints, lang_scores, quality_scores, token_stats  # noqa: F401
