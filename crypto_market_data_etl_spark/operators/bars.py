@@ -43,7 +43,8 @@ def blocked_cumsum(
     value_col: str,
     out: str = "cum",
     tiebreak: Sequence[str] = (),
-    block_span: int | None = None,
+    block_span: int | str | None = None,
+    target_rows_per_block: int = 250_000,
 ) -> DataFrame:
     """Running per-key sum that survives hot-key skew.
 
@@ -61,9 +62,21 @@ def blocked_cumsum(
     Exact for integer inputs (addition is associative), so bar assignment is
     unchanged vs the single-window form — the tests assert equality.
     ``block_span=None`` keeps the single-window plan (right when keys are
-    many and balanced: one shuffle instead of two).
+    many and balanced: one shuffle instead of two). ``block_span="auto"``
+    sizes blocks from the observed hottest-key rate (one tiny stats pass) so
+    that its blocks hold ~``target_rows_per_block`` rows.
     """
     order = [ts_col, *tiebreak]
+    if block_span == "auto":
+        stats = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+        hottest = stats.agg(F.max("n")).collect()[0][0]
+        lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+        if hottest is None or hottest <= target_rows_per_block:
+            block_span = None  # small/balanced data: single window is cheaper
+        else:
+            span_range = max(int(hi) - int(lo), 1)
+            n_blocks = max(2, int(hottest) // target_rows_per_block)
+            block_span = max(span_range // n_blocks, 1)
     if block_span is None:
         w = (
             Window.partitionBy(*key_cols)

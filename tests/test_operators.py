@@ -128,6 +128,28 @@ def test_dollar_bars_boundaries(spark):
     assert [b.bar_end_us for b in bars] == [2, 5, 6]
 
 
+def test_blocked_cumsum_auto_matches_naive(spark):
+    from crypto_market_data_etl_spark.operators.bars import blocked_cumsum
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, 3, 3000),
+            "ts": np.arange(3000) * 7,
+            "v": rng.integers(1, 100, 3000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    naive = blocked_cumsum(df, ["key"], "ts", "v", tiebreak=[])
+    auto = blocked_cumsum(
+        df, ["key"], "ts", "v", tiebreak=[], block_span="auto",
+        target_rows_per_block=100,
+    )
+    a = {(r.key, r.ts): r.cum for r in naive.collect()}
+    b = {(r.key, r.ts): r.cum for r in auto.collect()}
+    assert a == b
+
+
 def test_ewma_full_matches_pandas(spark):
     rng = np.random.default_rng(3)
     pdf = pd.DataFrame(
