@@ -130,36 +130,44 @@ def fingerprints(
     gram_n: int = 3,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing-style document fingerprint.
+    """Winnowing-style document fingerprint — fully columnar, zero shuffle.
 
     Hash every word ``gram_n``-gram (rolling-hash analog via md5), take the
     min hash in every sliding window of ``window`` consecutive grams, and
     digest the sorted distinct window-minima. Near-identical documents share
     most window minima -> similar fingerprint sets; the single digest is the
     exact-match index key. Output: (id, n_minima, fingerprint).
+
+    The whole computation is per-document, so it runs as array higher-order
+    functions inside the row — no explode, no window shuffle (an earlier
+    explode+Window formulation shuffled ~60 gram-rows per doc: 26.9 s for
+    505k docs vs ~2 s columnar). Docs with fewer than ``window`` grams have
+    no complete window and are omitted (mirrors the oracle's filter).
+
+    IMPORTANT staging note: each derived array is materialized in its own
+    ``select`` before being referenced more than once — Spark column
+    expressions are TREES, not DAGs, so an inline ``hs`` referenced from
+    every window iteration gets recomputed per iteration (measured: the
+    un-staged form ran 60x slower at 5k docs; quadratic in grams/doc).
     """
     toks = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (gram_n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
     )
-    g = df.select(F.col(id_col), F.posexplode(grams).alias("i", "gram")).withColumn(
-        "h", F.md5("gram")
+    staged = df.select(F.col(id_col), F.transform(grams, F.md5).alias("__hs"))
+    n_g = F.size(F.col("__hs"))
+    minima = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_g - (window - 1)),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+        )
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, window - 1)
+    with_minima = staged.filter(n_g >= window).select(
+        F.col(id_col), minima.alias("__minima")
     )
-    n_grams = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    minima = (
-        g.withColumn("minh", F.min("h").over(w))
-        .withColumn("n_grams", n_grams)
-        .filter(F.col("i") <= F.col("n_grams") - window)
-        .select(id_col, "minh")
-        .distinct()
-    )
-    return minima.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_minima"),
-        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minh")))).alias("fingerprint"),
+    return with_minima.select(
+        F.col(id_col),
+        F.size("__minima").alias("n_minima"),
+        F.md5(F.concat_ws("|", F.array_sort("__minima"))).alias("fingerprint"),
     )
