@@ -47,13 +47,19 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, s)."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per document: (id, s).
+
+    The token array is materialized in its own projection before the gram
+    lambda references it — column expressions are trees, so an inline
+    ``split`` would re-tokenize the text once per gram (O(tokens^2) chars).
+    """
+    staged = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("s")).distinct()
+    return staged.select(F.col(id_col), F.explode(grams).alias("s")).distinct()
 
 
 def minhash_signatures(

@@ -150,12 +150,13 @@ def fingerprints(
     every window iteration gets recomputed per iteration (measured: the
     un-staged form ran 60x slower at 5k docs; quadratic in grams/doc).
     """
-    toks = F.split(F.col(text_col), " ")
+    tok_stage = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (gram_n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
     )
-    staged = df.select(F.col(id_col), F.transform(grams, F.md5).alias("__hs"))
+    staged = tok_stage.select(F.col(id_col), F.transform(grams, F.md5).alias("__hs"))
     n_g = F.size(F.col("__hs"))
     minima = F.array_distinct(
         F.transform(
