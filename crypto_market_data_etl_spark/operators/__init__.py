@@ -13,11 +13,14 @@ from .ewma import ewma_full, ewma_over_window, ewma_tail, with_ofi  # noqa: F401
 from .multimodal import blob_metadata, extract_features, to_blob_table  # noqa: F401
 from .candles import candle_partials, rollup_candles  # noqa: F401
 from .similarity import (  # noqa: F401
+    ann_recall,
     assign_centroids_np,
     cosine_topk,
     cosine_topk_np,
     embedding_neardup_pairs,
     ivf_ann_topk,
+    lsh_ann_bandor,
+    lsh_ann_multiprobe,
     lsh_ann_topk,
     lsh_buckets,
 )

@@ -95,9 +95,14 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def bucket_signature(vec_col: str, n_planes: int, dim: int):
-    """Sign-LSH bucket signature Column (bitstring of hyperplane sides)."""
-    planes = hyperplane_weights(n_planes, dim)
+def bucket_signature(vec_col: str, n_planes: int, dim: int, offset: int = 0):
+    """Sign-LSH bucket signature Column (bitstring of hyperplane sides).
+
+    ``offset`` selects planes [offset, offset+n_planes) from the deterministic
+    family — independent tables for band-OR LSH reuse one family with
+    disjoint slices.
+    """
+    planes = hyperplane_weights(offset + n_planes, dim)[offset:]
     bits = [
         F.when(
             _dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in plane])) > 0,
@@ -159,6 +164,151 @@ def lsh_ann_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", "sim")
+    )
+
+
+def _rerank_candidates(
+    cand: DataFrame, vecs: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact cosine rerank of a distinct (q_id, n_id) candidate set.
+
+    Vectors are joined back from ``vecs`` so candidate generation can drop
+    payload columns early (candidates are the small relation; two hash joins
+    on ids beat carrying dim-wide arrays through the explode/dedupe path).
+    """
+    q = vecs.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    n = vecs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        cand.join(q, "q_id")
+        .join(n, "n_id")
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "sim")
+    )
+
+
+def lsh_ann_multiprobe(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: probe the query's bucket AND its Hamming-1
+    neighbor buckets (each single-bit flip), then exact-rerank candidates.
+
+    Recall control without re-hashing the corpus: the corpus keeps ONE bucket
+    per vector (no storage/shuffle amplification on the 100 TB side); only the
+    query side explodes by n_planes+1 probes. P(candidate) rises from p^b to
+    p^b + b·p^(b-1)(1-p) per table — the standard multi-probe trade
+    (Lv et al., VLDB'07). ``probe_hamming=0`` degenerates to
+    :func:`lsh_ann_topk` semantics.
+
+    Output: (q_id, n_id, rnk, sim), ties by neighbor id.
+    """
+    if queries is None:
+        queries = df
+    sig = bucket_signature(vec_col, n_planes, dim)
+    corpus = df.select(
+        F.col(id_col).alias("n_id"), sig.alias("bucket")
+    )
+    # stage the signature once (expression trees recompute inlined subtrees)
+    qt = queries.select(F.col(id_col).alias("q_id"), sig.alias("bucket"))
+
+    def flip(i: int):
+        bit = F.substring("bucket", i + 1, 1)
+        return F.concat(
+            F.substring("bucket", 1, i),
+            F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring("bucket", i + 2, n_planes - i - 1),
+        )
+
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [flip(i) for i in range(n_planes)]
+    q = qt.select("q_id", F.explode(F.array(*probes)).alias("bucket"))
+    cand = (
+        q.join(corpus, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()  # a pair can collide through several probes
+    )
+    return _rerank_candidates(cand, df, id_col, vec_col, k)
+
+
+def lsh_ann_bandor(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 4,
+    n_tables: int = 3,
+    dim: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Band-OR sign-LSH ANN: L independent hash tables; a pair is a candidate
+    if it collides in ANY table, then exact rerank.
+
+    The classic recall curve P(candidate) = 1 - (1 - p^b)^L — more tables
+    raise recall at linear candidate cost, fewer planes per table raise it at
+    bucket-size cost. Tables are disjoint slices of the deterministic
+    hyperplane family, so the whole pipeline stays oracle-reproducible.
+    Corpus-side cost: L buckets per vector (explode by L) — use when query
+    volume is high enough to amortize the L× index, else prefer
+    :func:`lsh_ann_multiprobe`. Output: (q_id, n_id, rnk, sim).
+    """
+    if queries is None:
+        queries = df
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                bucket_signature(vec_col, planes_per_table, dim, offset=t * planes_per_table).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    corpus = df.select(F.col(id_col).alias("n_id"), F.explode(sigs).alias("b")).select(
+        "n_id", "b.tbl", "b.sig"
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.explode(sigs).alias("b")).select(
+        "q_id", "b.tbl", "b.sig"
+    )
+    cand = (
+        q.join(corpus, ["tbl", "sig"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    return _rerank_candidates(cand, df, id_col, vec_col, k)
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact top-k.
+
+    Both inputs use the (q_id, n_id, rnk, sim) contract. One row:
+    (n_queries, n_exact, n_hit, recall).
+    """
+    hits = approx.select("q_id", "n_id").join(exact.select("q_id", "n_id"), ["q_id", "n_id"])
+    return exact.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    ).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
     )
 
 

@@ -27,6 +27,8 @@ from ..operators.similarity import (
     embedding_neardup_pairs,
     hyperplane_weights,
     ivf_ann_topk,
+    lsh_ann_bandor,
+    lsh_ann_multiprobe,
     lsh_ann_topk,
     lsh_buckets,
 )
@@ -357,6 +359,115 @@ QUALIFY rnk <= {IVF_K}
 
 
 # --------------------------------------------------------------------------
+# x17 multi-probe LSH ANN (Hamming-1 probes, query-side-only amplification)
+# --------------------------------------------------------------------------
+
+
+def _bits_sql(planes: list[list[int]]) -> str:
+    return " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{w}.0" for w in plane)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+
+
+def x17_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return lsh_ann_multiprobe(
+        embs, embs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        n_planes=ANN_PLANES, k=ANN_K,
+    )
+
+
+X17_SQL = f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_bits_sql(hyperplane_weights(ANN_PLANES, DIM))} AS bucket
+  FROM embeddings
+),
+qt AS (SELECT vec_id AS q_id, bucket FROM t WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+  SELECT q_id, bucket FROM qt
+  UNION
+  SELECT q_id,
+         substr(bucket, 1, i - 1)
+         || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(bucket, i + 1, {ANN_PLANES} - i) AS bucket
+  FROM qt CROSS JOIN (SELECT unnest(generate_series(1, {ANN_PLANES})) AS i)
+),
+cand AS (
+  SELECT DISTINCT q_id, c.vec_id AS n_id
+  FROM probes JOIN t c ON probes.bucket = c.bucket AND q_id <> c.vec_id
+),
+sims AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(q.v, n.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+  FROM cand JOIN t q ON q.vec_id = cand.q_id JOIN t n ON n.vec_id = cand.n_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rnk,
+       sim
+FROM sims
+QUALIFY rnk <= {ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# x18 band-OR LSH ANN (L independent tables, collide-in-any)
+# --------------------------------------------------------------------------
+
+BANDOR_PPT, BANDOR_TABLES = 4, 3
+
+
+def x18_bandor_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return lsh_ann_bandor(
+        embs, embs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        planes_per_table=BANDOR_PPT, n_tables=BANDOR_TABLES, k=ANN_K,
+    )
+
+
+def _bandor_sql() -> str:
+    fam = hyperplane_weights(BANDOR_PPT * BANDOR_TABLES, DIM)
+    sig_cols = ", ".join(
+        f"{_bits_sql(fam[t * BANDOR_PPT:(t + 1) * BANDOR_PPT])} AS s{t}"
+        for t in range(BANDOR_TABLES)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, s{t} AS sig FROM t"
+        for t in range(BANDOR_TABLES)
+    )
+    return f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig_cols} FROM embeddings
+),
+e AS ({unions}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+  FROM e a JOIN e b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+),
+tv AS (SELECT vec_id, v FROM t),
+sims AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(q.v, n.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+  FROM cand JOIN tv q ON q.vec_id = cand.q_id JOIN tv n ON n.vec_id = cand.n_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rnk,
+       sim
+FROM sims
+QUALIFY rnk <= {ANN_K}
+"""
+
+
+X18_SQL = _bandor_sql()
+
+
+# --------------------------------------------------------------------------
 # x07 language-ID scoring (hash-profile argmax)
 # --------------------------------------------------------------------------
 
@@ -521,6 +632,8 @@ QUERIES = {
     "x14_embedding_neardup": x14_embedding_neardup,
     "x15_ivf_ann": x15_ivf_ann,
     "x16_hll_distinct": x16_hll_distinct,  # rows-only (sketch internals)
+    "x17_multiprobe_ann": x17_multiprobe_ann,
+    "x18_bandor_ann": x18_bandor_ann,
 }
 
 ORACLES = {
@@ -538,4 +651,6 @@ ORACLES = {
     "x13_lsh_ann": X13_SQL,
     "x14_embedding_neardup": X14_SQL,
     "x15_ivf_ann": X15_SQL,
+    "x17_multiprobe_ann": X17_SQL,
+    "x18_bandor_ann": X18_SQL,
 }

@@ -13,7 +13,13 @@ from crypto_market_data_etl_spark.operators.multimodal import (
     extract_features,
     to_blob_table,
 )
-from crypto_market_data_etl_spark.operators.similarity import cosine_topk, lsh_buckets
+from crypto_market_data_etl_spark.operators.similarity import (
+    ann_recall,
+    cosine_topk,
+    lsh_ann_bandor,
+    lsh_ann_multiprobe,
+    lsh_buckets,
+)
 from crypto_market_data_etl_spark.schemas import load_table
 from tests.conftest import SF_SMOKE
 
@@ -111,6 +117,42 @@ def test_lsh_buckets_shape(spark, embs):
     for r in out:
         sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
     assert all(r.n_in_bucket == sizes[r.bucket] for r in out)
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, embs):
+    # Hamming-1 probing strictly widens the candidate set, so recall@k vs the
+    # exact top-k is monotone: recall(probe=1) >= recall(probe=0).
+    qs = embs.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(embs, qs, k=3).cache()
+    single = lsh_ann_multiprobe(embs, qs, n_planes=6, k=3, probe_hamming=0)
+    multi = lsh_ann_multiprobe(embs, qs, n_planes=6, k=3, probe_hamming=1)
+    r0 = ann_recall(single, exact).collect()[0]
+    r1 = ann_recall(multi, exact).collect()[0]
+    assert r0.n_queries > 0 and r0.n_exact == r1.n_exact
+    assert r1.recall >= r0.recall
+    assert 0.0 <= r0.recall <= 1.0 and r1.recall <= 1.0
+
+
+def test_bandor_recall_dominates_one_table(spark, embs):
+    # collide-in-ANY over 3 tables is a superset of table 0 alone
+    qs = embs.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(embs, qs, k=3).cache()
+    one = lsh_ann_multiprobe(embs, qs, n_planes=4, k=3, probe_hamming=0)
+    orred = lsh_ann_bandor(embs, qs, planes_per_table=4, n_tables=3, k=3)
+    r_one = ann_recall(one, exact).collect()[0]
+    r_or = ann_recall(orred, exact).collect()[0]
+    assert r_or.recall >= r_one.recall
+
+
+def test_multiprobe_matches_exact_on_identical_vectors(spark, embs):
+    # a cloned vector collides in every probe scheme: it must be rank 1
+    clone = embs.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(777_777).cast("long")
+    )
+    out = lsh_ann_multiprobe(
+        embs.unionByName(clone), embs.filter(F.col("vec_id") == 0), n_planes=6, k=1
+    ).collect()
+    assert len(out) == 1 and out[0].n_id == 777_777 and out[0].sim == 1.0
 
 
 def test_multimodal_features_deterministic(spark, docs):
