@@ -140,6 +140,45 @@ def rollup_candles(
     )
 
 
+def salted_candle_partials(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    price_col: str,
+    width_us: int,
+    tiebreak: Sequence[str],
+    volume_cents_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof candle aggregation for EXTREME hot keys.
+
+    When one (window, key) group exceeds what a single reducer can hold
+    (e.g. one instrument is 90% of all volume — a single 100 TB-scale key),
+    plain hash aggregation funnels that group through one task. This salts
+    the grouping key with ``hash(tiebreak) % n_salts``, aggregates mergeable
+    candle partials per salted sub-key (n_salts-way parallel), then merges
+    the sub-candles with the same partial-merge algebra :func:`rollup_candles`
+    uses — open/close travel with their order keys, so the merged candle is
+    exactly the unsalted result (asserted in tests and by the q21 oracle).
+
+    Map-side combine already shrinks each partition to ~1 row per (window,
+    key, salt), so the extra stage shuffles n_salts rows per group — the
+    two-stage cost is O(n_salts) rows, not O(events). Output: same mergeable
+    partial shape as :func:`candle_partials` (minus the salt).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in tiebreak]), F.lit(n_salts))
+    partials = candle_partials(
+        df.withColumn("__salt", salt),
+        [*key_cols, "__salt"],
+        ts_us_col,
+        price_col,
+        width_us,
+        tiebreak,
+        volume_cents_col,
+    )
+    return rollup_candles(partials, key_cols, 1)
+
+
 def sliding_stats(
     df: DataFrame,
     key_cols: Sequence[str],

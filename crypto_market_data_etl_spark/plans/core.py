@@ -808,6 +808,28 @@ FROM tot WHERE n / (total * 1.0) >= 0.005
 """
 
 
+# --------------------------------------------------------------------------
+# q21 salted candles — hot-key-proof two-stage aggregation; semantically
+# IDENTICAL to q04 (same oracle SQL), physically n_salts-way parallel per key
+# --------------------------------------------------------------------------
+
+
+def q21_salted_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import salted_candle_partials
+
+    width_us = CANDLE_S * 1_000_000
+    ev = with_cents(_events(spark, sf_dir), "value")
+    merged = salted_candle_partials(
+        ev, ["user_id"], "ts_us", "value", width_us,
+        tiebreak=["event_id"], volume_cents_col="cents", n_salts=8,
+    )
+    return merged.select(
+        F.timestamp_micros(F.col("bucket") * width_us).alias("w_start"),
+        "user_id", "open", "high", "low", "close", "n_trades",
+        (F.col("cents") / 100.0).alias("volume"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -829,6 +851,7 @@ QUERIES = {
     "q18_top_orders": q18_top_orders,
     "q19_hypertable_rollup": q19_hypertable_rollup,
     "q20_heavy_hitters": q20_heavy_hitters,
+    "q21_salted_candles": q21_salted_candles,
 }
 
 ORACLES = {
@@ -852,4 +875,5 @@ ORACLES = {
     "q10_parse_props": Q10_SQL,
     "q11_ewma": Q11_SQL,
     "q12_flow_imbalance": Q12_SQL,
+    "q21_salted_candles": Q04_SQL,  # salting is physical; semantics match q04
 }

@@ -8,6 +8,7 @@ from crypto_market_data_etl_spark.operators.bars import with_cents
 from crypto_market_data_etl_spark.operators.candles import (
     candle_partials,
     rollup_candles,
+    salted_candle_partials,
     tumbling_candles,
 )
 from crypto_market_data_etl_spark.operators.sketches import (
@@ -87,3 +88,25 @@ def test_rollup_equals_direct_daily(spark, events):
         for r in direct.collect()
     }
     assert a == b
+
+
+def test_salted_candles_equal_unsalted_on_hot_key(spark):
+    # one key owns 90% of events — the salted two-stage path must still
+    # produce the exact unsalted candles (open/close travel with order keys)
+    HOUR_US = 3_600_000_000
+    rows = [
+        (i, (i % 2_000) * 7_000_000, 1 if i % 10 else 2, float(100 + i % 37) + 0.25)
+        for i in range(5_000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, value double"
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    plain = candle_partials(ev, ["user_id"], "ts_us", "value", HOUR_US, ["event_id"], "cents")
+    salted = salted_candle_partials(
+        ev, ["user_id"], "ts_us", "value", HOUR_US, ["event_id"], "cents", n_salts=7
+    )
+    key = lambda r: (r.bucket, r.user_id)  # noqa: E731
+    val = lambda r: (r.open, r.high, r.low, r.close, r.n_trades, r.cents, r.first_key, r.last_key)  # noqa: E731
+    a = {key(r): val(r) for r in plain.collect()}
+    b = {key(r): val(r) for r in salted.collect()}
+    assert a == b and len(a) > 0
