@@ -7,3 +7,10 @@ from .kafka import (  # noqa: F401
     kafka_stream_reader,
     kafka_stream_writer,
 )
+from .kafka_mock import (  # noqa: F401
+    KAFKA_SOURCE_SCHEMA,
+    mock_offsets_for_times,
+    read_kafka_log,
+    read_kafka_log_stream,
+    write_kafka_log,
+)
