@@ -35,6 +35,57 @@ HEADLINE = [
 ]
 
 
+def stream_candles_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """Replay the sf events table through a REAL Structured Streaming candle
+    query (file source, 4 micro-batches, watermark + windowed agg + memory
+    sink). Returns (wall_sec, n_events) — the streaming-path throughput
+    dimension the batch queries can't show (state store, micro-batch
+    scheduling, incremental execution).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.schemas import load_table
+    from crypto_market_data_etl_spark.streaming.candles import stream_candles
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", (F.col("value") * 100).cast("bigint")
+    )
+    n_events = ev.count()
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stream_bench_")
+    src = os.path.join(tmp, "src")
+    try:
+        # rewrite through Spark so ts lands as standard TIMESTAMP(MICROS)
+        ev.repartition(8).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        candles = stream_candles(
+            stream, ["user_id"], "ts", "value", width_seconds=21_600,
+            watermark="10 seconds", tiebreak=["event_id"], volume_cents_col="cents",
+        )
+        name = "bench_stream_candles_sink"
+        t0 = time.time()
+        q = (
+            candles.writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        wall = time.time() - t0
+        assert spark.table(name).count() > 0
+        return wall, n_events
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -62,6 +113,16 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # streaming dimension: same candle semantics through incremental execution
+    stream_best, n_events = float("inf"), 0
+    for _ in range(repeats):
+        wall, n_events = stream_candles_bench(spark, sf_dir)
+        stream_best = min(stream_best, wall)
+    timings["s01_stream_candles"] = round(stream_best, 3)
+    stream_eps = int(n_events / stream_best) if stream_best > 0 else 0
+    print(f"# s01_stream_candles: {stream_best:.2f}s ({n_events} events, {stream_eps} ev/s)",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -71,6 +132,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stream_events_per_sec": stream_eps,
             }
         )
     )
