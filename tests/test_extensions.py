@@ -15,10 +15,12 @@ from crypto_market_data_etl_spark.operators.multimodal import (
 )
 from crypto_market_data_etl_spark.operators.similarity import (
     ann_recall,
+    bucket_signature,
     cosine_topk,
     lsh_ann_bandor,
     lsh_ann_multiprobe,
     lsh_buckets,
+    lsh_signatures_np,
 )
 from crypto_market_data_etl_spark.schemas import load_table
 from tests.conftest import SF_SMOKE
@@ -142,6 +144,24 @@ def test_bandor_recall_dominates_one_table(spark, embs):
     r_one = ann_recall(one, exact).collect()[0]
     r_or = ann_recall(orred, exact).collect()[0]
     assert r_or.recall >= r_one.recall
+
+
+def test_numpy_signatures_match_expression_tier(spark, embs):
+    expr_sig = {
+        r.vec_id: r.b
+        for r in embs.select(
+            "vec_id", bucket_signature("embedding", 12, 64).alias("b")
+        ).collect()
+    }
+    np_sig = {r.vec_id: r.bucket for r in lsh_signatures_np(embs, n_planes=12).collect()}
+    assert expr_sig == np_sig
+
+
+def test_bandor_numpy_matches_expression_tier(spark, embs):
+    qs = embs.filter(F.col("vec_id") % 25 == 0)
+    a = {(r.q_id, r.rnk): r.n_id for r in lsh_ann_bandor(embs, qs).collect()}
+    b = {(r.q_id, r.rnk): r.n_id for r in lsh_ann_bandor(embs, qs, numpy_sig=True).collect()}
+    assert a == b and len(a) > 0
 
 
 def test_multiprobe_matches_exact_on_identical_vectors(spark, embs):
