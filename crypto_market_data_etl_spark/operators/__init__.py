@@ -9,7 +9,14 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
-from .ewma import ewma_full, ewma_over_window, ewma_tail, with_ofi  # noqa: F401
+from .blocked import auto_block_span, blocked_lag  # noqa: F401
+from .ewma import (  # noqa: F401
+    ewma_blocked,
+    ewma_full,
+    ewma_over_window,
+    ewma_tail,
+    with_ofi,
+)
 from .multimodal import blob_metadata, extract_features, to_blob_table  # noqa: F401
 from .candles import candle_partials, rollup_candles  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .blocked import auto_block_span
 from .candles import ohlcv_aggs
 
 
@@ -68,15 +69,7 @@ def blocked_cumsum(
     """
     order = [ts_col, *tiebreak]
     if block_span == "auto":
-        stats = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-        hottest = stats.agg(F.max("n")).collect()[0][0]
-        lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
-        if hottest is None or hottest <= target_rows_per_block:
-            block_span = None  # small/balanced data: single window is cheaper
-        else:
-            span_range = max(int(hi) - int(lo), 1)
-            n_blocks = max(2, int(hottest) // target_rows_per_block)
-            block_span = max(span_range // n_blocks, 1)
+        block_span = auto_block_span(df, key_cols, ts_col, target_rows_per_block)
     if block_span is None:
         w = (
             Window.partitionBy(*key_cols)

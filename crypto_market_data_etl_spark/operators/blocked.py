@@ -1,0 +1,97 @@
+"""Skew-proof two-phase forms of per-key sequential window operators.
+
+A window ``partitionBy(key).orderBy(ts)`` serializes each key through one
+task. For running sums :func:`.bars.blocked_cumsum` already splits hot keys
+into time blocks (parallel prefix-sum); this module holds the shared
+block-sizing heuristic plus the same treatment for ``lag`` — the other
+per-key-sequential primitive the reference leans on (SURVEY §2.5 W3,
+``kafka_upbit_realtime_processing.py:121-122``).
+
+``lag(col, 1)`` only couples a row to its immediate predecessor, so the
+blocked form is exact (not an approximation): lag within ``(key, block)``
+partitions, then fill each block's first row from the previous block's last
+row, carried through a tiny per-(key, block) summary (rows = number of
+blocks, not events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auto_block_span(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    target_rows_per_block: int = 250_000,
+) -> int | None:
+    """Pick a time-block span so the hottest key's blocks hold about
+    ``target_rows_per_block`` rows (one tiny stats pass: per-key counts +
+    global ts range). Returns ``None`` when the data is small/balanced enough
+    that the single-window plan is cheaper (one shuffle instead of two)."""
+    stats = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    hottest = stats.agg(F.max("n")).collect()[0][0]
+    if hottest is None or hottest <= target_rows_per_block:
+        return None
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+    span_range = max(int(hi) - int(lo), 1)
+    n_blocks = max(2, int(hottest) // target_rows_per_block)
+    return max(span_range // n_blocks, 1)
+
+
+def blocked_lag(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value: Column | str,
+    ts_col: str,
+    block_span: int | str | None,
+    out: str = "prev",
+    target_rows_per_block: int = 250_000,
+) -> DataFrame:
+    """``lag(value, 1) over (partition by key order by order_cols)`` that
+    survives hot-key skew. ``value`` may be a struct column to lag several
+    fields in one pass. ``ts_col`` must be the leading order column (block
+    boundaries must respect the ordering). ``block_span=None`` keeps the
+    plain single-window plan; ``"auto"`` sizes blocks from key-rate stats.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    order = [*order_cols]
+    if block_span == "auto":
+        block_span = auto_block_span(df, key_cols, ts_col, target_rows_per_block)
+    if block_span is None:
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        return df.withColumn(out, F.lag(value).over(w))
+
+    blocked = df.withColumn("__blk", F.expr(f"{ts_col} div {block_span}"))
+    w_local = Window.partitionBy(*key_cols, "__blk").orderBy(*order)
+    local = (
+        blocked.withColumn("__val", value)
+        .withColumn(out, F.lag("__val").over(w_local))
+        # first row per block, NOT "local lag is null": the lagged value
+        # itself may legitimately be null mid-block
+        .withColumn("__first", F.row_number().over(w_local) == 1)
+    )
+    # last row's value per (key, block) -> shifted one block forward per key.
+    # The summary is blocks-not-events sized, so its per-key window is cheap.
+    w_blocks = Window.partitionBy(*key_cols).orderBy("__blk")
+    boundaries = (
+        local.groupBy(*key_cols, "__blk")
+        # struct-wrap: max_by skips rows whose value expr is null, but a
+        # block legitimately ending in a null value must carry that null
+        .agg(
+            F.max_by(
+                F.struct(F.col("__val").alias("v")), F.struct(*order)
+            ).alias("__last")
+        )
+        .withColumn("__carry", F.lag("__last").over(w_blocks).getField("v"))
+        .drop("__last")
+    )
+    return (
+        local.join(F.broadcast(boundaries), [*key_cols, "__blk"], "left")
+        .withColumn(out, F.when(F.col("__first"), F.col("__carry")).otherwise(F.col(out)))
+        .drop("__blk", "__val", "__carry", "__first")
+    )

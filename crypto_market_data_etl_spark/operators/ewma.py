@@ -88,6 +88,104 @@ def ewma_full(
     return df.groupBy(*key_cols).applyInPandas(per_key, schema=schema)
 
 
+def ewma_blocked(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.8,
+    out: str = "ewma",
+    ts_col: str | None = None,
+    block_span: int | str | None = "auto",
+    target_rows_per_block: int = 250_000,
+) -> DataFrame:
+    """Exact running EWMA per key that survives hot-key skew.
+
+    :func:`ewma_full` runs each key through ONE Arrow batch / one task — a
+    hot instrument serializes the whole job. The EWMA recurrence is linear,
+    so it block-decomposes like a prefix sum (cf. ``bars.blocked_cumsum``):
+
+    1. block-local pandas ``ewm`` per ``(key, time-block)`` — parallel even
+       within one key;
+    2. a blocks-not-events sized summary per key computes each block's
+       carry-in (the true EWMA at the end of the previous block) via the
+       identity ``y_i = z_i + beta^(i+1) * (carry_in - x_first)``, where
+       ``z`` is the block-local EWMA seeded at the block's first value and
+       ``beta = 1 - alpha``;
+    3. broadcast the carries back and apply the per-row correction.
+
+    ``beta^(i+1)`` underflows to 0 deep inside a block — which is exactly
+    the math (the carry's contribution is below double resolution there).
+    Assumes non-null ``value_col`` (the carry identity doesn't hold across
+    pandas' NaN-skipping). ``block_span=None`` or balanced data falls back
+    to :func:`ewma_full`; ``"auto"`` sizes blocks from key-rate stats.
+    """
+    from .blocked import auto_block_span
+
+    ts_col = ts_col or order_cols[0]
+    if block_span == "auto":
+        block_span = auto_block_span(df, key_cols, ts_col, target_rows_per_block)
+    if block_span is None:
+        return ewma_full(df, key_cols, order_cols, value_col, alpha=alpha, out=out)
+
+    from pyspark.sql import types as T
+
+    beta = 1.0 - alpha
+    order = list(order_cols)
+    blocked = df.withColumn("__blk", F.expr(f"{ts_col} div {block_span}"))
+    local_schema = T.StructType(
+        list(blocked.schema.fields)
+        + [T.StructField(out, T.DoubleType()), T.StructField("__i", T.LongType())]
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        pdf[out] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        pdf["__i"] = range(len(pdf))
+        return pdf
+
+    local = blocked.groupBy(*key_cols, "__blk").applyInPandas(per_block, local_schema)
+
+    ord_struct = F.struct(*order)
+    summary = local.groupBy(*key_cols, "__blk").agg(
+        F.min_by(value_col, ord_struct).alias("__x_first"),
+        F.max_by(out, ord_struct).alias("__z_last"),
+        F.count(F.lit(1)).alias("__m"),
+    )
+    carry_schema = T.StructType(
+        [summary.schema[c] for c in key_cols]
+        + [
+            T.StructField("__blk", T.LongType()),
+            T.StructField("__x_first", T.DoubleType()),
+            T.StructField("__carry", T.DoubleType()),
+        ]
+    )
+
+    def per_key_carries(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__blk")
+        carries = []
+        carry = None
+        for z_last, x_first, m in zip(pdf["__z_last"], pdf["__x_first"], pdf["__m"]):
+            if carry is None:
+                carry = x_first  # first block: seed == its own first value
+            carries.append(carry)
+            carry = z_last + beta**m * (carry - x_first)
+        pdf["__carry"] = carries
+        return pdf[[*key_cols, "__blk", "__x_first", "__carry"]]
+
+    carries = summary.groupBy(*key_cols).applyInPandas(per_key_carries, carry_schema)
+    return (
+        local.join(F.broadcast(carries), [*key_cols, "__blk"])
+        .withColumn(
+            out,
+            F.col(out)
+            + F.pow(F.lit(beta), F.col("__i") + 1)
+            * (F.col("__carry") - F.col("__x_first")),
+        )
+        .drop("__blk", "__i", "__x_first", "__carry")
+    )
+
+
 def ewma_over_window(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -131,6 +229,7 @@ def with_ofi(
     ask_price: str = "best_ask_price",
     ask_size: str = "best_ask_size",
     out: str = "ofi",
+    block_span: int | str | None = None,
 ) -> DataFrame:
     """Per-row order-flow imbalance vs the previous snapshot (lag-based).
 
@@ -142,10 +241,30 @@ def with_ofi(
     First row per key has no predecessor -> NULL.
     Pure ``lag`` + ``when`` built-ins — no UDF (the reference attempted a row
     UDF, ``kafka_upbit_realtime_processing.py:71-76``, left incomplete).
+
+    ``block_span`` (``None`` | span | ``"auto"``) switches the lag to the
+    skew-proof blocked form (one lag of the 4-field struct; see
+    :func:`.blocked.blocked_lag`) — exact same result, hot keys split
+    across time blocks instead of serializing through one task.
     """
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    p_bp, p_bs = F.lag(bid_price).over(w), F.lag(bid_size).over(w)
-    p_ap, p_as = F.lag(ask_price).over(w), F.lag(ask_size).over(w)
+    from .blocked import blocked_lag
+
+    prev = blocked_lag(
+        df,
+        key_cols,
+        order_cols,
+        F.struct(
+            F.col(bid_price).alias("bp"),
+            F.col(bid_size).alias("bs"),
+            F.col(ask_price).alias("ap"),
+            F.col(ask_size).alias("as_"),
+        ),
+        ts_col=order_cols[0],
+        block_span=block_span,
+        out="__prev",
+    )
+    p = F.col("__prev")
+    p_bp, p_bs, p_ap, p_as = p["bp"], p["bs"], p["ap"], p["as_"]
     bid_c = (
         F.when(F.col(bid_price) > p_bp, F.col(bid_size))
         .when(F.col(bid_price) == p_bp, F.col(bid_size) - p_bs)
@@ -156,4 +275,4 @@ def with_ofi(
         .when(F.col(ask_price) == p_ap, F.col(ask_size) - p_as)
         .otherwise(-p_as)
     )
-    return df.withColumn(out, F.when(p_bp.isNotNull(), bid_c - ask_c))
+    return prev.withColumn(out, F.when(p_bp.isNotNull(), bid_c - ask_c)).drop("__prev")

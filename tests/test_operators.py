@@ -10,7 +10,9 @@ from crypto_market_data_etl_spark.operators.asof import (
     merge_asof_grouped,
 )
 from crypto_market_data_etl_spark.operators.bars import dollar_bars
+from crypto_market_data_etl_spark.operators.blocked import blocked_lag
 from crypto_market_data_etl_spark.operators.ewma import (
+    ewma_blocked,
     ewma_full,
     ewma_over_window,
     ewma_tail,
@@ -213,3 +215,111 @@ def test_with_ofi(spark):
     assert abs(out[1].ofi - 4.0) < 1e-9
     # row3: bid_price > prev -> bid_c = 2 ; ask_price > prev -> ask_c = -prev_as = -4 ; ofi = 2-(-4) = 6
     assert abs(out[2].ofi - 6.0) < 1e-9
+
+
+def _skewed_series(seed=11, n=3_000, hot_frac=0.8):
+    """Skewed per-key series: one key carries hot_frac of all rows, with
+    duplicate-ts ties broken by a second order column."""
+    rng = np.random.default_rng(seed)
+    keys = np.where(rng.random(n) < hot_frac, 0, rng.integers(1, 4, n))
+    return pd.DataFrame(
+        {
+            "key": keys,
+            "ts": np.sort(rng.integers(0, 100_000, n)),
+            "seq": np.arange(n),
+            "value": rng.normal(size=n),
+        }
+    )
+
+
+def test_blocked_lag_matches_plain_lag(spark):
+    df = spark.createDataFrame(_skewed_series())
+    plain = blocked_lag(df, ["key"], ["ts", "seq"], "value", "ts", None, out="prev")
+    # span small enough to force hundreds of blocks and boundary fills
+    blocked = blocked_lag(df, ["key"], ["ts", "seq"], "value", "ts", 500, out="prev")
+    a = {(r.key, r.seq): r.prev for r in plain.collect()}
+    b = {(r.key, r.seq): r.prev for r in blocked.collect()}
+    assert a == b and len(a) == 3_000
+
+
+def test_blocked_lag_mid_block_null_values(spark):
+    # a null VALUE mid-block must stay null-lagged, not get the carry fill
+    rows = [(1, 10, 1.0), (1, 11, None), (1, 12, 2.0), (1, 20, 3.0)]
+    df = spark.createDataFrame(rows, "key int, ts long, value double")
+    out = {
+        r.ts: r.prev
+        for r in blocked_lag(df, ["key"], ["ts"], "value", "ts", 10, out="prev").collect()
+    }
+    assert out == {10: None, 11: 1.0, 12: None, 20: 2.0}
+    # block ENDING in a null: the null must carry across the boundary
+    rows = [(1, 10, 1.0), (1, 19, None), (1, 20, 3.0)]
+    df = spark.createDataFrame(rows, "key int, ts long, value double")
+    out = {
+        r.ts: r.prev
+        for r in blocked_lag(df, ["key"], ["ts"], "value", "ts", 10, out="prev").collect()
+    }
+    assert out == {10: None, 19: 1.0, 20: None}
+
+
+def test_ewma_blocked_matches_full(spark):
+    df = spark.createDataFrame(_skewed_series(seed=12))
+    full = {
+        (r.key, r.seq): r.ewma
+        for r in ewma_full(df, ["key"], ["ts", "seq"], "value").collect()
+    }
+    for span in (137, 500, 5_000):
+        blocked = {
+            (r.key, r.seq): r.ewma
+            for r in ewma_blocked(
+                df, ["key"], ["ts", "seq"], "value", block_span=span
+            ).collect()
+        }
+        assert set(blocked) == set(full)
+        for k, v in full.items():
+            assert abs(blocked[k] - v) < 1e-9 + 1e-9 * abs(v), (span, k)
+
+
+def test_ewma_blocked_auto_small_falls_back(spark):
+    # balanced/small data: auto picks the single-window ewma_full plan
+    df = spark.createDataFrame(_skewed_series(seed=13, n=500))
+    got = {
+        (r.key, r.seq): r.ewma
+        for r in ewma_blocked(df, ["key"], ["ts", "seq"], "value",
+                              block_span="auto").collect()
+    }
+    full = {
+        (r.key, r.seq): r.ewma
+        for r in ewma_full(df, ["key"], ["ts", "seq"], "value").collect()
+    }
+    assert got == full
+
+
+def test_with_ofi_blocked_matches_plain(spark):
+    rng = np.random.default_rng(14)
+    n = 2_000
+    pdf = pd.DataFrame(
+        {
+            "key": np.where(rng.random(n) < 0.7, 0, rng.integers(1, 3, n)),
+            "ts": np.sort(rng.integers(0, 50_000, n)),
+            "seq": np.arange(n),
+            "best_bid_price": np.round(100 + rng.standard_normal(n), 2),
+            "best_bid_size": np.round(rng.lognormal(0, 0.5, n), 4),
+            "best_ask_price": np.round(101 + rng.standard_normal(n), 2),
+            "best_ask_size": np.round(rng.lognormal(0, 0.5, n), 4),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = {
+        (r.key, r.seq): r.ofi
+        for r in with_ofi(df, ["key"], ["ts", "seq"]).collect()
+    }
+    blocked = {
+        (r.key, r.seq): r.ofi
+        for r in with_ofi(df, ["key"], ["ts", "seq"], block_span=1_000).collect()
+    }
+    assert set(plain) == set(blocked)
+    for k, v in plain.items():
+        if v is None:
+            assert blocked[k] is None
+        else:
+            assert abs(blocked[k] - v) < 1e-9
