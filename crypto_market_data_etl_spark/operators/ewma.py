@@ -120,11 +120,14 @@ def ewma_blocked(
     pandas' NaN-skipping). ``block_span=None`` or balanced data falls back
     to :func:`ewma_full`; ``"auto"`` sizes blocks from key-rate stats.
     """
-    from .blocked import auto_block_span
+    from .blocked import LAG_EWMA_MIN_ROWS_TO_BLOCK, auto_block_span
 
     ts_col = ts_col or order_cols[0]
     if block_span == "auto":
-        block_span = auto_block_span(df, key_cols, ts_col, target_rows_per_block)
+        block_span = auto_block_span(
+            df, key_cols, ts_col, target_rows_per_block,
+            min_rows_to_block=LAG_EWMA_MIN_ROWS_TO_BLOCK,
+        )
     if block_span is None:
         return ewma_full(df, key_cols, order_cols, value_col, alpha=alpha, out=out)
 

@@ -29,7 +29,7 @@ from ..functions.derive import (
 from ..operators.asof import asof_join
 from ..operators.bars import dollar_bars, with_cents
 from ..operators.candles import ohlcv_aggs
-from ..operators.ewma import ewma_full, with_ofi
+from ..operators.ewma import ewma_blocked, ewma_full, with_ofi
 from ..schemas import load_schema
 
 MS_PER_S = 1_000
@@ -70,19 +70,41 @@ def candle_job(trades: DataFrame, width_seconds: int = 10, streaming: bool = Fal
     )
 
 
-def market_stats_job(orderbooks: DataFrame, alpha: float = 0.8) -> DataFrame:
+def market_stats_job(
+    orderbooks: DataFrame,
+    alpha: float = 0.8,
+    block_span: int | str | None = None,
+) -> DataFrame:
     """§3.1 realtime path intent: per-snapshot OBI EWMA + OFI (batch form).
 
     The reference attempted these as window functions on a stream (rejected
     by Spark — SURVEY caveats); batch form uses exact per-key recurrences,
     streaming form is ``streaming.stateful.stateful_ewma``.
+
+    ``block_span`` (``None`` | span in ms | ``"auto"``) switches both
+    recurrences to their skew-proof blocked forms (``blocked_lag`` /
+    ``ewma_blocked``) — same results, hot instruments no longer serialize
+    through one task each.
     """
+    if block_span == "auto":
+        # resolve once: with_ofi and ewma_blocked would each run the stats pass
+        from ..operators.blocked import LAG_EWMA_MIN_ROWS_TO_BLOCK, auto_block_span
+
+        block_span = auto_block_span(
+            orderbooks, ["code"], "timestamp",
+            min_rows_to_block=LAG_EWMA_MIN_ROWS_TO_BLOCK,
+        )
     with_metrics = with_ofi(
-        orderbooks, ["code"], ["timestamp", "arrive_time"],
+        orderbooks, ["code"], ["timestamp", "arrive_time"], block_span=block_span,
     )
-    return ewma_full(
+    if block_span is None:
+        return ewma_full(
+            with_metrics, ["code"], ["timestamp", "arrive_time"], "obi",
+            alpha=alpha, out="obi_ewma",
+        )
+    return ewma_blocked(
         with_metrics, ["code"], ["timestamp", "arrive_time"], "obi",
-        alpha=alpha, out="obi_ewma",
+        alpha=alpha, out="obi_ewma", block_span=block_span,
     )
 
 

@@ -1,0 +1,81 @@
+"""Perf-run the reference lifecycle jobs (SURVEY §3.1/§3.3) on the
+reference-shaped scale fixture (tools/gen_market_fixture.py).
+
+Times each job fully executed (count of the materialized result), comparing
+single-window vs blocked (skew-proof) plans where both exist. Prints one
+JSON line per job.
+
+Usage: python tools/scale_market_run.py [fixture_dir] [--jobs a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crypto_market_data_etl_spark.plans.reference_jobs import (  # noqa: E402
+    candle_job,
+    market_stats_job,
+    preprocess_job,
+)
+from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
+
+
+def _load(spark, fixture_dir):
+    """Fixture -> the parsed shapes the jobs consume (derive server_datetime
+    and time_diff the same way parse_trades/parse_orderbooks do)."""
+    derive = lambda df: df.withColumn(  # noqa: E731
+        "server_datetime", F.timestamp_millis(F.col("timestamp"))
+    ).withColumn("time_diff", F.col("arrive_time") - F.col("timestamp") / 1000.0)
+    trades = derive(spark.read.parquet(os.path.join(fixture_dir, "trades.parquet")))
+    obs = derive(spark.read.parquet(os.path.join(fixture_dir, "orderbooks.parquet")))
+    return trades, obs
+
+
+def timed(name, thunk):
+    t0 = time.monotonic()
+    n = thunk()
+    wall = round(time.monotonic() - t0, 2)
+    print(json.dumps({"job": name, "sec": wall, "rows": n}), flush=True)
+    return wall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("fixture_dir", nargs="?", default="/tmp/market_fixture")
+    ap.add_argument("--jobs", default="candles,stats_plain,stats_blocked,preprocess")
+    args = ap.parse_args()
+    jobs = set(args.jobs.split(","))
+
+    spark = get_spark()
+    trades, obs = _load(spark, args.fixture_dir)
+    print(json.dumps({"trades": trades.count(), "orderbooks": obs.count()}))
+
+    if "candles" in jobs:
+        timed("candle_job_10s", lambda: candle_job(trades, 10).count())
+    if "stats_plain" in jobs:
+        timed("market_stats_plain", lambda: market_stats_job(obs).count())
+    if "stats_blocked" in jobs:
+        timed(
+            "market_stats_blocked",
+            lambda: market_stats_job(obs, block_span="auto").count(),
+        )
+    if "preprocess" in jobs:
+        # 3M-notional bars over ~50k-priced BTC: scale bar size to the
+        # fixture's notional so bar counts are realistic
+        timed(
+            "preprocess_job",
+            lambda: preprocess_job(trades, obs, bar_size=3_000_000.0).count(),
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
