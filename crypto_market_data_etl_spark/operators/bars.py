@@ -113,7 +113,7 @@ def dollar_bars(
     bar_size: float,
     tiebreak: Sequence[str] = (),
     price_col: str | None = None,
-    block_span: int | None = None,
+    block_span: int | str | None = None,
 ) -> DataFrame:
     """Assign dollar-bar ids and aggregate OHLCV per (key, bar).
 

@@ -26,7 +26,7 @@ from ..functions.derive import (
     with_latency,
     with_obi,
 )
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_adaptive
 from ..operators.bars import dollar_bars, with_cents
 from ..operators.candles import ohlcv_aggs
 from ..operators.ewma import ewma_blocked, ewma_full, with_ofi
@@ -120,6 +120,8 @@ def preprocess_job(
     orderbooks: DataFrame,
     bar_size: float = 3_000_000.0,
     asof_tolerance_ms: int = 10_000,
+    block_span: int | str | None = None,
+    adaptive_asof: bool = False,
 ) -> DataFrame:
     """§3.3 flagship: dollar bars + as-of join of the best orderbook.
 
@@ -128,6 +130,11 @@ def preprocess_job(
     ``asof_tolerance_ms`` before the bar's final trade (left outer).
     Reference: ``processing_raw_data_from_gcs.py:108-160`` (its 3 M KRW bar
     size and 10 s band are the defaults).
+
+    Scale knobs: ``block_span`` (``"auto"`` | ms | ``None``) switches the
+    bar cumsum to the skew-proof two-phase form; ``adaptive_asof`` uses the
+    interval-formulated as-of join (per-key adaptive buckets — wins when
+    snapshots are much denser than the tolerance).
     """
     enriched = trades.withColumn(
         "trade_dollar", F.col("trade_price") * F.col("trade_volume")
@@ -140,11 +147,21 @@ def preprocess_job(
         bar_size=bar_size,
         tiebreak=["sequential_id"],
         price_col="trade_price",
+        block_span=block_span,
     )
     snaps = orderbooks.select(
         "code", F.col("timestamp").alias("ob_timestamp"),
         "best_bid_price", "best_ask_price", "best_bid_size", "best_ask_size", "obi",
     )
+    if adaptive_asof:
+        return asof_join_adaptive(
+            bars,
+            snaps,
+            on=["code"],
+            left_ts="bar_end_us",
+            right_ts="ob_timestamp",
+            tolerance=asof_tolerance_ms,
+        )
     return asof_join(
         bars,
         snaps,

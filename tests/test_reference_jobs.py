@@ -174,3 +174,38 @@ def test_preprocess_job_bars_and_asof(spark, trades, orderbooks):
             assert r.ob_timestamp_r is None
         else:
             assert r.ob_timestamp_r == band.timestamp.max()
+
+
+def test_preprocess_job_tuned_matches_plain(spark, trades, orderbooks):
+    # scale knobs (blocked cumsum + adaptive as-of) must not change results
+    plain = preprocess_job(trades, orderbooks, bar_size=2000.0)
+    tuned = preprocess_job(
+        trades, orderbooks, bar_size=2000.0, block_span=60_000, adaptive_asof=True
+    )
+    key = lambda r: (r.code, r.bar_num)  # noqa: E731
+    a = {key(r): r.asDict() for r in plain.collect()}
+    b = {key(r): r.asDict() for r in tuned.collect()}
+    assert a.keys() == b.keys() and len(a) > 10
+    for k, ra in a.items():
+        rb = b[k]
+        for col, va in ra.items():
+            vb = rb[col]
+            if isinstance(va, float):
+                assert abs(va - vb) < 1e-9, (k, col)
+            else:
+                assert va == vb, (k, col)
+
+
+def test_market_stats_job_blocked_matches_plain(spark, orderbooks):
+    plain = market_stats_job(orderbooks)
+    blocked = market_stats_job(orderbooks, block_span=60_000)
+    key = lambda r: (r.code, r.timestamp, r.arrive_time)  # noqa: E731
+    a = {key(r): (r.ofi, r.obi_ewma) for r in plain.collect()}
+    b = {key(r): (r.ofi, r.obi_ewma) for r in blocked.collect()}
+    assert a.keys() == b.keys()
+    for k, (ofi_a, ewma_a) in a.items():
+        ofi_b, ewma_b = b[k]
+        assert (ofi_a is None) == (ofi_b is None)
+        if ofi_a is not None:
+            assert abs(ofi_a - ofi_b) < 1e-9
+        assert abs(ewma_a - ewma_b) < 1e-9

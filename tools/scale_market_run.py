@@ -74,6 +74,14 @@ def main() -> None:
             "preprocess_job",
             lambda: preprocess_job(trades, obs, bar_size=3_000_000.0).count(),
         )
+    if "preprocess_tuned" in jobs:
+        timed(
+            "preprocess_job_tuned",
+            lambda: preprocess_job(
+                trades, obs, bar_size=3_000_000.0,
+                block_span="auto", adaptive_asof=True,
+            ).count(),
+        )
     spark.stop()
 
 
