@@ -830,6 +830,53 @@ def q21_salted_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_ewma_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical variant of q11: FULL-history EWMA via the skew-proof blocked
+    form (``ewma_blocked``, block span forced small so the two-phase path
+    actually runs at gate scale), last value per key. ``0.2^30 ~ 1e-21``, so
+    the full-history value equals q11's tail-30 closed form at 6dp — same
+    oracle, different physical plan (like q21 vs q04).
+    """
+    from ..operators.ewma import ewma_blocked
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    span = max((int(hi) - int(lo)) // 7, 1)
+    full = ewma_blocked(
+        ev, ["user_id"], ["ts_us", "event_id"], "value",
+        alpha=0.8, block_span=span,
+    )
+    return full.groupBy("user_id").agg(
+        F.round(F.max_by("ewma", F.struct("ts_us", "event_id")), 6).alias("ewma")
+    )
+
+
+def q23_ofi_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical variant of q12: the per-key lag computed with ``blocked_lag``
+    (boundary-carry across forced-small time blocks). Integer-cents deltas —
+    hash-exact against q12's oracle.
+    """
+    from ..operators.blocked import blocked_lag
+
+    ev = with_cents(_events(spark, sf_dir), "value")
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    span = max((int(hi) - int(lo)) // 7, 1)
+    prev = blocked_lag(
+        ev, ["user_id"], ["ts_us", "event_id"], "cents", "ts_us", span,
+        out="prev_cents",
+    )
+    dc = F.col("cents") - F.col("prev_cents")
+    signed = F.when(F.col("event_type").isin(*BUY_TYPES), dc).otherwise(-dc)
+    return (
+        prev.withColumn("signed", signed)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("signed") / 100.0).alias("ofi"),
+            F.count("signed").alias("n_moves"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -852,6 +899,8 @@ QUERIES = {
     "q19_hypertable_rollup": q19_hypertable_rollup,
     "q20_heavy_hitters": q20_heavy_hitters,
     "q21_salted_candles": q21_salted_candles,
+    "q22_ewma_blocked": q22_ewma_blocked,
+    "q23_ofi_blocked": q23_ofi_blocked,
 }
 
 ORACLES = {
@@ -876,4 +925,6 @@ ORACLES = {
     "q11_ewma": Q11_SQL,
     "q12_flow_imbalance": Q12_SQL,
     "q21_salted_candles": Q04_SQL,  # salting is physical; semantics match q04
+    "q22_ewma_blocked": Q11_SQL,  # blocking is physical; 6dp-equal to tail-30
+    "q23_ofi_blocked": Q12_SQL,  # blocked lag is physical; semantics match q12
 }
