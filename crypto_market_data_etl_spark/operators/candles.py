@@ -220,3 +220,101 @@ def sliding_stats(
         .withColumn("w_start", F.col("w.start"))
         .drop("w")
     )
+
+
+# --------------------------------------------------------------------------
+# Pane-decomposed sliding windows (SURVEY §7.3 item 1 — the 40x fix)
+# --------------------------------------------------------------------------
+
+def sliding_pane_partials(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    slide_seconds: int,
+    cents_col: str,
+) -> DataFrame:
+    """Phase 1 of the pane decomposition: mergeable (n, Σc, Σc²) partials per
+    TUMBLING pane of ``slide_seconds``.
+
+    A direct sliding window (``sliding_stats``) replicates every EVENT into
+    width/slide overlapping windows before the shuffle — 40x shuffle/state
+    amplification at the reference's 10min/15s config
+    (``kafka_upbit_realtime_processing.py:108``). Panes aggregate first
+    (map-side combine collapses each partition to ~1 row per (pane, key)),
+    so only the tiny partial rows are replicated.
+
+    The partial is exact: cents are integers, so Σc and Σc² are
+    order-independent bigints (bound: n·max_cents² < 2^63 per group — at a
+    scale where that overflows, swap the two sums to DecimalType(38,0),
+    still exact). Variance merges by summing the three components.
+    """
+    w = F.window(F.col(ts_col), f"{slide_seconds} seconds")
+    c = F.col(cents_col)
+    return df.groupBy(w.alias("w"), *key_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(c).alias("sum_c"),
+        F.sum(c * c).alias("sumsq_c"),
+    ).select(F.col("w.start").alias("pane_start"), *key_cols, "n_events", "sum_c", "sumsq_c")
+
+
+def merged_pane_stats_aggs() -> list[Column]:
+    """Final merge + closed-form stats over pane partials (shared by the
+    batch and streaming pane paths so both emit bit-identical columns).
+
+    stddev from exact integer sums: sqrt(max(Σc² − (Σc)²/n, 0)/(n−1))/100.
+    Every input is an exact integer, so the double arithmetic is the same
+    IEEE op sequence on any engine — the oracle mirrors the expression
+    shape verbatim and hashes bit-equal (no round() needed, unlike the
+    engine-native ``stddev_samp`` in :func:`sliding_stats`).
+    """
+    n = F.sum("n_events")
+    sum_c = F.sum("sum_c")
+    sumsq = F.sum("sumsq_c")
+    sum_d = sum_c.cast("double")
+    var_num = F.greatest(sumsq.cast("double") - sum_d * sum_d / n, F.lit(0.0))
+    return [
+        n.alias("n_events"),
+        (sum_c / 100.0 / n).alias("avg_value"),
+        F.when(n > 1, F.sqrt(var_num / (n - 1)) / 100.0).alias("stddev_value"),
+    ]
+
+
+def sliding_stats_paned(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    width_seconds: int,
+    slide_seconds: int,
+    cents_col: str,
+) -> DataFrame:
+    """T3 at scale: sliding mean/stddev via pane decomposition (two-level).
+
+    panes = tumbling agg at slide grain → each pane row is exploded into the
+    width/slide sliding windows containing it → merge partials. The explode
+    amplifies (n_keys × n_panes) PARTIAL rows, not raw events — the classic
+    panes optimization (Li et al., "No pane, no gain", SIGMOD Record 2005).
+
+    Semantics match :func:`sliding_stats` exactly for n/avg (integer sums are
+    associative) and to ~1 ulp for stddev (different but exact-input formula;
+    oracle-gated bit-exact via the mirrored expression in q24).
+    """
+    if width_seconds % slide_seconds:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    n_panes = width_seconds // slide_seconds
+    slide_us = slide_seconds * MICROS_PER_SEC
+    panes = sliding_pane_partials(df, key_cols, ts_col, slide_seconds, cents_col)
+    exploded = panes.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_panes - 1))).alias("j")
+    ).withColumn(
+        "w_start",
+        # j is int32 (F.sequence); widen before the multiply — j*slide_us
+        # overflows int32 for slides beyond ~35 min at j=39
+        F.timestamp_micros(
+            F.unix_micros("pane_start") - F.col("j").cast("bigint") * F.lit(slide_us)
+        ),
+    )
+    return (
+        exploded.groupBy("w_start", *key_cols)
+        .agg(*merged_pane_stats_aggs())
+        .select("w_start", *key_cols, "n_events", "avg_value", "stddev_value")
+    )

@@ -877,6 +877,51 @@ def q23_ofi_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_sliding_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical variant of q05: sliding stats via pane decomposition
+    (``sliding_stats_paned`` — aggregate tumbling panes at slide grain, then
+    explode pane→window memberships and merge exact integer partials). Kills
+    the width/slide event-replication of the direct plan (SURVEY §7.3 item 1).
+
+    Own oracle (Q24_SQL) rather than Q05_SQL: the merged-partial stddev is a
+    closed form over exact integer sums, bit-reproducible on both engines,
+    whereas q05 rounds the engine-native ``stddev_samp``.
+    """
+    from ..operators.candles import sliding_stats_paned
+
+    ev = with_cents(_events(spark, sf_dir), "value")
+    return sliding_stats_paned(
+        ev, ["event_type"], "ts", SLIDE_W_S, SLIDE_S_S, cents_col="cents"
+    )
+
+
+_SLIDE_US = SLIDE_S_S * 1_000_000
+# mirrors merged_pane_stats_aggs() exactly: same integer sums, same IEEE
+# double op shapes — no rounding needed (see operators/candles.py docstring)
+Q24_SQL = f"""
+WITH e AS (
+  SELECT *, epoch_ns(ts)//1000 AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+x AS (
+  SELECT e.*, ((ts_us // {_SLIDE_US}) - j) * {_SLIDE_US} AS ws_us
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_N_PANES - 1})) AS j)
+)
+SELECT make_timestamp(ws_us) AS w_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(c) AS BIGINT) / 100.0 / count(*) AS avg_value,
+       CASE WHEN count(*) > 1 THEN
+         sqrt(greatest(CAST(sum(c*c) AS DOUBLE)
+                       - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / count(*),
+                       0.0)
+              / (count(*) - 1)) / 100.0
+       END AS stddev_value
+FROM x
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -901,6 +946,7 @@ QUERIES = {
     "q21_salted_candles": q21_salted_candles,
     "q22_ewma_blocked": q22_ewma_blocked,
     "q23_ofi_blocked": q23_ofi_blocked,
+    "q24_sliding_paned": q24_sliding_paned,
 }
 
 ORACLES = {
@@ -927,4 +973,5 @@ ORACLES = {
     "q21_salted_candles": Q04_SQL,  # salting is physical; semantics match q04
     "q22_ewma_blocked": Q11_SQL,  # blocking is physical; 6dp-equal to tail-30
     "q23_ofi_blocked": Q12_SQL,  # blocked lag is physical; semantics match q12
+    "q24_sliding_paned": Q24_SQL,
 }

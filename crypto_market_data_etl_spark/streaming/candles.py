@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.candles import ohlcv_aggs
+from ..operators.candles import merged_pane_stats_aggs, ohlcv_aggs
 
 
 def stream_candles(
@@ -80,6 +80,58 @@ def stream_sliding_stats(
         )
         .select(F.col("w.start").alias("w_start"), "*")
         .drop("w")
+    )
+
+
+def stream_sliding_stats_paned(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    cents_col: str,
+    width_seconds: int = 600,
+    slide_seconds: int = 15,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T3 at scale: streaming sliding stats via chained windowed aggregations
+    (the pane decomposition of ``operators.candles.sliding_stats_paned``,
+    expressed with Spark ≥3.5 multiple-stateful-operator support).
+
+    Stage 1 keeps TUMBLING panes of ``slide_seconds`` in the state store —
+    one (pane, key) row instead of width/slide overlapping windows per event
+    (40x at the reference's 10min/15s config, SURVEY §7.3 item 1). Stage 2
+    re-windows the emitted pane rows with ``F.window_time`` (pane_end − 1µs,
+    which lands in exactly the width/slide sliding windows that contain the
+    pane) and merges the exact integer partials. Shuffle amplification moves
+    from raw events to ~1 row per (pane, key).
+
+    Columns match the batch pane path bit-for-bit (shared
+    ``merged_pane_stats_aggs``) — asserted in tests/test_streaming.py.
+    """
+    if width_seconds % slide_seconds:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    c = F.col(cents_col)
+    panes = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{slide_seconds} seconds").alias("pane"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(c).alias("sum_c"),
+            F.sum(c * c).alias("sumsq_c"),
+        )
+    )
+    w = F.window(
+        F.window_time("pane"), f"{width_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    return (
+        panes.groupBy(w.alias("w"), *key_cols)
+        .agg(*merged_pane_stats_aggs())
+        .select(
+            F.col("w.start").alias("w_start"),
+            *key_cols,
+            "n_events",
+            "avg_value",
+            "stddev_value",
+        )
     )
 
 

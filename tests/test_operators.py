@@ -323,3 +323,66 @@ def test_with_ofi_blocked_matches_plain(spark):
             assert blocked[k] is None
         else:
             assert abs(blocked[k] - v) < 1e-9
+
+
+def _sliding_frame(spark, seed=13, n=400):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "code": rng.integers(1, 4, n),
+            "ts_us": rng.integers(0, 120_000_000, n),
+            "value": np.round(rng.uniform(1, 500, n), 2),
+        }
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    )
+
+
+def test_sliding_paned_matches_direct(spark):
+    from crypto_market_data_etl_spark.operators.candles import (
+        sliding_stats,
+        sliding_stats_paned,
+    )
+
+    df = _sliding_frame(spark)
+    direct = {
+        (r.w_start, r.code): r
+        for r in sliding_stats(
+            df, ["code"], "ts", "value", 30, 10, cents_col="cents"
+        ).collect()
+    }
+    paned = {
+        (r.w_start, r.code): r
+        for r in sliding_stats_paned(df, ["code"], "ts", 30, 10, "cents").collect()
+    }
+    assert set(direct) == set(paned)
+    for k, d in direct.items():
+        p = paned[k]
+        assert p.n_events == d.n_events
+        assert abs(p.avg_value - d.avg_value) < 1e-12  # identical integer sums
+        if d.stddev_value is None:
+            assert p.stddev_value is None
+        else:  # direct side is round(stddev_samp, 4); paned is unrounded exact
+            assert abs(p.stddev_value - d.stddev_value) < 6e-5
+
+
+def test_sliding_paned_zero_variance_guard(spark):
+    from crypto_market_data_etl_spark.operators.candles import sliding_stats_paned
+
+    df = (
+        spark.createDataFrame(
+            [(1, i * 1_000_000, 42.0) for i in range(8)],
+            "code long, ts_us long, value double",
+        )
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    rows = sliding_stats_paned(df, ["code"], "ts", 10, 5, "cents").collect()
+    assert rows
+    for r in rows:
+        if r.n_events > 1:
+            assert r.stddev_value == 0.0  # greatest(...,0) guard: never NaN
+        assert abs(r.avg_value - 42.0) < 1e-12

@@ -371,3 +371,48 @@ def test_stateful_ewma_across_microbatches(spark, tmp_path):
         assert got == pytest.approx(expected, rel=1e-12)
     finally:
         q.stop()
+
+
+def test_stream_sliding_paned_matches_batch(spark, tmp_path):
+    """Chained stateful aggs (pane -> sliding merge) emit exactly the batch
+    pane-path rows once the watermark passes, bit-for-bit (shared exact
+    integer partials + shared final expressions)."""
+    from crypto_market_data_etl_spark.operators.candles import sliding_stats_paned
+    from crypto_market_data_etl_spark.streaming.candles import (
+        stream_sliding_stats_paned,
+    )
+
+    path = str(tmp_path / "in")
+    rows1 = [(1, 2 * US, 10.25), (1, 7 * US, 30.5), (2, 3 * US, 7.75)]
+    rows2 = [(1, 12 * US, 20.0), (2, 14 * US, 7.75), (1, 22 * US, 5.0)]
+    _write_batch(spark, path, rows1)
+    _write_batch(spark, path, rows2)
+    # future-dated row: advances the watermark far enough to finalize both
+    # stateful levels for every window of rows1+rows2
+    _write_batch(spark, path, [(1, 500 * US, 1.0)])
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = stream_sliding_stats_paned(
+        _stream(spark, path).withColumn("cents", cents),
+        ["code"], "ts", "cents",
+        width_seconds=10, slide_seconds=5, watermark="5 seconds",
+    )
+    q = run_to_memory(out, "slide_paned", output_mode="append")
+    try:
+        got = {
+            (r.w_start, r.code): (r.n_events, r.avg_value, r.stddev_value)
+            for r in spark.sql("SELECT * FROM slide_paned").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = (
+        spark.createDataFrame(rows1 + rows2, "code long, ts_us long, value double")
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withColumn("cents", cents)
+    )
+    want = {
+        (r.w_start, r.code): (r.n_events, r.avg_value, r.stddev_value)
+        for r in sliding_stats_paned(batch_df, ["code"], "ts", 10, 5, "cents").collect()
+    }
+    assert got == want  # exact: integer partials merge identically
