@@ -25,6 +25,7 @@ HEADLINE = [
     "q02_revenue_by_nation",
     "q04_candles_tumbling",
     "q05_sliding_stats",
+    "q24_sliding_paned",
     "q08_dollar_bars",
     "q09_flagship",
     "q11_ewma",

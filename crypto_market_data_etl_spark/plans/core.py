@@ -922,6 +922,64 @@ GROUP BY 1, 2
 """
 
 
+def q25_continuous_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental view maintenance (streaming/continuous_agg.py):
+    replay events as a multi-file stream, maintain the hourly candle-partial
+    store incrementally (update-mode deltas → batch_id-versioned parquet log),
+    then serve DAILY candles by merge-on-read + rollup — never re-scanning
+    the events. Same daily-candle semantics as q19, so it shares Q19_SQL:
+    the gate proves streaming maintenance == direct SQL over raw history.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.candles import rollup_candles
+    from ..session import tune
+    from ..streaming.continuous_agg import (
+        read_continuous_aggregate,
+        stream_candle_partials,
+    )
+    from ..streaming.sinks import foreach_batch_parquet_sink
+
+    tune(spark)
+    work = tempfile.mkdtemp(prefix="q25_")
+    try:
+        # stage the events as 3 files written BEFORE the stream starts;
+        # maxFilesPerTrigger=1 then replays them as 3 micro-batches in
+        # mod-time order (arbitrary at second granularity — harmless: the
+        # huge watermark keeps every group live, merges are associative)
+        ev = with_cents(_events(spark, sf_dir), "value")
+        ev.repartition(3).write.parquet(f"{work}/in")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*")
+            .parquet(f"{work}/in")
+        )
+        partials = stream_candle_partials(
+            stream, ["user_id"], "ts", "ts_us", "value", HOUR_US,
+            ["event_id"], "cents", watermark="3650 days",
+        )
+        q = foreach_batch_parquet_sink(
+            partials, f"{work}/store", f"{work}/ckpt"
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        hourly = read_continuous_aggregate(spark, f"{work}/store", ["user_id"])
+        daily = rollup_candles(hourly, ["user_id"], 24).select(
+            F.timestamp_micros(F.col("bucket") * DAY_US).alias("w_start"),
+            "user_id", "open", "high", "low", "close", "n_trades",
+            (F.col("cents") / 100.0).alias("volume"),
+        )
+        # materialize before the temp store disappears
+        out = daily.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -947,6 +1005,7 @@ QUERIES = {
     "q22_ewma_blocked": q22_ewma_blocked,
     "q23_ofi_blocked": q23_ofi_blocked,
     "q24_sliding_paned": q24_sliding_paned,
+    "q25_continuous_candles": q25_continuous_candles,
 }
 
 ORACLES = {
@@ -974,4 +1033,5 @@ ORACLES = {
     "q22_ewma_blocked": Q11_SQL,  # blocking is physical; 6dp-equal to tail-30
     "q23_ofi_blocked": Q12_SQL,  # blocked lag is physical; semantics match q12
     "q24_sliding_paned": Q24_SQL,
+    "q25_continuous_candles": Q19_SQL,  # IVM is physical; daily-candle semantics match q19
 }

@@ -416,3 +416,85 @@ def test_stream_sliding_paned_matches_batch(spark, tmp_path):
         for r in sliding_stats_paned(batch_df, ["code"], "ts", 10, 5, "cents").collect()
     }
     assert got == want  # exact: integer partials merge identically
+
+
+def test_continuous_aggregate_matches_batch_partials(spark, tmp_path):
+    """Streaming-maintained partial store (update mode -> versioned parquet
+    log -> merge-on-read) resolves exactly to a batch candle_partials
+    recompute, survives compaction, and serves rollups identically."""
+    from crypto_market_data_etl_spark.operators.candles import (
+        candle_partials,
+        rollup_candles,
+    )
+    from crypto_market_data_etl_spark.streaming.continuous_agg import (
+        compact_continuous_aggregate,
+        read_continuous_aggregate,
+        stream_candle_partials,
+    )
+    from crypto_market_data_etl_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+    )
+
+    in_path = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    W_US = 10 * US  # 10-second candle buckets
+    # bucket 0 and key 1 get touched by several micro-batches -> the log
+    # holds multiple generations that merge-on-read must resolve
+    batches = [
+        [(1, 2 * US, 10.0), (1, 7 * US, 30.0), (2, 3 * US, 7.5)],
+        [(1, 9 * US, 20.0), (1, 12 * US, 40.0)],
+        [(2, 8 * US, 9.5), (1, 14 * US, 35.0), (1, 21 * US, 50.0)],
+    ]
+    for rows in batches:
+        _write_batch(spark, in_path, rows)
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    partials = stream_candle_partials(
+        _stream(spark, in_path).withColumn("cents", cents),
+        ["code"], "ts", "ts_us", "value", W_US, [], "cents",
+        watermark="1 hour",  # keep every group live: order-independent test
+    )
+    q = foreach_batch_parquet_sink(partials, store, ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap(df):
+        return {
+            (r.bucket, r.code): (
+                r.open, r.high, r.low, r.close, r.n_trades,
+                tuple(r.first_key), tuple(r.last_key), r.cents,
+            )
+            for r in df.collect()
+        }
+
+    all_rows = [r for b in batches for r in b]
+    batch_df = (
+        spark.createDataFrame(all_rows, "code long, ts_us long, value double")
+        .withColumn("cents", cents)
+    )
+    want = snap(candle_partials(batch_df, ["code"], "ts_us", "value", W_US, [], "cents"))
+    resolved = read_continuous_aggregate(spark, store, ["code"])
+    assert snap(resolved) == want
+
+    # the log really is incremental: >1 generation for the hot (bucket, key)
+    log = spark.read.parquet(store)
+    gens = log.groupBy("bucket", "code").count().filter("count > 1").count()
+    assert gens >= 1
+
+    # compaction preserves the resolved state
+    compacted = str(tmp_path / "compacted")
+    compact_continuous_aggregate(spark, store, compacted, ["code"])
+    assert snap(read_continuous_aggregate(spark, compacted, ["code"])) == want
+
+    # serving: coarse rollup from the maintained store == rollup from batch
+    got_daily = snap(rollup_candles(resolved, ["code"], 3).withColumn("code", F.col("code")))
+    want_daily = snap(
+        rollup_candles(
+            candle_partials(batch_df, ["code"], "ts_us", "value", W_US, [], "cents"),
+            ["code"], 3,
+        )
+    )
+    assert got_daily == want_daily
