@@ -48,12 +48,11 @@ def stream_candles_bench(spark, sf_dir: str) -> tuple[float, int]:
 
     from pyspark.sql import functions as F
 
+    from crypto_market_data_etl_spark.operators.bars import with_cents
     from crypto_market_data_etl_spark.schemas import load_table
     from crypto_market_data_etl_spark.streaming.candles import stream_candles
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "cents", (F.col("value") * 100).cast("bigint")
-    )
+    ev = with_cents(load_table(spark, sf_dir, "events"), "value")
     n_events = ev.count()
     tmp = tempfile.mkdtemp(prefix="spark_graft_stream_bench_")
     src = os.path.join(tmp, "src")
@@ -82,6 +81,53 @@ def stream_candles_bench(spark, sf_dir: str) -> tuple[float, int]:
             q.stop()
         wall = time.time() - t0
         assert spark.table(name).count() > 0
+        return wall, n_events
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stateful_ewma_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """Replay the sf events table through the stateful per-key EWMA
+    (``applyInPandasWithState``, vectorized seeded ``ewm`` per Arrow batch).
+    Measures the custom-stateful-operator path — state store round-trips +
+    Arrow transfer + the in-batch numpy work — which the windowed candle
+    stream (s01) doesn't exercise.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.schemas import load_table
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_ewma
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").cast("bigint").alias("ts_us"), "value"
+    )
+    n_events = ev.count()
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stateful_bench_")
+    src = os.path.join(tmp, "src")
+    try:
+        ev.repartition(8).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        smoothed = stateful_ewma(stream, key_col="user_id")
+        name = "bench_stateful_ewma_sink"
+        t0 = time.time()
+        q = (
+            smoothed.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        wall = time.time() - t0
+        assert spark.table(name).count() == n_events
         return wall, n_events
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -124,6 +170,16 @@ def main() -> None:
     print(f"# s01_stream_candles: {stream_best:.2f}s ({n_events} events, {stream_eps} ev/s)",
           file=sys.stderr)
 
+    # custom stateful-operator dimension: per-key EWMA through the state store
+    stateful_best, n_sf = float("inf"), 0
+    for _ in range(repeats):
+        wall, n_sf = stateful_ewma_bench(spark, sf_dir)
+        stateful_best = min(stateful_best, wall)
+    timings["s02_stateful_ewma"] = round(stateful_best, 3)
+    stateful_eps = int(n_sf / stateful_best) if stateful_best > 0 else 0
+    print(f"# s02_stateful_ewma: {stateful_best:.2f}s ({n_sf} events, {stateful_eps} ev/s)",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -134,6 +190,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "stream_events_per_sec": stream_eps,
+                "stateful_events_per_sec": stateful_eps,
             }
         )
     )

@@ -98,12 +98,33 @@ def lsh_bands(
     return sig.select(id_col, F.posexplode(bands).alias("band_idx", "band_sig"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:  # max_bucket_size=None → skew.DEFAULT_MAX_BUCKET_SIZE below
     """Distinct candidate pairs sharing any band: (id_a, id_b), id_a < id_b.
 
     Equi-join on (band_idx, band_sig) — a plain shuffled hash join; never a
     cross join. Output is deduped across bands.
+
+    ``max_bucket_size`` guards the degenerate-bucket blow-up (boilerplate/
+    empty docs collapsing to one signature → O(n²) pairs on one shuffle
+    partition): each (band_idx, band_sig) bucket is deterministically
+    truncated to its smallest ids, with the dropped-membership count logged
+    (``operators.skew.cap_bucket_size``). Default (None) resolves to
+    ``skew.DEFAULT_MAX_BUCKET_SIZE`` — inert on healthy corpora, a hard
+    bound on degenerate ones. Pass ``max_bucket_size=0`` to disable.
     """
+    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    if max_bucket_size > 0:
+        bands = cap_bucket_size(
+            bands, ["band_idx", "band_sig"], id_col, max_bucket_size, log_dropped
+        )
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_sig"
     )

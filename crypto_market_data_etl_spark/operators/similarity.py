@@ -403,6 +403,7 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates.
 
@@ -410,9 +411,19 @@ def embedding_neardup_pairs(
     candidates (equi-join), exact cosine filters. ``n_planes`` tunes recall:
     P(same bucket) = (1 - theta/pi)^planes for angle theta. Output:
     (id_a, id_b, sim) with sim >= threshold, id_a < id_b.
+
+    Hot buckets are truncated to ``max_bucket_size`` members (default
+    ``skew.DEFAULT_MAX_BUCKET_SIZE``; 0 disables) with the drop count
+    logged — see ``operators.skew``.
     """
+    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     sig = bucket_signature(vec_col, n_planes, dim)
     t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    if max_bucket_size > 0:
+        t = cap_bucket_size(t, ["bucket"], id_col, max_bucket_size)
     a = t.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = t.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     sim = _dot(F.col("va"), F.col("vb")) / (
@@ -608,8 +619,30 @@ def cosine_topk_np(
     )
 
 
-def lsh_candidates(buckets: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Candidate pairs = same bucket (equi-join; the ANN scale path)."""
+def lsh_candidates(
+    buckets: DataFrame,
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Candidate pairs = same bucket (equi-join; the ANN scale path).
+
+    A degenerate bucket (near-duplicate-heavy corpus collapsing many vectors
+    onto one sign pattern) would emit O(n²) pairs on a single shuffle
+    partition; each bucket is deterministically truncated to its
+    ``max_bucket_size`` smallest ids with the drop count logged
+    (``operators.skew.cap_bucket_size``). Default (None) resolves to
+    ``skew.DEFAULT_MAX_BUCKET_SIZE`` — inert on healthy corpora. Pass
+    ``max_bucket_size=0`` to disable.
+    """
+    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    if max_bucket_size > 0:
+        buckets = cap_bucket_size(
+            buckets, ["bucket"], id_col, max_bucket_size, log_dropped
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
     return a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select(

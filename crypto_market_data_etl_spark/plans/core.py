@@ -312,7 +312,7 @@ c AS (
   FROM e
 ),
 bars AS (
-  SELECT user_id, (cum_cents - 1) // {BAR_CENTS} AS bar_num,
+  SELECT user_id, CAST((cum_cents - 1) // {BAR_CENTS} AS BIGINT) AS bar_num,
          first(value ORDER BY ts_us, event_id) AS open,
          max(value) AS high,
          min(value) AS low,
@@ -650,8 +650,9 @@ g AS (
 ),
 s AS (
   SELECT user_id, ts_us,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sess_id
   FROM g
 )
 SELECT user_id, sess_id, count(*) AS n_events,

@@ -597,22 +597,85 @@ FROM b
 
 
 # --------------------------------------------------------------------------
-# x12 multimodal feature extraction (mapInPandas decode stub — rows-only)
+# x12 multimodal feature extraction (mapInPandas decode stub)
+#
+# Driver-facing shape: the `feature array<float>` column is projected to
+# scalar f0..f7 DOUBLE columns (float32 → double widening is exact, so both
+# engines produce bit-identical doubles) — array cells crash the gate's
+# pandas canonicalizer.  Internal consumers keep the array form via
+# extract_features() directly.
 # --------------------------------------------------------------------------
+
+_X12_DIM = 8
+
 
 def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(to_blob_table(_docs(spark, sf_dir)))
+    feats = extract_features(to_blob_table(_docs(spark, sf_dir)), feature_dim=_X12_DIM)
+    return feats.select(
+        "doc_id", "modality", "n_bytes", "content_hash", "width", "height",
+        "n_frames",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(_X12_DIM)],
+    )
+
+
+def _hex_byte(i: int) -> str:
+    """DuckDB expr for byte *i* (0-based) of the hex digest column ``sha``."""
+    hi = f"(strpos('0123456789abcdef', substr(sha, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(sha, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+X12_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS modality,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         md5(text) AS content_hash,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, content_hash,
+       CAST(64 + ({_hex_byte(0)} % 16) * 8 AS INTEGER) AS width,
+       CAST(64 + ({_hex_byte(1)} % 16) * 8 AS INTEGER) AS height,
+       CAST(floor(n_bytes / 100) + 1 AS INTEGER) AS n_frames,
+       {", ".join(
+           f"CAST(CAST(round({_hex_byte(i)} / 255.0, 6) AS REAL) AS DOUBLE) AS f{i}"
+           for i in range(_X12_DIM)
+       )}
+FROM b
+"""
 
 
 # --------------------------------------------------------------------------
-# x16 HLL distinct counting (DataSketches; mergeable partials — rows-only:
-# sketch internals are engine-specific, accuracy asserted in pytest)
+# x16 HLL distinct counting (DataSketches; mergeable partials).
+#
+# Driver-facing shape: the estimate itself is engine-specific, so the gated
+# row emits the oracle-computable exact distinct count plus a boolean
+# asserting the HLL estimate lands within 5% of it (the oracle claims TRUE).
+# Sketch internals / merge laws are asserted in pytest.
 # --------------------------------------------------------------------------
 
 def x16_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import hll_distinct
 
-    return hll_distinct(_docs(spark, sf_dir), ["source"], "text").drop("sketch")
+    est = hll_distinct(_docs(spark, sf_dir), ["source"], "text").drop("sketch")
+    exact = _docs(spark, sf_dir).groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("hll_within_5pct"),
+    )
+
+
+X16_SQL = """
+SELECT source, count(DISTINCT text) AS exact_distinct, TRUE AS hll_within_5pct
+FROM documents GROUP BY source
+"""
 
 
 QUERIES = {
@@ -627,11 +690,11 @@ QUERIES = {
     "x09_token_stats": x09_token_stats,
     "x10_fingerprint": x10_fingerprint,
     "x11_multimodal_meta": x11_multimodal_meta,
-    "x12_multimodal_features": x12_multimodal_features,  # rows-only (no oracle)
+    "x12_multimodal_features": x12_multimodal_features,
     "x13_lsh_ann": x13_lsh_ann,
     "x14_embedding_neardup": x14_embedding_neardup,
     "x15_ivf_ann": x15_ivf_ann,
-    "x16_hll_distinct": x16_hll_distinct,  # rows-only (sketch internals)
+    "x16_hll_distinct": x16_hll_distinct,
     "x17_multiprobe_ann": x17_multiprobe_ann,
     "x18_bandor_ann": x18_bandor_ann,
 }
@@ -648,9 +711,11 @@ ORACLES = {
     "x09_token_stats": X09_SQL,
     "x10_fingerprint": X10_SQL,
     "x11_multimodal_meta": X11_SQL,
+    "x12_multimodal_features": X12_SQL,
     "x13_lsh_ann": X13_SQL,
     "x14_embedding_neardup": X14_SQL,
     "x15_ivf_ann": X15_SQL,
+    "x16_hll_distinct": X16_SQL,
     "x17_multiprobe_ann": X17_SQL,
     "x18_bandor_ann": X18_SQL,
 }

@@ -14,6 +14,15 @@ State size is O(keys), not O(events) — this scales to any stream volume; the
 only requirement is per-key in-order arrival within the watermark, which the
 micro-batch sort below plus the source's per-key ordering (Kafka partitioning
 by code) provides.
+
+Each micro-batch is processed VECTORIZED inside the Arrow batch (numpy
+``shift``/``cumsum`` and pandas ``ewm`` seeded from state) — no per-row
+Python loops; at stream volume the per-batch cost is a handful of numpy
+passes, so throughput is Arrow-transfer-bound, not interpreter-bound.
+
+Key/timestamp output and state dtypes are derived from the input schema, so
+the operators work unchanged on the reference's string ``code`` column and
+on integer keys alike.
 """
 
 from __future__ import annotations
@@ -21,10 +30,16 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _dtype(df: DataFrame, col: str) -> T.DataType:
+    """Spark type of *col* in *df* (so key/ts schemas follow the input)."""
+    return df.schema[col].dataType
 
 
 def stateful_ofi(
@@ -46,8 +61,8 @@ def stateful_ofi(
     """
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
-            T.StructField(ts_col, T.LongType()),
+            T.StructField(key_col, _dtype(df, key_col)),
+            T.StructField(ts_col, _dtype(df, ts_col)),
             T.StructField(out, T.DoubleType()),
         ]
     )
@@ -67,27 +82,30 @@ def stateful_ofi(
         prev = tuple(state.get) if state.exists else None
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            ofis = []
-            for bp, bs, ap, asz in zip(
-                pdf[bid_price], pdf[bid_size], pdf[ask_price], pdf[ask_size]
-            ):
-                if prev is None:
-                    ofis.append(None)
-                else:
-                    pbp, pbs, pap, pas = prev
-                    bid_c = bs if bp > pbp else (bs - pbs if bp == pbp else -pbs)
-                    ask_c = asz if ap < pap else (asz - pas if ap == pap else -pas)
-                    ofis.append(bid_c - ask_c)
-                prev = (bp, bs, ap, asz)
+            n = len(pdf)
+            if n == 0:
+                continue
+            bp = pdf[bid_price].to_numpy(dtype="float64")
+            bs = pdf[bid_size].to_numpy(dtype="float64")
+            ap = pdf[ask_price].to_numpy(dtype="float64")
+            asz = pdf[ask_size].to_numpy(dtype="float64")
+            # previous-row book: in-batch shift, row 0 seeded from state
+            seed = prev if prev is not None else (np.nan,) * 4
+            pbp = np.concatenate(([seed[0]], bp[:-1]))
+            pbs = np.concatenate(([seed[1]], bs[:-1]))
+            pap = np.concatenate(([seed[2]], ap[:-1]))
+            pas = np.concatenate(([seed[3]], asz[:-1]))
+            bid_c = np.where(bp > pbp, bs, np.where(bp == pbp, bs - pbs, -pbs))
+            ask_c = np.where(ap < pap, asz, np.where(ap == pap, asz - pas, -pas))
+            ofi = bid_c - ask_c
+            if prev is None:
+                ofi[0] = np.nan  # NaN → null through Arrow (no prior book)
+            prev = (float(bp[-1]), float(bs[-1]), float(ap[-1]), float(asz[-1]))
             yield pd.DataFrame(
-                {
-                    key_col: [k] * len(ofis),
-                    ts_col: pdf[ts_col].tolist(),
-                    out: ofis,
-                }
+                {key_col: [k] * n, ts_col: pdf[ts_col].to_numpy(), out: ofi}
             )
         if prev is not None:
-            state.update(tuple(float(x) for x in prev))
+            state.update(prev)
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
@@ -114,11 +132,12 @@ def stateful_dollar_bars(
     (asserted in tests). Bar-level OHLCV is then a downstream groupBy on
     (key, bar_num). State = one bigint per key. Requires per-key in-order
     arrival across micro-batches (Kafka keyed by instrument provides it).
+    Exact under int64: cumulative cents stay integer end to end.
     """
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
-            T.StructField(ts_col, T.LongType()),
+            T.StructField(key_col, _dtype(df, key_col)),
+            T.StructField(ts_col, _dtype(df, ts_col)),
             T.StructField(notional_cents_col, T.LongType()),
             T.StructField("cum_cents", T.LongType()),
             T.StructField("bar_num", T.LongType()),
@@ -133,18 +152,19 @@ def stateful_dollar_bars(
         cum = state.get[0] if state.exists else 0
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            cums, bars = [], []
-            for c in pdf[notional_cents_col].astype("int64"):
-                cum += int(c)
-                cums.append(cum)
-                bars.append((cum - 1) // bar_cents)
+            n = len(pdf)
+            if n == 0:
+                continue
+            cents = pdf[notional_cents_col].to_numpy(dtype="int64")
+            cums = np.cumsum(cents) + cum
+            cum = int(cums[-1])
             yield pd.DataFrame(
                 {
-                    key_col: [k] * len(cums),
-                    ts_col: pdf[ts_col].tolist(),
-                    notional_cents_col: pdf[notional_cents_col].tolist(),
+                    key_col: [k] * n,
+                    ts_col: pdf[ts_col].to_numpy(),
+                    notional_cents_col: cents,
                     "cum_cents": cums,
-                    "bar_num": bars,
+                    "bar_num": (cums - 1) // bar_cents,
                 }
             )
         state.update((int(cum),))
@@ -171,11 +191,16 @@ def stateful_ewma(
     Emits every input row with its EWMA (recurrence
     ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` seeded by the first value),
     continuing across micro-batches via one double of state per key.
+
+    Vectorized as a state-seeded ``Series.ewm(adjust=False)``: prepending the
+    carried value as a synthetic first observation reproduces the recurrence
+    bit-for-bit (pandas' adjust=False loop computes the identical
+    ``(1-α)·y + α·x`` update in C).
     """
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
-            T.StructField(ts_col, T.LongType()),
+            T.StructField(key_col, _dtype(df, key_col)),
+            T.StructField(ts_col, _dtype(df, ts_col)),
             T.StructField(value_col, T.DoubleType()),
             T.StructField(out, T.DoubleType()),
         ]
@@ -189,21 +214,27 @@ def stateful_ewma(
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            values = pdf[value_col].tolist()
-            ewmas = []
-            for x in values:
-                last = x if last is None else alpha * x + (1 - alpha) * last
-                ewmas.append(last)
+            n = len(pdf)
+            if n == 0:
+                continue
+            values = pdf[value_col].to_numpy(dtype="float64")
+            if last is None:
+                series = pd.Series(values)
+                ewmas = series.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            else:
+                seeded = pd.Series(np.concatenate(([last], values)))
+                ewmas = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+            last = float(ewmas[-1])
             yield pd.DataFrame(
                 {
-                    key_col: [k] * len(values),
-                    ts_col: pdf[ts_col].tolist(),
+                    key_col: [k] * n,
+                    ts_col: pdf[ts_col].to_numpy(),
                     value_col: values,
                     out: ewmas,
                 }
             )
         if last is not None:
-            state.update((float(last),))
+            state.update((last,))
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,

@@ -24,18 +24,16 @@ ORACLES = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, oracle_con, name):
-    sdf = QUERIES[name](spark, SF_SMOKE)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # pandas materialization on BOTH sides, like the driver's gate — dtype
+    # divergence (e.g. DuckDB HUGEINT → float64 vs Spark int64) must fail here
+    s_pdf = QUERIES[name](spark, SF_SMOKE).toPandas()
     if name not in ORACLES:
-        assert len(s_rows) >= 0  # rows-only contract (non-SQL-expressible op)
+        fingerprint(s_pdf)  # rows-only rows must still canonicalize
         return
-    cur = oracle_con.execute(ORACLES[name])
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
-    assert sorted(s_cols) == sorted(d_cols)
-    assert len(s_rows) == len(d_rows)
-    assert fingerprint(s_rows, s_cols) == fingerprint(d_rows, d_cols)
+    d_pdf = oracle_con.execute(ORACLES[name]).df()
+    assert sorted(s_pdf.columns) == sorted(d_pdf.columns)
+    assert len(s_pdf) == len(d_pdf)
+    assert fingerprint(s_pdf) == fingerprint(d_pdf)
 
 
 def test_entry_smoke(spark):

@@ -1,0 +1,58 @@
+"""Hot-bucket cap (operators/skew.py): degenerate LSH buckets stay bounded."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from crypto_market_data_etl_spark.operators.dedup import lsh_candidate_pairs
+from crypto_market_data_etl_spark.operators.similarity import lsh_candidates
+from crypto_market_data_etl_spark.operators.skew import cap_bucket_size
+
+
+def test_cap_truncates_hot_bucket_deterministically(spark):
+    # one degenerate bucket of 500 members + one healthy bucket of 3
+    rows = [(i, "hot") for i in range(500)] + [(1000 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, bucket string")
+    logs = []
+    capped = cap_bucket_size(df, ["bucket"], "vec_id", 10, log_fn=logs.append)
+    out = {r["bucket"]: r["n"] for r in capped.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert out == {"hot": 10, "cold": 3}
+    # deterministic: smallest ids survive
+    kept = sorted(r["vec_id"] for r in capped.filter(F.col("bucket") == "hot").collect())
+    assert kept == list(range(10))
+    assert len(logs) == 1 and "490" in logs[0]  # 500 - 10 dropped, logged
+
+
+def test_cap_noop_below_threshold_logs_nothing(spark):
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)], "vec_id bigint, bucket bigint")
+    logs = []
+    capped = cap_bucket_size(df, ["bucket"], "vec_id", 100, log_fn=logs.append)
+    assert capped.count() == 50
+    assert logs == []
+
+
+def test_lsh_candidates_degenerate_bucket_bounded(spark):
+    # 2000 vectors all landing in ONE bucket: uncapped would emit ~2M pairs;
+    # capped emits at most cap*(cap-1)/2
+    df = spark.createDataFrame([(i, "deadbeef") for i in range(2000)], "vec_id bigint, bucket string")
+    pairs = lsh_candidates(df, max_bucket_size=50, log_dropped=False)
+    assert pairs.count() == 50 * 49 // 2
+
+
+def test_lsh_candidate_pairs_degenerate_band_bounded(spark):
+    bands = spark.createDataFrame(
+        [(i, 0, "samesig") for i in range(1000)],
+        "doc_id bigint, band_idx int, band_sig string",
+    )
+    pairs = lsh_candidate_pairs(bands, max_bucket_size=20, log_dropped=False)
+    assert pairs.count() == 20 * 19 // 2
+
+
+def test_cap_inert_at_default_threshold_preserves_pairs(spark):
+    # default DEFAULT_MAX_BUCKET_SIZE must not change results on healthy data
+    bands = spark.createDataFrame(
+        [(i, 0, f"sig{i % 7}") for i in range(70)],
+        "doc_id bigint, band_idx int, band_sig string",
+    )
+    capped = lsh_candidate_pairs(bands)  # default cap
+    uncapped = lsh_candidate_pairs(bands, max_bucket_size=0)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))

