@@ -49,10 +49,15 @@ def asof_join(
 
     Every right column except the keys is emitted with ``suffix``. One right
     row per left row (latest with ``left_ts - tolerance <= right_ts <= left_ts``).
-    ``left_keys`` must uniquely identify a left row (default: all left
-    columns — pass the real key for a cheaper rank partition).
+    ``left_keys`` must uniquely identify a left row (pass the real key for
+    the cheapest rank partition). When omitted, a per-row unique id is
+    generated so fully-duplicate left rows each keep their own output row
+    (instead of silently collapsing under an all-columns rank partition).
     """
     on = list(on)
+    gen_id = left_keys is None
+    if gen_id:
+        left = left.withColumn("__lid", F.monotonically_increasing_id())
     lb = left.withColumn("__bucket", F.expr(f"{left_ts} div {tolerance}"))
     rb = (
         right.withColumn("__b0", F.expr(f"{right_ts} div {tolerance}"))
@@ -85,9 +90,10 @@ def asof_join(
     rank_order = [F.col(r_ts).desc_nulls_last()] + [
         F.col(c + suffix).desc_nulls_last() for c in right_tiebreak
     ]
-    part = list(left_keys) if left_keys else list(left.columns)
+    part = ["__lid"] if gen_id else list(left_keys)
     w = F.row_number().over(Window.partitionBy(*part).orderBy(*rank_order))
-    return joined.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    out = joined.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    return out.drop("__lid") if gen_id else out
 
 
 def asof_join_adaptive(

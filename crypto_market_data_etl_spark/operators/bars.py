@@ -114,6 +114,7 @@ def dollar_bars(
     tiebreak: Sequence[str] = (),
     price_col: str | None = None,
     block_span: int | str | None = None,
+    reference_parity: bool = False,
 ) -> DataFrame:
     """Assign dollar-bar ids and aggregate OHLCV per (key, bar).
 
@@ -122,18 +123,46 @@ def dollar_bars(
     bar_end_us (bigint µs of the bar's last event — as-of join anchor).
     ``block_span`` (time units of ``ts_col``) switches the cumsum to the
     skew-proof two-phase form — same exact result (see blocked_cumsum).
+
+    Bar-boundary semantics: the default buckets by exact integer cents with
+    ``(cum - 1) div size`` (the crossing event CLOSES its bar; reproducible
+    on any engine because the cumsum is integer). This assumes the notional
+    is 2-decimal money-like; generic ``price*volume`` notionals are rounded
+    to cents first. ``reference_parity=True`` reproduces the reference's
+    arithmetic instead (``processing_raw_data_from_gcs.py:118-128``): float
+    cumsum + ``floor(cum / size)`` — the crossing event OPENS the next bar,
+    and assignment inherits float addition-order sensitivity, so it is only
+    bit-stable single-partition; the blocked decomposition is rejected for
+    it (float addition is not associative).
     """
     price_col = price_col or notional_col
     bar_cents = int(round(bar_size * 100))
-    with_bars = blocked_cumsum(
-        with_cents(df, notional_col, "notional_cents"),
-        key_cols,
-        ts_col,
-        "notional_cents",
-        out="cum_cents",
-        tiebreak=tiebreak,
-        block_span=block_span,
-    ).withColumn("bar_num", F.expr(f"(cum_cents - 1) div {bar_cents}"))
+    if reference_parity:
+        if block_span is not None:
+            raise ValueError(
+                "reference_parity uses a float cumsum, which does not "
+                "block-decompose exactly; use the default cents mode for "
+                "skew-proof blocking"
+            )
+        with_bars = blocked_cumsum(
+            with_cents(df, notional_col, "notional_cents"),
+            key_cols,
+            ts_col,
+            notional_col,
+            out="cum_notional",
+            tiebreak=tiebreak,
+            block_span=None,
+        ).withColumn("bar_num", F.floor(F.col("cum_notional") / F.lit(bar_size)))
+    else:
+        with_bars = blocked_cumsum(
+            with_cents(df, notional_col, "notional_cents"),
+            key_cols,
+            ts_col,
+            "notional_cents",
+            out="cum_cents",
+            tiebreak=tiebreak,
+            block_span=block_span,
+        ).withColumn("bar_num", F.expr(f"(cum_cents - 1) div {bar_cents}"))
     # (cum-1) div size: the event that crosses a boundary closes its bar
     # (reference floor(cum/size) puts the crossing event in the next bar; both
     # are valid bar semantics — ours keeps bar 0 starting at the first event).

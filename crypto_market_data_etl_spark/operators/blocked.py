@@ -43,11 +43,19 @@ def auto_block_span(
     global ts range). Returns ``None`` when the hottest key is below
     ``min_rows_to_block`` (default: ``target_rows_per_block``) — there the
     single-window plan's one shuffle beats the two-phase overhead."""
-    stats = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    hottest = stats.agg(F.max("n")).collect()[0][0]
+    # ONE action for all three scalars (hottest-key count + ts range): the
+    # per-key partials and the min/max fold share a single scan — round-1
+    # profiling flagged the old two-collect form as an extra full pass
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+    )
+    hottest, lo, hi = per_key.agg(
+        F.max("n"), F.min("lo"), F.max("hi")
+    ).collect()[0]
     if hottest is None or hottest <= (min_rows_to_block or target_rows_per_block):
         return None
-    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
     span_range = max(int(hi) - int(lo), 1)
     n_blocks = max(2, int(hottest) // target_rows_per_block)
     return max(span_range // n_blocks, 1)

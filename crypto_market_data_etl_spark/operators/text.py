@@ -144,31 +144,51 @@ def fingerprints(
     505k docs vs ~2 s columnar). Docs with fewer than ``window`` grams have
     no complete window and are omitted (mirrors the oracle's filter).
 
-    IMPORTANT staging note: each derived array is materialized in its own
-    ``select`` before being referenced more than once — Spark column
-    expressions are TREES, not DAGs, so an inline ``hs`` referenced from
-    every window iteration gets recomputed per iteration (measured: the
-    un-staged form ran 60x slower at 5k docs; quadratic in grams/doc).
+    IMPORTANT staging note: Spark column expressions are TREES, not DAGs,
+    and staging a derived array in its own ``select`` does NOT protect it —
+    CollapseProject inlines a single-reference projection straight into a
+    HOF lambda body, where it is then re-evaluated on every lambda
+    invocation (measured: the md5-gram array was recomputed per sliding
+    window — 1.97 s for 5k docs vs 0.85 s fixed). The robust device is an
+    expression-level LET: wrap the expensive array in a one-element array
+    and bind it as a ``transform`` lambda variable — lambda arguments are
+    evaluated exactly once per row and the optimizer cannot inline through
+    them. ``inline`` at the end emits the result struct's fields without
+    re-evaluating the chain per output column.
     """
-    tok_stage = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
-    toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (gram_n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
-    )
-    staged = tok_stage.select(F.col(id_col), F.transform(grams, F.md5).alias("__hs"))
-    n_g = F.size(F.col("__hs"))
-    minima = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_g - (window - 1)),
-            lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+
+    def let(val, body):  # evaluate `val` once, use it via a lambda variable
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    toks = F.split(F.col(text_col), " ")
+
+    def gram_hashes(tk):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (gram_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, gram_n)),
         )
+        return F.transform(grams, F.md5)
+
+    def minima_of(h):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - (window - 1)),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            )
+        )
+
+    result = let(
+        toks,
+        lambda tk: let(
+            gram_hashes(tk),
+            lambda h: let(
+                minima_of(h),
+                lambda m: F.struct(
+                    F.size(m).alias("n_minima"),
+                    F.md5(F.concat_ws("|", F.array_sort(m))).alias("fingerprint"),
+                ),
+            ),
+        ),
     )
-    with_minima = staged.filter(n_g >= window).select(
-        F.col(id_col), minima.alias("__minima")
-    )
-    return with_minima.select(
-        F.col(id_col),
-        F.size("__minima").alias("n_minima"),
-        F.md5(F.concat_ws("|", F.array_sort("__minima"))).alias("fingerprint"),
-    )
+    keep = F.greatest(F.size(toks) - (gram_n - 1), F.lit(1)) >= window
+    return df.filter(keep).select(F.col(id_col), F.inline(F.array(result)))

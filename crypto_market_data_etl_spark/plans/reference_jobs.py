@@ -122,6 +122,7 @@ def preprocess_job(
     asof_tolerance_ms: int = 10_000,
     block_span: int | str | None = None,
     adaptive_asof: bool = False,
+    reference_parity_bars: bool = False,
 ) -> DataFrame:
     """§3.3 flagship: dollar bars + as-of join of the best orderbook.
 
@@ -130,6 +131,18 @@ def preprocess_job(
     ``asof_tolerance_ms`` before the bar's final trade (left outer).
     Reference: ``processing_raw_data_from_gcs.py:108-160`` (its 3 M KRW bar
     size and 10 s band are the defaults).
+
+    Bar boundaries default to the engine's exact-integer-cents form —
+    ``trade_dollar`` is rounded to cents before the cumsum, and the crossing
+    trade closes its bar; on real data with sub-cent notionals this can place
+    a boundary trade differently than the reference's float
+    ``floor(cum/size)``. ``reference_parity_bars=True`` reproduces the
+    reference's arithmetic exactly (see ``operators.bars.dollar_bars``; not
+    combinable with ``block_span``).
+
+    Among equal-timestamp snapshots the as-of match is tie-broken by
+    ``arrive_time`` (deterministic in both the rank and adaptive paths); the
+    matched snapshot's arrival is emitted as ``arrive_time_r``.
 
     Scale knobs: ``block_span`` (``"auto"`` | ms | ``None``) switches the
     bar cumsum to the skew-proof two-phase form; ``adaptive_asof`` uses the
@@ -148,9 +161,10 @@ def preprocess_job(
         tiebreak=["sequential_id"],
         price_col="trade_price",
         block_span=block_span,
+        reference_parity=reference_parity_bars,
     )
     snaps = orderbooks.select(
-        "code", F.col("timestamp").alias("ob_timestamp"),
+        "code", F.col("timestamp").alias("ob_timestamp"), "arrive_time",
         "best_bid_price", "best_ask_price", "best_bid_size", "best_ask_size", "obi",
     )
     if adaptive_asof:
@@ -161,6 +175,7 @@ def preprocess_job(
             left_ts="bar_end_us",
             right_ts="ob_timestamp",
             tolerance=asof_tolerance_ms,
+            right_tiebreak=["arrive_time"],
         )
     return asof_join(
         bars,
@@ -169,6 +184,7 @@ def preprocess_job(
         left_ts="bar_end_us",
         right_ts="ob_timestamp",
         tolerance=asof_tolerance_ms,
+        right_tiebreak=["arrive_time"],
         how="left",
         left_keys=["code", "bar_num"],
     )

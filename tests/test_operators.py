@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_market_data_etl_spark.operators.asof import (
@@ -386,3 +387,39 @@ def test_sliding_paned_zero_variance_guard(spark):
         if r.n_events > 1:
             assert r.stddev_value == 0.0  # greatest(...,0) guard: never NaN
         assert abs(r.avg_value - 42.0) < 1e-12
+
+
+def test_dollar_bars_reference_parity_mode(spark):
+    # reference arithmetic (processing_raw_data_from_gcs.py:118-128): float
+    # cumsum + floor(cum/size) — the boundary-crossing trade OPENS the next
+    # bar. Same 6x4.0 trades: cum 4..24, floor(cum/10) -> [0,0,1,1,2,2]
+    rows = [(1, i, 4.0) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "key long, ts long, price double")
+    bars = dollar_bars(
+        df, ["key"], "ts", notional_col="price", bar_size=10.0, tiebreak=[],
+        reference_parity=True,
+    ).orderBy("bar_num").collect()
+    assert [b.bar_num for b in bars] == [0, 1, 2]
+    assert [b.n_trades for b in bars] == [2, 2, 2]
+    assert [b.bar_end_us for b in bars] == [2, 4, 6]
+
+
+def test_dollar_bars_reference_parity_rejects_blocking(spark):
+    df = spark.createDataFrame([(1, 1, 4.0)], "key long, ts long, price double")
+    with pytest.raises(ValueError):
+        dollar_bars(
+            df, ["key"], "ts", notional_col="price", bar_size=10.0,
+            reference_parity=True, block_span=100,
+        )
+
+
+def test_asof_join_duplicate_left_rows_survive(spark):
+    # duplicate left rows (no left_keys given) must EACH produce an output
+    # row — the rank partitions by a generated unique id, not all columns
+    ldf = spark.createDataFrame(
+        [(1, 100), (1, 100), (1, 100)], "key long, lts long"
+    )
+    rdf = spark.createDataFrame([(1, 90, 5.0)], "key long, rts long, px double")
+    out = asof_join(ldf, rdf, ["key"], "lts", "rts", 1000).collect()
+    assert len(out) == 3
+    assert all(r.px_r == 5.0 for r in out)

@@ -498,3 +498,78 @@ def test_continuous_aggregate_matches_batch_partials(spark, tmp_path):
         )
     )
     assert got_daily == want_daily
+
+
+def test_file_stream_writer_native_partitioned_sink(spark, tmp_path):
+    # S6: writeStream.format("parquet").partitionBy(...) + checkpoint, the
+    # reference's archival shape (kafka_to_gcs_by_spark_streaming.py:74-88)
+    from crypto_market_data_etl_spark.streaming.sinks import file_stream_writer
+
+    in_path, out_path = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, in_path, [(1, 1 * US, 10.0), (2, 2 * US, 20.0)])
+    _write_batch(spark, in_path, [(1, 3 * US, 30.0)])
+    q = file_stream_writer(
+        _stream(spark, in_path), out_path, ckpt, partition_cols=["code"]
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_path)
+    assert back.count() == 3
+    assert {r["code"] for r in back.select("code").distinct().collect()} == {1, 2}
+    # partition pruning must reach the scan: code is a directory column
+    import os
+
+    assert any(d.startswith("code=") for d in os.listdir(out_path))
+    # exactly-once bookkeeping: the file sink wrote its commit log
+    assert os.path.isdir(os.path.join(out_path, "_spark_metadata"))
+
+    # restart with the same checkpoint: no duplication, new data flows
+    _write_batch(spark, in_path, [(2, 4 * US, 40.0)])
+    q2 = file_stream_writer(
+        _stream(spark, in_path), out_path, ckpt, partition_cols=["code"]
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out_path).count() == 4
+
+
+def test_console_stream_writer_runs(spark, tmp_path):
+    # S8: console sink (kafka_spark_consumer_test_code.py:119-127)
+    from crypto_market_data_etl_spark.streaming.sinks import console_stream_writer
+
+    in_path = str(tmp_path / "in")
+    _write_batch(spark, in_path, [(1, 1 * US, 10.0)])
+    q = console_stream_writer(_stream(spark, in_path), num_rows=5).start()
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
+
+
+def test_stateful_ewma_string_key(spark, tmp_path):
+    # key/ts schemas derive from the input — the reference's `code` is a
+    # STRING (schemas.py TRADE_SCHEMA); state ops must not assume long keys
+    path = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [("KRW-BTC", 1 * US, 10.0), ("KRW-BTC", 2 * US, 20.0), ("KRW-ETH", 1 * US, 5.0)],
+        "code string, ts_us long, value double",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(path)
+    )
+    out = stateful_ewma(stream, key_col="code")
+    q = run_to_memory(out, "ewma_str_key", output_mode="append")
+    try:
+        rows = {(r.code, r.ts_us): r.ewma for r in spark.sql("SELECT * FROM ewma_str_key").collect()}
+        assert rows[("KRW-BTC", 1 * US)] == 10.0
+        assert abs(rows[("KRW-BTC", 2 * US)] - (0.8 * 20.0 + 0.2 * 10.0)) < 1e-12
+        assert rows[("KRW-ETH", 1 * US)] == 5.0
+    finally:
+        q.stop()
