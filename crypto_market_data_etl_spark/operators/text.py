@@ -192,3 +192,63 @@ def fingerprints(
     )
     keep = F.greatest(F.size(toks) - (gram_n - 1), F.lit(1)) >= window
     return df.filter(keep).select(F.col(id_col), F.inline(F.array(result)))
+
+
+#: Default sensitive-term pattern for :func:`redact_terms`. Production swaps
+#: in PII patterns (emails, phone numbers, ID numbers); the mechanics —
+#: global regex replace + match counting, one projection, no shuffle — are
+#: identical, and the test corpus actually contains these tokens.
+SENSITIVE_PATTERN = r"\b(customer|query|value)\b"
+
+
+def redact_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = SENSITIVE_PATTERN,
+    replacement: str = "<REDACTED>",
+) -> DataFrame:
+    """Content scrubbing for training corpora: globally replace every match
+    of ``pattern`` and count the hits per document.
+
+    Pure projection (regexp_replace + regexp_extract_all, JVM regex) — zero
+    shuffle, scales linearly; at 100 TB this is a map-only pass that
+    pipelines into the scan. Output keeps the original columns plus
+    ``redacted`` (scrubbed text) and ``n_redacted`` (match count) — callers
+    that only need audit counts should drop ``redacted`` so parquet writers
+    don't store both texts.
+    """
+    return df.withColumn(
+        "redacted", F.regexp_replace(F.col(text_col), pattern, replacement)
+    ).withColumn(
+        "n_redacted",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast("long"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by frequency, deterministic
+    (count desc, token asc). Output: (token, cnt, rnk).
+
+    Shape at 100 TB: explode + map-side-combined count (one shuffle on
+    token), then ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k merged on the driver), NOT a global sort; the final
+    rank is a window over just k rows.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("token")
+    tokens = df.select(tok)
+    if lowercase:
+        tokens = tokens.select(F.lower(F.col("token")).alias("token"))
+    counts = (
+        tokens.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))

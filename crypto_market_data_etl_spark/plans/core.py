@@ -1036,6 +1036,82 @@ FROM l
 """
 
 
+# --------------------------------------------------------------------------
+# q27 reference-shaped pipeline, end-to-end through the driver gate:
+# events → 15-field upbit trade JSON (P13 to_json) → parse_trades (P1-P6:
+# binary cast, from_json with the REAL TRADE_SCHEMA, flatten, event time,
+# latency) → candle_job (§3.1 druid path: tumbling OHLCV + TFI). Round-1
+# verdict "missing #4": the reference-shaped jobs ran only on pytest
+# fixtures; this runs the actual job composition on driver tables with a
+# full DuckDB oracle. avg_latency is computed by the job but excluded from
+# the gated projection: a float mean can land on an exact .5-at-6dp
+# boundary where Spark's BigDecimal HALF_UP and DuckDB's fp round disagree
+# (engine-divergence rule in the module docstring); every other column is
+# exact-rational or raw-double equal.
+# --------------------------------------------------------------------------
+
+def q27_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .reference_jobs import candle_job, parse_trades
+
+    ev = _events(spark, sf_dir)
+    # deterministic trade-shaped payload (mirrored field-by-field in SQL):
+    # 2-dec volume from event_id keeps every sum exact-rational
+    trade_json = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("trade").alias("type"),
+                F.concat(F.lit("KRW-"), F.col("user_id").cast("string")).alias("code"),
+                F.expr("ts_us div 1000").alias("timestamp"),
+                F.col("value").alias("trade_price"),
+                ((F.col("event_id") % 100 + 1) / F.lit(100.0)).alias("trade_volume"),
+                F.when(F.col("event_type").isin(*BUY_TYPES), F.lit("BID"))
+                .otherwise(F.lit("ASK"))
+                .alias("ask_bid"),
+                F.col("event_id").alias("sequential_id"),
+                (F.col("ts_us") / F.lit(1_000_000.0) + F.lit(0.05)).alias("arrive_time"),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    candles = candle_job(parse_trades(trade_json), width_seconds=CANDLE_S)
+    return candles.select(
+        "w_start", "code", "open", "high", "low", "close", "n_trades",
+        "volume",
+        # + 0.0 canonicalizes IEEE -0.0 (a BID/ASK-balanced window can sum to
+        # negative zero on one engine and positive zero on the other)
+        (F.col("tfi") + F.lit(0.0)).alias("tfi"),
+    )
+
+
+_Q27_WIDTH_US = CANDLE_S * 1_000_000
+
+Q27_SQL = f"""
+WITH e AS ({_EVENTS_US}),
+t AS (
+  SELECT 'KRW-' || CAST(user_id AS VARCHAR) AS code,
+         ts_us // 1000 AS ts_ms,
+         value AS trade_price,
+         (event_id % 100 + 1) / 100.0 AS trade_volume,
+         CASE WHEN event_type IN ('click', 'purchase') THEN 'BID' ELSE 'ASK' END AS ask_bid,
+         event_id AS sequential_id
+  FROM e
+)
+SELECT make_timestamp((ts_ms * 1000 // {_Q27_WIDTH_US}) * {_Q27_WIDTH_US}) AS w_start,
+       code,
+       first(trade_price ORDER BY ts_ms, sequential_id) AS open,
+       max(trade_price) AS high,
+       min(trade_price) AS low,
+       last(trade_price ORDER BY ts_ms, sequential_id) AS close,
+       count(*) AS n_trades,
+       round(sum(trade_volume), 8) AS volume,
+       round(sum(CASE WHEN ask_bid = 'BID' THEN trade_volume
+                      ELSE -trade_volume END), 8) + 0.0 AS tfi
+FROM t
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1063,6 +1139,7 @@ QUERIES = {
     "q24_sliding_paned": q24_sliding_paned,
     "q25_continuous_candles": q25_continuous_candles,
     "q26_ewma_per_row": q26_ewma_per_row,
+    "q27_reference_pipeline": q27_reference_pipeline,
 }
 
 ORACLES = {
@@ -1092,4 +1169,5 @@ ORACLES = {
     "q24_sliding_paned": Q24_SQL,
     "q25_continuous_candles": Q19_SQL,  # IVM is physical; daily-candle semantics match q19
     "q26_ewma_per_row": Q26_SQL,
+    "q27_reference_pipeline": Q27_SQL,
 }

@@ -32,7 +32,17 @@ from ..operators.similarity import (
     lsh_ann_topk,
     lsh_buckets,
 )
-from ..operators.text import LANGS, STOPWORDS, fingerprints, lang_scores, quality_scores, token_stats
+from ..operators.text import (
+    LANGS,
+    SENSITIVE_PATTERN,
+    STOPWORDS,
+    fingerprints,
+    lang_scores,
+    quality_scores,
+    redact_terms,
+    token_stats,
+    vocabulary,
+)
 from ..schemas import load_table
 
 N_HASHES, ROWS_PER_BAND = 15, 3
@@ -678,6 +688,56 @@ FROM documents GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# x19 content redaction (training-data scrub: global regex replace + audit
+# count; the scrubbed text is gated via its md5 so the hash compare covers
+# every byte without shipping the full text through the canonicalizer)
+# --------------------------------------------------------------------------
+
+def x19_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = redact_terms(_docs(spark, sf_dir))
+    return red.select(
+        "doc_id",
+        "n_redacted",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_hash"),
+    )
+
+
+# DuckDB regexp_replace needs the 'g' flag for global replacement (Spark's
+# is always global); \b works in both regex engines (RE2 / java.util.regex)
+X19_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{SENSITIVE_PATTERN}')) AS BIGINT) AS n_redacted,
+       CAST(length(regexp_replace(text, '{SENSITIVE_PATTERN}', '<REDACTED>', 'g')) AS BIGINT)
+           AS redacted_len,
+       md5(regexp_replace(text, '{SENSITIVE_PATTERN}', '<REDACTED>', 'g')) AS redacted_hash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# x20 corpus vocabulary (top-k token frequencies, deterministic tie-break —
+# the BPE/vocab-building first pass of every LLM data pipeline)
+# --------------------------------------------------------------------------
+
+def x20_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocabulary(_docs(spark, sf_dir), k=100)
+
+
+X20_SQL = """
+WITH tk AS (
+  SELECT lower(unnest(str_split(text, ' '))) AS token FROM documents
+),
+c AS (
+  SELECT token, count(*) AS cnt FROM tk WHERE token <> '' GROUP BY token
+)
+SELECT token, cnt, rnk
+FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
+WHERE rnk <= 100
+"""
+
+
 QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x02_minhash_pairs": x02_minhash_pairs,
@@ -697,6 +757,8 @@ QUERIES = {
     "x16_hll_distinct": x16_hll_distinct,
     "x17_multiprobe_ann": x17_multiprobe_ann,
     "x18_bandor_ann": x18_bandor_ann,
+    "x19_redaction": x19_redaction,
+    "x20_vocabulary": x20_vocabulary,
 }
 
 ORACLES = {
@@ -718,4 +780,6 @@ ORACLES = {
     "x16_hll_distinct": X16_SQL,
     "x17_multiprobe_ann": X17_SQL,
     "x18_bandor_ann": X18_SQL,
+    "x19_redaction": X19_SQL,
+    "x20_vocabulary": X20_SQL,
 }

@@ -186,3 +186,39 @@ def test_multimodal_features_deterministic(spark, docs):
 def test_multimodal_real_decode_raises(spark, docs):
     with pytest.raises(NotImplementedError):
         extract_features(to_blob_table(docs), real_decode=True)
+
+
+def test_redact_terms_global_and_counted(spark):
+    from crypto_market_data_etl_spark.operators.text import redact_terms
+
+    df = spark.createDataFrame(
+        [(1, "customer value customer extra"), (2, "nothing here"), (3, "valuevalue value")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_terms(df).collect()}
+    # global replace, all occurrences
+    assert out[1].redacted == "<REDACTED> <REDACTED> <REDACTED> extra"
+    assert out[1].n_redacted == 3
+    assert out[2].redacted == "nothing here" and out[2].n_redacted == 0
+    # \b word boundary: 'valuevalue' is NOT a match, bare 'value' is
+    assert out[3].redacted == "valuevalue <REDACTED>" and out[3].n_redacted == 1
+
+
+def test_vocabulary_topk_deterministic(spark):
+    from crypto_market_data_etl_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "b a a c B"), (2, "a c  c")], "doc_id long, text string"
+    )
+    rows = vocabulary(df, k=2).collect()
+    # counts: a=3, b=2 (lowercased), c=3; empty tokens dropped.
+    # top-2 by (cnt desc, token asc): a(3,rnk1), c(3,rnk2)
+    assert [(r.token, r.cnt, r.rnk) for r in rows] == [("a", 3, 1), ("c", 3, 2)]
+
+
+def test_vocabulary_plans_take_ordered(spark):
+    from crypto_market_data_etl_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = vocabulary(df, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
