@@ -55,9 +55,15 @@ def word_shingles(
     """
     staged = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    n_grams = F.size(toks) - (n - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs shorter
+    # than n tokens must short-circuit to an empty gram array (explode drops
+    # them) instead of reaching slice() with a 0 index
+    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
     )
     return staged.select(F.col(id_col), F.explode(grams).alias("s")).distinct()
 

@@ -1,0 +1,75 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only per partitioning — repartition the input
+and the sample changes, which makes experiment reruns irreproducible and is
+useless as an oracle-gated operator. These samplers decide membership from a
+**content hash of the row id**, so the sample is a pure function of the data:
+stable across partitionings, engines, and reruns, and any engine (the DuckDB
+oracle included) computes the identical sample.
+
+Mechanics: md5 produces lowercase hex uniform over [0, 16^32); a row is kept
+iff the first 8 hex chars compare lexicographically below the rate's
+threshold (``format(int(rate * 16**8), '08x')``). Hex-string comparison is
+byte-identical across engines; granularity is 1/2^32. A ``salt`` decorrelates
+independent samples over the same ids.
+
+Scale: membership is a map-only projection — no shuffle, pipelines into the
+scan. Per-stratum rates come in via a broadcast-joined rates dim (never a
+driver-side collect of the fact table); an unmatched stratum keeps rate 0 —
+explicit-allowlist semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rate_threshold(rate: float) -> str:
+    """Keep-threshold string for a sampling rate in [0, 1]: an 8-hex-char
+    digest prefix is kept iff it sorts strictly below the threshold. Rate 1.0
+    returns ``"g"`` — lexicographically above every hex digest (keep all) —
+    because ``16**8`` itself needs 9 digits and would break the 8-char
+    string comparison."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    n = int(rate * 16**8)
+    return "g" if n >= 16**8 else format(n, "08x")
+
+
+def _keep(id_col: str, thr_col, salt: str):
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.substring(digest, 1, 8) < thr_col
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample: keep ~``rate`` of rows by id hash."""
+    return df.filter(_keep(id_col, F.lit(rate_threshold(rate)), salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sample (training-mix construction: 'keep
+    90% of wiki, 10% of crawl').
+
+    ``rates`` maps stratum value -> keep rate; strata absent from the map are
+    dropped. The rates dim is broadcast-joined (inner), so the filter stays
+    map-side with no shuffle of the fact table.
+    """
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, rate_threshold(v)) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, __thr string",
+    )
+    return (
+        df.join(F.broadcast(dim), stratum_col)
+        .filter(_keep(id_col, F.col("__thr"), salt))
+        .drop("__thr")
+    )

@@ -1,13 +1,17 @@
 """Extension query plans: LLM-data-pipeline operators with DuckDB oracles.
 
-Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
-(brute-force cosine top-k / sign-LSH buckets), text analysis (lang-ID /
-quality / token stats / fingerprints), multimodal column plumbing.
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / duplicate
+clustering), similarity search (brute-force cosine top-k / sign-LSH /
+multi-probe / band-OR / IVF), text analysis (lang-ID / quality / token
+stats / fingerprints / redaction / vocabulary), corpus hygiene
+(benchmark-contamination check, deterministic stratified sampling),
+multimodal column plumbing, sketches.
 
 Hash family is md5 everywhere so the oracle computes identical digests; all
-pair generation goes through LSH band equi-joins (never O(n^2) cross joins).
-``x12_multimodal_features`` is intentionally oracle-less (mapInPandas decode
-stub — non-SQL-expressible; driver records the rows-only check).
+pair generation goes through LSH band equi-joins (never O(n^2) cross joins);
+every entry carries a full DuckDB oracle — including the mapInPandas feature
+path (sha256-derived scalar projections) and the HLL sketch (exact-distinct
+companion + error-bound flag).
 """
 
 from __future__ import annotations
@@ -15,12 +19,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.clustering import dup_groups
+from ..operators.contamination import contamination_report
 from ..operators.dedup import (
     exact_dedup,
+    lsh_bands,
+    lsh_candidate_pairs,
     minhash_jaccard_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    word_shingles,
 )
+from ..operators.sampling import rate_threshold, stratified_sample
 from ..operators.multimodal import blob_metadata, extract_features, to_blob_table
 from ..operators.similarity import (
     cosine_topk,
@@ -738,6 +749,112 @@ WHERE rnk <= 100
 """
 
 
+# --------------------------------------------------------------------------
+# x21 duplicate clustering: connected components (min-label propagation with
+# pointer jumping) over the LSH candidate-pair graph — the transitive-closure
+# step that turns near-dup PAIRS into dedup GROUPS. Oracle: recursive-CTE
+# reachability (comp = min reachable id); the fixpoint is unique, so the
+# iterative Spark form and the recursive SQL form must agree exactly.
+# --------------------------------------------------------------------------
+
+def x21_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = word_shingles(_docs(spark, sf_dir))
+    sig = minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = lsh_candidate_pairs(
+        lsh_bands(sig, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND)
+    )
+    return dup_groups(cand)
+
+
+X21_SQL = _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+walk(node, seed) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.seed FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, min(seed) AS comp FROM walk GROUP BY node),
+sizes AS (SELECT comp, count(*) AS group_size FROM cc GROUP BY comp)
+SELECT node, cc.comp, group_size FROM cc JOIN sizes USING (comp)
+"""
+
+
+# --------------------------------------------------------------------------
+# x22 benchmark-contamination report: n-gram overlap of every corpus doc
+# against a benchmark set (src0 plays the held-out benchmark), broadcast
+# map-side semi-join — the decontamination pass of public LLM pipelines.
+# frac_hit is a raw IEEE division of the two integer counts (bit-identical
+# across engines; never rounded — see the round() divergence rule).
+# --------------------------------------------------------------------------
+
+_BENCH_SRC = "src0"
+
+
+def x22_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != _BENCH_SRC)
+    bench = docs.filter(F.col("source") == _BENCH_SRC)
+    return contamination_report(corpus, bench, gram_n=3)
+
+
+X22_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> '{_BENCH_SRC}'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = '{_BENCH_SRC}'),
+ct AS (SELECT doc_id, str_split(text, ' ') AS tk FROM corpus),
+cg AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM ct
+),
+bt AS (SELECT str_split(text, ' ') AS tk FROM bench),
+bg AS (
+  SELECT DISTINCT
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM bt
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM cg JOIN bg USING (s) GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN coalesce(n_hit, 0)::DOUBLE / n_grams ELSE 0.0 END AS frac_hit
+FROM corpus c LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# x23 deterministic stratified sampling: per-source keep rates decided by an
+# id-hash threshold (pure function of the data — stable across partitionings
+# and engines, unlike df.sample). Training-mix construction.
+# --------------------------------------------------------------------------
+
+_MIX_RATES = {f"src{i}": 0.2 + 0.15 * (i % 5) for i in range(20)}
+_MIX_SALT = "mix1"
+
+
+def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stratified_sample(
+        _docs(spark, sf_dir), "source", _MIX_RATES, "doc_id", salt=_MIX_SALT
+    )
+    return out.select("doc_id", "source")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN '{rate_threshold(v)}'" for k, v in sorted(_MIX_RATES.items())
+)
+
+X23_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE source {_MIX_CASE} END
+"""
+
+
 QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x02_minhash_pairs": x02_minhash_pairs,
@@ -759,6 +876,9 @@ QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x19_redaction": x19_redaction,
     "x20_vocabulary": x20_vocabulary,
+    "x21_dup_clusters": x21_dup_clusters,
+    "x22_contamination": x22_contamination,
+    "x23_stratified_sample": x23_stratified_sample,
 }
 
 ORACLES = {
@@ -782,4 +902,7 @@ ORACLES = {
     "x18_bandor_ann": X18_SQL,
     "x19_redaction": X19_SQL,
     "x20_vocabulary": X20_SQL,
+    "x21_dup_clusters": X21_SQL,
+    "x22_contamination": X22_SQL,
+    "x23_stratified_sample": X23_SQL,
 }

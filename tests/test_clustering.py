@@ -1,0 +1,108 @@
+"""Connected components, deterministic sampling, contamination report."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_market_data_etl_spark.operators.clustering import (
+    connected_components,
+    dup_groups,
+)
+from crypto_market_data_etl_spark.operators.contamination import contamination_report
+from crypto_market_data_etl_spark.operators.sampling import (
+    hash_sample,
+    rate_threshold,
+    stratified_sample,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_cc_merges_transitively(spark):
+    # triangle {1,2,3} + chain {10-11-12} + pair {20,21}; (1,3) never paired
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)])
+    )
+    got = {r.node: r.comp for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_chain_pointer_jumping(spark):
+    # a 64-node path: plain propagation needs 63 rounds, pointer jumping
+    # must converge well inside the default max_rounds=25 (O(log d))
+    edges = [(i, i + 1) for i in range(63)]
+    cc = connected_components(_pairs(spark, edges))
+    rows = cc.collect()
+    assert len(rows) == 64 and all(r.comp == 0 for r in rows)
+
+
+def test_dup_groups_sizes_and_survivor(spark):
+    out = {
+        r.node: (r.comp, r.group_size)
+        for r in dup_groups(_pairs(spark, [(5, 9), (9, 7), (30, 31)])).collect()
+    }
+    assert out == {5: (5, 3), 7: (5, 3), 9: (5, 3), 30: (30, 2), 31: (30, 2)}
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(df.repartition(17), "doc_id", 0.3).collect()
+    }
+    assert a == b  # df.sample() fails this — hash sampling is content-pure
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_stratified_sample_rates_and_allowlist(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = stratified_sample(df, "source", {"s0": 1.0, "s1": 0.0}, "doc_id")
+    rows = out.groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in rows}
+    assert got == {"s0": 1000}  # s1 sampled to zero, s2 not in map -> dropped
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(0.5) == "80000000"
+    assert rate_threshold(1.0) == "g"  # sorts above every hex digest: keep all
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_contamination_fractions(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c","b c d"; both in bench
+            (2, "a b c x"),        # grams: "a b c","b c x"; one hit
+            (3, "z z z z"),        # gram: "z z z" (distinct); no hits
+            (4, "too short"),      # 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "a b c d e")], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.frac_hit)
+        for r in contamination_report(corpus, bench).collect()
+    }
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (2, 1, 0.5),
+        3: (1, 0, 0.0),
+        4: (0, 0, 0.0),
+    }
+
+
+def test_contamination_broadcasts_bench(spark):
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = (
+        contamination_report(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # gram probe is map-side, no shuffle
