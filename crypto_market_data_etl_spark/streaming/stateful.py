@@ -27,12 +27,13 @@ on integer keys alike.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import Any
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -170,6 +171,172 @@ def stateful_dollar_bars(
         state.update((int(cum),))
 
     return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _pd_dtype(t: T.DataType) -> str:
+    """Pandas dtype that round-trips *t* through Arrow with nulls intact
+    (plain int64 cannot hold the NULLs an unmatched as-of row needs)."""
+    if isinstance(t, T.LongType):
+        return "Int64"
+    if isinstance(t, T.IntegerType):
+        return "Int32"
+    if isinstance(t, (T.DoubleType, T.FloatType)):
+        return "float64"
+    return "object"
+
+
+def stateful_asof_enrich(
+    trades: DataFrame,
+    snapshots: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    tolerance: int | None = None,
+    tiebreak: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Streaming as-of enrichment — the streaming twin of
+    ``operators.asof.asof_join`` (the §3.3 flagship join): every trade is
+    emitted with the latest order-book snapshot at-or-before it, across
+    micro-batch boundaries.
+
+    The batch engine buckets time and equi-joins; a stream instead carries
+    the **latest snapshot per key as state** (one row per key — O(keys)
+    state, any stream volume). The two streams are tag-unioned into one
+    keyed stream so a single ``applyInPandasWithState`` sees both sides in
+    ts order; within a micro-batch the merge is a vectorized masked
+    forward-fill over the Arrow batch (snapshots first at equal ts, so an
+    equal-ts snapshot is visible to its trade — the batch join's ``<=``).
+
+    ``tolerance`` (same unit as ``ts_col``) nulls out enrichments older
+    than the band, matching the batch join's lower bound; state is still
+    advanced. Trades before any snapshot emit NULLs (left-outer).
+
+    Requires per-key in-order arrival across micro-batches (Kafka keyed by
+    instrument provides it; same contract as every operator in this module).
+    ``tiebreak`` columns (e.g. a sequence id) make equal-ts snapshot order
+    deterministic; they must exist on both streams (use a constant on the
+    side that lacks them).
+    """
+    t_payload = [c for c in trades.columns if c not in (key_col, ts_col)]
+    s_payload = [c for c in snapshots.columns if c not in (key_col, ts_col)]
+    clash = set(t_payload) & set(s_payload)
+    if clash:
+        raise ValueError(f"payload columns must be disjoint, overlap: {sorted(clash)}")
+
+    t_tagged = trades.select(
+        key_col,
+        ts_col,
+        F.lit(1).alias("__is_trade"),
+        *[F.col(c) for c in t_payload],
+        *[
+            F.lit(None).cast(_dtype(snapshots, c)).alias(c)
+            for c in s_payload
+        ],
+    )
+    s_tagged = snapshots.select(
+        key_col,
+        ts_col,
+        F.lit(0).alias("__is_trade"),
+        *[F.lit(None).cast(_dtype(trades, c)).alias(c) for c in t_payload],
+        *[F.col(c) for c in s_payload],
+    )
+    u = t_tagged.unionByName(s_tagged)
+
+    ts_pd = _pd_dtype(_dtype(trades, ts_col))
+    snap_pd = {c: _pd_dtype(_dtype(snapshots, c)) for c in s_payload}
+    trade_pd = {c: _pd_dtype(_dtype(trades, c)) for c in t_payload}
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, _dtype(trades, key_col)),
+            T.StructField(ts_col, _dtype(trades, ts_col)),
+            *[T.StructField(c, _dtype(trades, c)) for c in t_payload],
+            T.StructField(ts_col + suffix, _dtype(trades, ts_col)),
+            *[T.StructField(c + suffix, _dtype(snapshots, c)) for c in s_payload],
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("snap_ts", _dtype(trades, ts_col)),
+            *[T.StructField(c, _dtype(snapshots, c)) for c in s_payload],
+        ]
+    )
+    sort_cols = [ts_col, "__is_trade", *tiebreak]
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        seed = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="stable")
+            is_snap = (pdf["__is_trade"] == 0).to_numpy()
+            # masked forward-fill: snapshot rows carry (ts, payload); trade
+            # rows inherit the most recent one; row 0 seeds from state
+            block = pd.DataFrame(index=pdf.index)
+            block["snap_ts"] = pdf[ts_col].where(is_snap).astype("float64")
+            for c in s_payload:
+                block[c] = pdf[c].where(is_snap).astype("float64")
+            if seed is not None:
+                seed_row = pd.DataFrame(
+                    [dict(zip(["snap_ts", *s_payload], seed))]
+                )
+                block = pd.concat([seed_row, block], ignore_index=True)
+            filled = block.ffill()
+            if seed is not None:
+                filled = filled.iloc[1:].reset_index(drop=True)
+            else:
+                filled = filled.reset_index(drop=True)
+            pdf = pdf.reset_index(drop=True)
+            tr = ~is_snap
+            if is_snap.any():
+                last = filled[is_snap].iloc[-1]
+
+                def _native(v, pd_dtype):  # state.update needs exact JVM types
+                    if pd.isna(v):
+                        return None
+                    return int(v) if pd_dtype.startswith("Int") else float(v)
+
+                seed = tuple(
+                    _native(v, d)
+                    for v, d in zip(
+                        [last["snap_ts"], *[last[c] for c in s_payload]],
+                        [ts_pd, *[snap_pd[c] for c in s_payload]],
+                    )
+                )
+            if not tr.any():
+                continue
+            tpdf = pdf[tr]
+            fill = filled[tr]
+            snap_ts = fill["snap_ts"]
+            if tolerance is not None:
+                stale = (tpdf[ts_col].astype("float64") - snap_ts) > tolerance
+                mask = stale.to_numpy()
+            else:
+                mask = np.zeros(len(tpdf), dtype=bool)
+            out = {key_col: [k] * len(tpdf), ts_col: tpdf[ts_col].to_numpy()}
+            for c in t_payload:
+                # the tag-union makes trade payloads nullable (Arrow delivers
+                # long-with-null as float64) — restore the declared dtype
+                out[c] = pd.array(tpdf[c].to_numpy(), dtype=trade_pd[c])
+            out[ts_col + suffix] = pd.array(
+                np.where(mask, np.nan, snap_ts.to_numpy()), dtype=ts_pd
+            )
+            for c in s_payload:
+                vals = np.where(mask, np.nan, fill[c].to_numpy())
+                out[c + suffix] = pd.array(vals, dtype=snap_pd[c])
+            yield pd.DataFrame(out)
+        if seed is not None:
+            state.update(seed)
+
+    return u.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -573,3 +573,100 @@ def test_stateful_ewma_string_key(spark, tmp_path):
         assert rows[("KRW-ETH", 1 * US)] == 5.0
     finally:
         q.stop()
+
+
+def test_stateful_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment == batch asof_join on the same replay,
+    including a snapshot carried as state across micro-batch boundaries."""
+    from crypto_market_data_etl_spark.operators.asof import asof_join
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_asof_enrich
+
+    tdir, sdir = str(tmp_path / "trades"), str(tmp_path / "snaps")
+    t_schema = "code long, ts_us long, price double"
+    s_schema = "code long, ts_us long, bid double, ask double"
+
+    # batch 1: snapshot @1s, trades @2s,3s; batch 2: trade @4s BEFORE its own
+    # snapshot arrives (must enrich from batch-1 state), snapshot @5s, trade @6s
+    t1 = [(1, 2 * US, 100.0), (1, 3 * US, 101.0)]
+    s1 = [(1, 1 * US, 99.0, 99.5)]
+    t2 = [(1, 4 * US, 102.0), (1, 6 * US, 103.0), (2, 6 * US, 50.0)]
+    s2 = [(1, 5 * US, 98.0, 98.5)]
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    write(tdir, t_schema, t1), write(sdir, s_schema, s1)
+    time.sleep(1.1)
+    write(tdir, t_schema, t2), write(sdir, s_schema, s2)
+
+    tr = spark.readStream.schema(t_schema).option("maxFilesPerTrigger", "1").parquet(tdir)
+    sn = spark.readStream.schema(s_schema).option("maxFilesPerTrigger", "1").parquet(sdir)
+    out = stateful_asof_enrich(tr, sn, key_col="code", ts_col="ts_us")
+    q = (
+        out.writeStream.format("memory").queryName("asof_enrich")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.code, r.ts_us): (r.price, r.ts_us_r, r.bid_r, r.ask_r)
+            for r in spark.table("asof_enrich").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {
+        (1, 2 * US): (100.0, 1 * US, 99.0, 99.5),
+        (1, 3 * US): (101.0, 1 * US, 99.0, 99.5),
+        (1, 4 * US): (102.0, 1 * US, 99.0, 99.5),  # state from batch 1
+        (1, 6 * US): (103.0, 5 * US, 98.0, 98.5),
+        (2, 6 * US): (50.0, None, None, None),     # no snapshot ever: left outer
+    }
+
+    # batch twin on the full data agrees (unbounded tolerance ~ huge band)
+    bt = spark.createDataFrame(t1 + t2, t_schema)
+    bs = spark.createDataFrame(s1 + s2, s_schema)
+    batch = asof_join(
+        bt, bs, on=["code"], left_ts="ts_us", right_ts="ts_us",
+        tolerance=10**9, left_keys=["code", "ts_us"],
+    )
+    bgot = {
+        (r.code, r.ts_us): (r.price, r.ts_us_r, r.bid_r, r.ask_r)
+        for r in batch.collect()
+    }
+    assert bgot == got
+
+
+def test_stateful_asof_enrich_tolerance_and_equal_ts(spark, tmp_path):
+    """Equal-ts snapshot is visible to its trade (<= semantics); stale
+    snapshots beyond the tolerance band null out but state advances."""
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_asof_enrich
+
+    tdir, sdir = str(tmp_path / "trades"), str(tmp_path / "snaps")
+    t_schema = "code long, ts_us long, price double"
+    s_schema = "code long, ts_us long, bid double, ask double"
+    spark.createDataFrame(
+        [(1, 2 * US, 100.0), (1, 10 * US, 101.0)], t_schema
+    ).coalesce(1).write.parquet(tdir)
+    spark.createDataFrame(
+        [(1, 2 * US, 99.0, 99.5)], s_schema
+    ).coalesce(1).write.parquet(sdir)
+
+    tr = spark.readStream.schema(t_schema).parquet(tdir)
+    sn = spark.readStream.schema(s_schema).parquet(sdir)
+    out = stateful_asof_enrich(
+        tr, sn, key_col="code", ts_col="ts_us", tolerance=3 * US
+    )
+    q = (
+        out.writeStream.format("memory").queryName("asof_tol")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.ts_us: (r.ts_us_r, r.bid_r) for r in spark.table("asof_tol").collect()}
+    finally:
+        q.stop()
+    assert got == {
+        2 * US: (2 * US, 99.0),   # equal-ts snapshot counts
+        10 * US: (None, None),    # 8s-old snapshot outside the 3s band
+    }
