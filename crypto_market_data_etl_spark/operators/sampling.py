@@ -73,3 +73,40 @@ def stratified_sample(
         .filter(_keep(id_col, F.col("__thr"), salt))
         .drop("__thr")
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 1_000,
+    block_span: int | str | None = None,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards: running
+    whitespace-token cumsum in deterministic ``id_col`` order, shard id =
+    ``(cum - 1) div budget`` (the doc that crosses the budget closes its
+    shard — same boundary rule as the dollar-bar operator it reuses).
+
+    Output: ``(id, n_tok, cum_tok, shard)``. Downstream writers
+    ``repartition(shard).write.partitionBy(shard)`` to lay the corpus out as
+    equal-token shards for data loaders.
+
+    A global ordered cumsum is one task's critical path on a naive window;
+    ``block_span`` (an ``id_col`` range width) switches to the keyless form
+    of :func:`..bars.blocked_cumsum` — block-local prefix sums in parallel
+    plus a tiny per-block offset table — which is the only shape that holds
+    at corpus scale. Exact either way (integer addition), so both plans gate
+    against the same oracle.
+    """
+    from .bars import blocked_cumsum
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    )
+    cum = blocked_cumsum(
+        toks, [], id_col, "n_tok", out="cum_tok", block_span=block_span
+    )
+    return cum.withColumn(
+        "shard", F.expr(f"(cum_tok - 1) div {int(shard_tokens)}")
+    )

@@ -38,39 +38,45 @@ def cap_bucket_size(
     log_fn: Callable[[str], None] | None = None,
 ) -> DataFrame:
     """Keep at most *max_bucket_size* members per bucket (smallest *id_col*
-    first — deterministic), logging how many members were dropped.
+    first — deterministic), accounting for how many members were dropped.
 
     The rank is one window over the same key the candidate join shuffles on,
-    so no extra shuffle is introduced. ``log_dropped`` runs a small
-    aggregation action over the bucket projection at plan-build time (an
-    extra scan of the narrow bucket table); pass ``False`` on hot paths
-    where the caller audits bucket sizes separately.
+    so no extra shuffle is introduced. ``log_dropped`` attaches the drop
+    count as an ``observe()`` metric computed DURING the caller's action —
+    zero extra pass (round-2 profiling: the previous eager stats action was
+    a whole extra run of the upstream LSH pipeline per call) — and logs it
+    from a daemon thread once the action completes. Never a silent cap: the
+    count is also visible as the ``bucket_cap`` observed metric in the
+    Spark UI / listener bus even when the log line is not watched.
     """
     if max_bucket_size is None:
         return df
-    if log_dropped:
-        n = F.col("n")
-        stats = (
-            df.groupBy(*bucket_cols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.sum(F.when(n > max_bucket_size, n - max_bucket_size).otherwise(0)).alias(
-                    "dropped"
-                ),
-                F.sum(F.when(n > max_bucket_size, 1).otherwise(0)).alias("hot_buckets"),
-                F.max("n").alias("max_size"),
-            )
-            .first()
-        )
-        if stats["dropped"]:
-            (log_fn or logger.warning)(
-                f"cap_bucket_size: truncated {stats['hot_buckets']} hot bucket(s) "
-                f"to {max_bucket_size} members (max seen {stats['max_size']}), "
-                f"dropping {stats['dropped']} bucket membership(s)"
-            )
     w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(id_col)
-    return (
-        df.withColumn("__bucket_rn", F.row_number().over(w))
-        .filter(F.col("__bucket_rn") <= max_bucket_size)
-        .drop("__bucket_rn")
-    )
+    ranked = df.withColumn("__bucket_rn", F.row_number().over(w))
+    if log_dropped:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        # the metric node sits ABOVE the rank but BELOW the filter, so it
+        # sees every member while the query runs — one action, one pass
+        ranked = ranked.observe(
+            obs,
+            F.sum(
+                F.when(F.col("__bucket_rn") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped"),
+            F.max("__bucket_rn").alias("max_size"),
+        )
+
+        def _report() -> None:
+            got = obs.get  # blocks until the first action over the plan
+            if got["dropped"]:
+                (log_fn or logger.warning)(
+                    f"cap_bucket_size: dropped {got['dropped']} membership(s) "
+                    f"from buckets over {max_bucket_size} "
+                    f"(max bucket seen {got['max_size']})"
+                )
+
+        import threading
+
+        threading.Thread(target=_report, daemon=True).start()
+    return ranked.filter(F.col("__bucket_rn") <= max_bucket_size).drop("__bucket_rn")

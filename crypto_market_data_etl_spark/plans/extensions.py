@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash,
     word_shingles,
 )
-from ..operators.sampling import rate_threshold, stratified_sample
+from ..operators.sampling import pack_shards, rate_threshold, stratified_sample
 from ..operators.multimodal import blob_metadata, extract_features, to_blob_table
 from ..operators.similarity import (
     cosine_topk,
@@ -855,6 +855,38 @@ WHERE substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+# --------------------------------------------------------------------------
+# x24 token-budget shard packing: global ordered cumsum of per-doc token
+# counts -> shard id. Runs the KEYLESS two-phase blocked cumsum (block-local
+# prefix sums + broadcast offset table) so the gate exercises the plan shape
+# that survives a corpus-scale global ordering; exact integer addition means
+# it must equal the naive single-window oracle bit-for-bit.
+# --------------------------------------------------------------------------
+
+_SHARD_TOKENS = 2_000
+_SHARD_BLOCK = 50  # doc_id span per block -> ~10 parallel blocks at sf0.01
+
+
+def x24_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_shards(
+        _docs(spark, sf_dir),
+        shard_tokens=_SHARD_TOKENS,
+        block_span=_SHARD_BLOCK,
+    )
+
+
+X24_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+       CAST((CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1)
+            // {_SHARD_TOKENS} AS BIGINT) AS shard
+FROM t
+"""
+
+
 QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x02_minhash_pairs": x02_minhash_pairs,
@@ -879,6 +911,7 @@ QUERIES = {
     "x21_dup_clusters": x21_dup_clusters,
     "x22_contamination": x22_contamination,
     "x23_stratified_sample": x23_stratified_sample,
+    "x24_shard_packing": x24_shard_packing,
 }
 
 ORACLES = {
@@ -905,4 +938,5 @@ ORACLES = {
     "x21_dup_clusters": X21_SQL,
     "x22_contamination": X22_SQL,
     "x23_stratified_sample": X23_SQL,
+    "x24_shard_packing": X24_SQL,
 }

@@ -106,3 +106,21 @@ def test_contamination_broadcasts_bench(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # gram probe is map-side, no shuffle
+
+
+def test_pack_shards_blocked_equals_plain(spark):
+    from crypto_market_data_etl_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    plain = pack_shards(df, shard_tokens=50).collect()
+    blocked = pack_shards(df, shard_tokens=50, block_span=23).collect()
+    key = lambda rows: sorted((r.doc_id, r.n_tok, r.cum_tok, r.shard) for r in rows)
+    assert key(plain) == key(blocked)
+    # boundary rule: the doc crossing the budget closes its shard
+    by_id = {r.doc_id: r for r in plain}
+    assert by_id[0].cum_tok == 1 and by_id[0].shard == 0
+    total = sum(i % 7 + 1 for i in range(200))
+    assert by_id[199].cum_tok == total and by_id[199].shard == (total - 1) // 50
