@@ -18,7 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
+from crypto_market_data_etl_spark.session import get_spark, state_partitions  # noqa: E402
+
+#: streaming state-store instances = shuffle partitions at query START;
+#: sized to key cardinality (~150 instruments at bench SF), not core count
+STREAM_STATE_PARTITIONS = 8
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -71,10 +75,13 @@ def stream_candles_bench(spark, sf_dir: str) -> tuple[float, int]:
         )
         name = "bench_stream_candles_sink"
         t0 = time.time()
-        q = (
-            candles.writeStream.format("memory").queryName(name)
-            .outputMode("update").start()
-        )
+        # state-store count is frozen at query start; size it to the ~150
+        # instrument keys, not the 32 cores (see session.state_partitions)
+        with state_partitions(spark, STREAM_STATE_PARTITIONS):
+            q = (
+                candles.writeStream.format("memory").queryName(name)
+                .outputMode("update").start()
+            )
         try:
             q.processAllAvailable()
         finally:
@@ -118,10 +125,11 @@ def stateful_ewma_bench(spark, sf_dir: str) -> tuple[float, int]:
         smoothed = stateful_ewma(stream, key_col="user_id")
         name = "bench_stateful_ewma_sink"
         t0 = time.time()
-        q = (
-            smoothed.writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-        )
+        with state_partitions(spark, STREAM_STATE_PARTITIONS):
+            q = (
+                smoothed.writeStream.format("memory").queryName(name)
+                .outputMode("append").start()
+            )
         try:
             q.processAllAvailable()
         finally:

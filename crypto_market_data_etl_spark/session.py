@@ -46,6 +46,32 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+from contextlib import contextmanager
+from typing import Iterator
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int) -> Iterator[None]:
+    """Scope ``spark.sql.shuffle.partitions`` to ``n`` while BUILDING AND
+    STARTING a streaming query, then restore it.
+
+    A streaming aggregation/stateful op creates one state-store instance per
+    shuffle partition, and that count is *frozen into the checkpoint* at
+    query start. The right number tracks STATE VOLUME (distinct keys), not
+    CPU count: at local[32] with ~150 instrument keys, 32 state stores are
+    pure per-micro-batch overhead — measured s01 candle replay 4.0s → 1.9s
+    (2.1x) moving 32 → 4-8, s02 stateful EWMA 5.9s → 4.7s. On a 1000-executor
+    cluster with millions of keys the same knob goes UP instead. Batch
+    queries are unaffected (AQE coalesces their shuffles at runtime).
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def get_spark(
     app_name: str = "crypto-market-data-etl-spark",
     cpus: int | None = None,
