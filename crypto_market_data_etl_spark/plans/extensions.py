@@ -38,6 +38,7 @@ from ..operators.similarity import (
     embedding_neardup_pairs,
     hyperplane_weights,
     ivf_ann_topk,
+    kmeans_step,
     lsh_ann_bandor,
     lsh_ann_multiprobe,
     lsh_ann_topk,
@@ -887,6 +888,42 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# x25 k-means step (Lloyd iteration): broadcast-argmin assignment + per-
+# (cluster, dimension) mean — the centroid refinement IVF's seed centroids
+# stand in for. Row-form output so the gate hashes scalars; sims and means
+# rounded at 6dp (order-dependent float sums, the x05 precedent).
+# --------------------------------------------------------------------------
+
+def x25_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_step(_embs(spark, sf_dir))
+
+
+X25_SQL = f"""
+WITH c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id % 50 = 1),
+v AS (SELECT vec_id AS v_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+sims AS (
+  SELECT v_id, c_id, ev,
+         round(list_dot_product(ev, cv) /
+               (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+  FROM v CROSS JOIN c
+),
+assign AS (
+  SELECT v_id, c_id, ev
+  FROM (SELECT *, row_number() OVER (PARTITION BY v_id ORDER BY sim DESC, c_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+),
+pos AS (SELECT unnest(range(1, {DIM + 1})) AS pos)
+SELECT c_id AS cluster_id, CAST(pos AS INTEGER) AS pos,
+       round(avg(ev[pos]), 6) AS mean_val,
+       count(*) AS n_members
+FROM assign CROSS JOIN pos
+GROUP BY c_id, pos
+"""
+
+
 QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x02_minhash_pairs": x02_minhash_pairs,
@@ -912,6 +949,7 @@ QUERIES = {
     "x22_contamination": x22_contamination,
     "x23_stratified_sample": x23_stratified_sample,
     "x24_shard_packing": x24_shard_packing,
+    "x25_kmeans_step": x25_kmeans_step,
 }
 
 ORACLES = {
@@ -939,4 +977,5 @@ ORACLES = {
     "x22_contamination": X22_SQL,
     "x23_stratified_sample": X23_SQL,
     "x24_shard_packing": X24_SQL,
+    "x25_kmeans_step": X25_SQL,
 }

@@ -124,3 +124,21 @@ def test_pack_shards_blocked_equals_plain(spark):
     assert by_id[0].cum_tok == 1 and by_id[0].shard == 0
     total = sum(i % 7 + 1 for i in range(200))
     assert by_id[199].cum_tok == total and by_id[199].shard == (total - 1) // 50
+
+
+def test_kmeans_step_two_clear_clusters(spark):
+    from crypto_market_data_etl_spark.operators.similarity import kmeans_step
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (3, [0.9, 0.1]),   # cluster 1 (centroid = id 1)
+            (2, [0.0, 1.0]), (4, [0.1, 0.9]),   # cluster 2 (centroid = id 2)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_step(df, centroid_filter=F.col("vec_id").isin(1, 2))
+    got = {(r.cluster_id, r.pos): (r.mean_val, r.n_members) for r in out.collect()}
+    assert got == {
+        (1, 1): (0.95, 2), (1, 2): (0.05, 2),
+        (2, 1): (0.05, 2), (2, 2): (0.95, 2),
+    }
