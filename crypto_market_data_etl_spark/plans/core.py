@@ -1112,6 +1112,75 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q28 streaming as-of enrichment through the gate: the flagship's J1 as-of
+# join run as a LIVE STREAM (streaming/stateful.py::stateful_asof_enrich —
+# latest-snapshot-as-state), replaying the events table as a trade stream +
+# a snapshot stream (every 5th event; (user_id, ts_us) is tie-free at every
+# SF, verified, so the result is fully deterministic). Oracle: DuckDB's
+# native ASOF LEFT JOIN. Single micro-batch replay — the cross-batch state
+# carry is pytest-gated (test_stateful_asof_enrich_matches_batch).
+# --------------------------------------------------------------------------
+
+def q28_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..session import tune
+    from ..streaming.stateful import stateful_asof_enrich
+
+    tune(spark)  # nanosAsLong must be set before the streaming schema binds
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts_us", F.expr("ts div 1000"))
+        )
+
+    trades = src().select(
+        F.col("user_id").alias("code"), "ts_us",
+        F.col("value").alias("price"), "event_id",
+    )
+    snaps = (
+        src()
+        .filter(F.col("event_id") % 5 == 0)
+        .select(F.col("user_id").alias("code"), "ts_us", F.col("value").alias("mid"))
+    )
+    out = stateful_asof_enrich(trades, snaps, key_col="code", ts_col="ts_us")
+    name = "q28_stream_asof_sink"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+Q28_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+t AS (SELECT user_id AS code, ts_us, value AS price, event_id FROM e),
+s AS (SELECT user_id AS code, ts_us, value AS mid FROM e WHERE event_id % 5 = 0)
+SELECT t.code, t.ts_us, t.price, t.event_id,
+       s.ts_us AS ts_us_r, s.mid AS mid_r
+FROM t ASOF LEFT JOIN s
+  ON t.code = s.code AND s.ts_us <= t.ts_us
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1140,6 +1209,7 @@ QUERIES = {
     "q25_continuous_candles": q25_continuous_candles,
     "q26_ewma_per_row": q26_ewma_per_row,
     "q27_reference_pipeline": q27_reference_pipeline,
+    "q28_stream_asof_enrich": q28_stream_asof_enrich,
 }
 
 ORACLES = {
@@ -1170,4 +1240,5 @@ ORACLES = {
     "q25_continuous_candles": Q19_SQL,  # IVM is physical; daily-candle semantics match q19
     "q26_ewma_per_row": Q26_SQL,
     "q27_reference_pipeline": Q27_SQL,
+    "q28_stream_asof_enrich": Q28_SQL,
 }
