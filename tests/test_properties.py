@@ -112,3 +112,48 @@ def test_dollar_bars_partition_trades_exactly(spark, rows, bar_size, block_span)
         assert nums == sorted(set(nums))
         total_cents = int(round(pdf[pdf.key == key].price.sum() * 100))
         assert nums[-1] == (total_cents - 1) // (bar_size * 100)
+
+
+# ---------------------------------------------------------------------------
+# connected components: Spark iterative form == union-find on random graphs
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from crypto_market_data_etl_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    want = _union_find(edges)
+    # union-find roots are component minima after path compression with
+    # min-root union, matching the operator's fixpoint definition
+    want = {n: min(m for m in want if want[m] == want[n]) for n in want}
+    assert got == want
