@@ -37,6 +37,11 @@ HEADLINE = [
     "x05_embedding_topk",
     "x06_lsh_buckets",
     "x10_fingerprint",
+    # round-2 families: iterative graph (CC), broadcast n-gram probe,
+    # keyless two-phase global cumsum — first recorded run sets their baseline
+    "x21_dup_clusters",
+    "x22_contamination",
+    "x24_shard_packing",
 ]
 
 

@@ -65,7 +65,8 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        # spread: min over self + neighbour labels
+        # spread: min over self + neighbour labels (old label carried along
+        # so the convergence check below needs no extra join)
         nbr = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -74,6 +75,7 @@ def connected_components(
         spread = labels.join(nbr, "node", "left").select(
             "node",
             F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            F.col("comp").alias("old"),
         )
         # jump: comp <- label(comp); a component label is always a node
         jumped = (
@@ -83,17 +85,14 @@ def connected_components(
                 ),
                 "comp",
             )
-            .select("node", F.least("comp", "comp2").alias("comp"))
+            .select("node", F.least("comp", "comp2").alias("comp"), "old")
             .localCheckpoint()  # eager: cuts lineage AND materializes the round
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = jumped
+        # scan of the just-cached result — no join, no shuffle
+        changed = jumped.filter(F.col("comp") != F.col("old")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
-            return labels.select("node", "comp")
+            return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
