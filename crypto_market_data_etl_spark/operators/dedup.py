@@ -118,17 +118,23 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` guards the degenerate-bucket blow-up (boilerplate/
     empty docs collapsing to one signature → O(n²) pairs on one shuffle
     partition): each (band_idx, band_sig) bucket is deterministically
-    truncated to its smallest ids, with the dropped-membership count logged
-    (``operators.skew.cap_bucket_size``). Default (None) resolves to
-    ``skew.DEFAULT_MAX_BUCKET_SIZE`` — inert on healthy corpora, a hard
-    bound on degenerate ones. Pass ``max_bucket_size=0`` to disable.
+    truncated to its smallest ids, with the dropped-membership count logged.
+    Truncation alone would orphan EXACT-dup members beyond the cap (identical
+    docs share a signature in every band — no other band rescues them), so
+    each dropped membership also emits a chain pair to the bucket's smallest
+    id (``operators.skew.cap_bucket_size_chained``): O(dropped) extra pairs,
+    and every capped member stays connected for downstream clustering/dedup.
+    Default (None) resolves to ``skew.DEFAULT_MAX_BUCKET_SIZE`` — inert on
+    healthy corpora, a hard bound on degenerate ones. Pass
+    ``max_bucket_size=0`` to disable.
     """
-    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
+    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size_chained
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    chains = None
     if max_bucket_size > 0:
-        bands = cap_bucket_size(
+        bands, chains = cap_bucket_size_chained(
             bands, ["band_idx", "band_sig"], id_col, max_bucket_size, log_dropped
         )
     a = bands.select(
@@ -137,12 +143,14 @@ def lsh_candidate_pairs(
     b = bands.select(
         F.col(id_col).alias("id_b"), "band_idx", "band_sig"
     )
-    return (
+    pairs = (
         a.join(b, ["band_idx", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if chains is not None:
+        pairs = pairs.unionByName(chains)
+    return pairs.distinct()
 
 
 def minhash_jaccard_pairs(

@@ -414,29 +414,49 @@ def embedding_neardup_pairs(
 
     Hot buckets are truncated to ``max_bucket_size`` members (default
     ``skew.DEFAULT_MAX_BUCKET_SIZE``; 0 disables) with the drop count
-    logged — see ``operators.skew``.
+    logged. Each dropped membership emits a chain pair to the bucket's
+    smallest id (exact dups collapse to ONE bucket per table — truncation
+    alone would orphan members beyond the cap); chain pairs go through the
+    same exact-cosine verification as joined candidates, so no similarity
+    is ever fabricated. See ``operators.skew``.
     """
-    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
+    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size_chained
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     sig = bucket_signature(vec_col, n_planes, dim)
     t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    chains = None
     if max_bucket_size > 0:
-        t = cap_bucket_size(t, ["bucket"], id_col, max_bucket_size)
+        t, chains = cap_bucket_size_chained(t, ["bucket"], id_col, max_bucket_size)
     a = t.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = t.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
-        .distinct()
     )
+    if chains is not None:
+        chain_pairs = (
+            chains.join(
+                df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+                "id_a",
+            )
+            .join(
+                df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+                "id_b",
+            )
+            .withColumn("sim", F.round(sim, 6))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+        )
+        pairs = pairs.unionByName(chain_pairs)
+    return pairs.distinct()
 
 
 def ivf_ann_topk(

@@ -8,14 +8,26 @@ quadratic stage on one shuffle partition. The guard: deterministically
 truncate each bucket to its ``max_bucket_size`` smallest ids before the join
 and LOG the dropped-member count — never a silent cap.
 
-Members dropped from a hot bucket only lose candidacy through *that* bucket;
-banded/multi-table schemes still surface the pair through their other bands,
-which is why truncation (not sampling) is the standard production choice.
+Truncation alone has a recall hole precisely in the degenerate case that
+motivates it: EXACT duplicates produce the same signature in *every* band,
+so each band's bucket truncates to the same smallest ids and members beyond
+the cap lose all candidacy — no other band rescues them. (Bands do rescue
+*near*-dups, whose signatures differ per band.) The fix is
+:func:`cap_bucket_size_chained`: for every dropped member, emit one chain
+pair linking it to the bucket's smallest id. That is O(dropped) extra pairs
+— linear, not quadratic — and it preserves connected-component/dedup
+correctness: every member of a capped bucket stays reachable from the
+bucket's canonical (min-id) member. Pair-generating operators
+(``lsh_candidate_pairs``, ``embedding_neardup_pairs``) route chain pairs
+through the same exact-verification step as joined candidates, so claimed
+similarities are never fabricated.
 """
 
 from __future__ import annotations
 
 import logging
+import threading
+import time
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -27,6 +39,82 @@ logger = logging.getLogger(__name__)
 #: produce (so oracle parity is unaffected) while bounding a degenerate
 #: bucket's pair blow-up to cap² at production scale.
 DEFAULT_MAX_BUCKET_SIZE = 10_000
+
+#: How long the drop-count reporter keeps polling an unexecuted plan before
+#: giving up (seconds). Generous for real actions; bounded for plans that
+#: are built and discarded — the thread (and its Observation reference)
+#: always exits by this deadline, so unexecuted plans cannot accumulate
+#: parked threads for the life of the session.
+_REPORT_TIMEOUT_S = 900.0
+
+
+def _watch_observation(
+    obs,  # pyspark.sql.Observation
+    max_bucket_size: int,
+    log_fn: Callable[[str], None] | None,
+) -> None:
+    """Log the observed drop count once the first action over the plan
+    completes — without parking a thread forever if it never runs.
+
+    Polls the JVM ``getRowOrEmpty`` (a ≤100ms peek) with exponential
+    backoff instead of blocking on ``Observation.get``, and gives up after
+    ``_REPORT_TIMEOUT_S``. The thread must hold the only durable reference
+    to the Observation (``DataFrame.observe`` registers it JVM-side but
+    keeps no Python-side ref), so lifetime is bounded by the deadline, not
+    by garbage collection. Even when the log window is missed, the count
+    remains visible as an observed metric on the listener bus / Spark UI.
+    """
+
+    def _poll() -> None:
+        deadline = time.monotonic() + _REPORT_TIMEOUT_S
+        backoff = 0.02  # tight at first (actions usually follow the build
+        while time.monotonic() < deadline:  # immediately), easing off to 1s
+            try:
+                row_opt = obs._jo.getRowOrEmpty()  # waits ≤100ms JVM-side
+            except Exception:  # py4j gateway gone / session stopped
+                return
+            if row_opt.isDefined():
+                got = obs.get  # now non-blocking
+                if got["dropped"]:
+                    (log_fn or logger.warning)(
+                        f"cap_bucket_size: dropped {got['dropped']} membership(s) "
+                        f"from buckets over {max_bucket_size} "
+                        f"(max bucket seen {got['max_size']})"
+                    )
+                return
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 1.0)
+
+    threading.Thread(target=_poll, daemon=True).start()
+
+
+def _with_rank(df: DataFrame, bucket_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Rank members within each bucket by id (deterministic), carrying the
+    bucket's smallest id alongside. One window — the same key the candidate
+    join shuffles on, so no extra shuffle."""
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(id_col)
+    return df.withColumn("__bucket_rn", F.row_number().over(w)).withColumn(
+        "__bucket_min", F.first(id_col).over(w)
+    )
+
+
+def _observed(ranked: DataFrame, max_bucket_size: int, log_fn) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    # the metric node sits ABOVE the rank but BELOW the filter, so it sees
+    # every member while the query runs — one action, one pass. The count is
+    # also visible as an observed metric on the listener bus / Spark UI even
+    # when the log line is not watched.
+    out = ranked.observe(
+        obs,
+        F.sum(
+            F.when(F.col("__bucket_rn") > max_bucket_size, 1).otherwise(0)
+        ).alias("dropped"),
+        F.max("__bucket_rn").alias("max_size"),
+    )
+    _watch_observation(obs, max_bucket_size, log_fn)
+    return out
 
 
 def cap_bucket_size(
@@ -40,43 +128,69 @@ def cap_bucket_size(
     """Keep at most *max_bucket_size* members per bucket (smallest *id_col*
     first — deterministic), accounting for how many members were dropped.
 
-    The rank is one window over the same key the candidate join shuffles on,
-    so no extra shuffle is introduced. ``log_dropped`` attaches the drop
-    count as an ``observe()`` metric computed DURING the caller's action —
-    zero extra pass (round-2 profiling: the previous eager stats action was
-    a whole extra run of the upstream LSH pipeline per call) — and logs it
-    from a daemon thread once the action completes. Never a silent cap: the
-    count is also visible as the ``bucket_cap`` observed metric in the
-    Spark UI / listener bus even when the log line is not watched.
+    Dropped members lose ALL candidacy through this bucket — for exact-dup
+    classes that means through every bucket (see module docstring). Use
+    :func:`cap_bucket_size_chained` when downstream consumers need
+    connected-component/dedup completeness; plain truncation is the right
+    call only for top-k ANN candidate lists, where a capped bucket costs
+    recall, not correctness.
     """
     if max_bucket_size is None:
         return df
-    w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(id_col)
-    ranked = df.withColumn("__bucket_rn", F.row_number().over(w))
+    ranked = _with_rank(df, bucket_cols, id_col)
     if log_dropped:
-        from pyspark.sql import Observation
+        ranked = _observed(ranked, max_bucket_size, log_fn)
+    return (
+        ranked.filter(F.col("__bucket_rn") <= max_bucket_size)
+        .drop("__bucket_rn", "__bucket_min")
+    )
 
-        obs = Observation()
-        # the metric node sits ABOVE the rank but BELOW the filter, so it
-        # sees every member while the query runs — one action, one pass
-        ranked = ranked.observe(
-            obs,
-            F.sum(
-                F.when(F.col("__bucket_rn") > max_bucket_size, 1).otherwise(0)
-            ).alias("dropped"),
-            F.max("__bucket_rn").alias("max_size"),
+
+def cap_bucket_size_chained(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    id_col: str,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+    log_dropped: bool = True,
+    log_fn: Callable[[str], None] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cap buckets AND return the chain pairs that keep dropped members
+    connected.
+
+    Returns ``(kept, chains)``:
+
+    - ``kept`` — as :func:`cap_bucket_size`.
+    - ``chains`` — one ``(id_a, id_b)`` row per dropped membership, linking
+      the bucket's smallest id (``id_a``) to the dropped member (``id_b``);
+      ``id_a < id_b`` by construction (the min ranks first). Distinct across
+      buckets. O(dropped) rows — restores candidacy for every truncated
+      member at linear cost.
+
+    The chains branch re-filters the ranked plan (a second traversal of
+    *df* when both branches execute). Callers with an expensive upstream —
+    minhash signatures, LSH projections — should persist *df* (the
+    pair-pipeline operators in ``dedup``/``similarity`` already persist the
+    signature table they fan out from).
+    """
+    if max_bucket_size is None:
+        raise ValueError("cap_bucket_size_chained requires a finite cap")
+    ranked = _with_rank(df, bucket_cols, id_col)
+    if log_dropped:
+        observed = _observed(ranked, max_bucket_size, log_fn)
+    else:
+        observed = ranked
+    kept = (
+        observed.filter(F.col("__bucket_rn") <= max_bucket_size)
+        .drop("__bucket_rn", "__bucket_min")
+    )
+    # chains come from the un-observed plan: the metric must fire exactly
+    # once per action, on the branch that always executes (kept)
+    chains = (
+        ranked.filter(F.col("__bucket_rn") > max_bucket_size)
+        .select(
+            F.col("__bucket_min").alias("id_a"),
+            F.col(id_col).alias("id_b"),
         )
-
-        def _report() -> None:
-            got = obs.get  # blocks until the first action over the plan
-            if got["dropped"]:
-                (log_fn or logger.warning)(
-                    f"cap_bucket_size: dropped {got['dropped']} membership(s) "
-                    f"from buckets over {max_bucket_size} "
-                    f"(max bucket seen {got['max_size']})"
-                )
-
-        import threading
-
-        threading.Thread(target=_report, daemon=True).start()
-    return ranked.filter(F.col("__bucket_rn") <= max_bucket_size).drop("__bucket_rn")
+        .distinct()
+    )
+    return kept, chains

@@ -518,29 +518,11 @@ FROM d GROUP BY user_id
 # --------------------------------------------------------------------------
 
 def q14_stream_candles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
-    from ..session import tune
+    from ..schemas import events_stream_source
     from ..streaming.candles import stream_candles
 
-    tune(spark)  # nanosAsLong must be set before the streaming schema binds
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    stream = events_stream_source(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
     )
     candles = stream_candles(
         stream, ["user_id"], "ts", "value", width_seconds=CANDLE_S,
@@ -1123,30 +1105,11 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def q28_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
-    from ..session import tune
+    from ..schemas import events_stream_source
     from ..streaming.stateful import stateful_asof_enrich
 
-    tune(spark)  # nanosAsLong must be set before the streaming schema binds
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-
     def src() -> DataFrame:
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts_us", F.expr("ts div 1000"))
-        )
+        return events_stream_source(spark, sf_dir)
 
     trades = src().select(
         F.col("user_id").alias("code"), "ts_us",

@@ -101,21 +101,56 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table, normalizing types for the engine.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with nanosAsLong it reads as a
-    long. We expose BOTH ``ts_us`` (bigint µs — exact, used for deterministic
-    ordering/bucketing) and ``ts`` (TimestampType, µs-truncated — used for
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (reads as a nanos
+    long under nanosAsLong) and as TIMESTAMP(MICROS) (reads as TimestampType
+    or TimestampNTZType depending on ``inferTimestampNTZ``), so the
+    normalization branches on the dtype Spark actually surfaced. Either way
+    we expose BOTH ``ts_us`` (bigint µs — exact, used for deterministic
+    ordering/bucketing) and ``ts`` (TimestampType, µs precision — used for
     time windows). Oracle mirror: ``epoch_ns(ts)//1000`` /
     ``make_timestamp(epoch_ns(ts)//1000)``.
     """
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = (
-            df.withColumn("ts_us", F.expr("ts div 1000"))
-            .drop("ts")
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
+        df = normalize_events_ts(df)
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Replace whatever dtype ``ts`` arrived as with the engine's canonical
+    pair: ``ts_us`` bigint µs + ``ts`` TimestampType(µs)."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        ts_us = F.expr("ts div 1000")
+    else:
+        # TimestampNTZType casts to TIMESTAMP via the session zone; tune()
+        # pinned it to UTC, so the instant is preserved and unix_micros
+        # returns the stored µs exactly.
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        df.withColumn("ts_us", ts_us)
+        .drop("ts")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over ``events.parquet``, normalized like
+    :func:`load_table`.
+
+    The streaming reader requires an explicit schema; we take it from the
+    parquet footer (one cheap batch-metadata read) instead of hardcoding, so
+    the ``ts`` physical type (TIMESTAMP(NANOS) nanos-as-long vs
+    TIMESTAMP(MICROS)) is whatever the file actually has.
+    """
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

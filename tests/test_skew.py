@@ -1,11 +1,22 @@
 """Hot-bucket cap (operators/skew.py): degenerate LSH buckets stay bounded."""
 
+import time
+
 import pyspark.sql.functions as F
 import pytest
 
 from crypto_market_data_etl_spark.operators.dedup import lsh_candidate_pairs
 from crypto_market_data_etl_spark.operators.similarity import lsh_candidates
-from crypto_market_data_etl_spark.operators.skew import cap_bucket_size
+from crypto_market_data_etl_spark.operators.skew import (
+    cap_bucket_size,
+    cap_bucket_size_chained,
+)
+
+
+def _await(cond, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while not cond() and time.monotonic() < deadline:
+        time.sleep(0.05)
 
 
 def test_cap_truncates_hot_bucket_deterministically(spark):
@@ -19,6 +30,7 @@ def test_cap_truncates_hot_bucket_deterministically(spark):
     # deterministic: smallest ids survive
     kept = sorted(r["vec_id"] for r in capped.filter(F.col("bucket") == "hot").collect())
     assert kept == list(range(10))
+    _await(lambda: len(logs) == 1)  # reporter thread logs after the action
     assert len(logs) == 1 and "490" in logs[0]  # 500 - 10 dropped, logged
 
 
@@ -27,6 +39,7 @@ def test_cap_noop_below_threshold_logs_nothing(spark):
     logs = []
     capped = cap_bucket_size(df, ["bucket"], "vec_id", 100, log_fn=logs.append)
     assert capped.count() == 50
+    time.sleep(0.3)  # give a (wrong) late log a chance to land
     assert logs == []
 
 
@@ -38,13 +51,37 @@ def test_lsh_candidates_degenerate_bucket_bounded(spark):
     assert pairs.count() == 50 * 49 // 2
 
 
-def test_lsh_candidate_pairs_degenerate_band_bounded(spark):
+def test_lsh_candidate_pairs_degenerate_band_bounded_but_connected(spark):
+    # 1000 exact-dup members in one band bucket, cap 20: the joined pairs are
+    # bounded at cap*(cap-1)/2, and each of the 980 dropped members keeps
+    # exactly one chain pair to the bucket min — linear, not quadratic
     bands = spark.createDataFrame(
         [(i, 0, "samesig") for i in range(1000)],
         "doc_id bigint, band_idx int, band_sig string",
     )
     pairs = lsh_candidate_pairs(bands, max_bucket_size=20, log_dropped=False)
-    assert pairs.count() == 20 * 19 // 2
+    rows = pairs.collect()
+    assert len(rows) == 20 * 19 // 2 + 980
+    # no member is orphaned: every id participates in some pair
+    seen = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+    assert seen == set(range(1000))
+    # dropped members chain to the bucket's canonical (min) id
+    chained = {r["id_b"] for r in rows if r["id_a"] == 0}
+    assert set(range(20, 1000)) <= chained
+
+
+def test_cap_chained_links_every_dropped_member_to_bucket_min(spark):
+    rows = [(i, "hot") for i in range(100, 130)] + [(5, "cold"), (7, "cold")]
+    df = spark.createDataFrame(rows, "vec_id bigint, bucket string")
+    kept, chains = cap_bucket_size_chained(
+        df, ["bucket"], "vec_id", 10, log_dropped=False
+    )
+    assert sorted(r["vec_id"] for r in kept.filter("bucket = 'hot'").collect()) == list(
+        range(100, 110)
+    )
+    assert kept.filter("bucket = 'cold'").count() == 2
+    got = sorted(map(tuple, chains.collect()))
+    assert got == [(100, i) for i in range(110, 130)]  # (bucket min, dropped)
 
 
 def test_cap_inert_at_default_threshold_preserves_pairs(spark):
