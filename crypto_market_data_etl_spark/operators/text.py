@@ -157,6 +157,9 @@ def fingerprints(
     re-evaluating the chain per output column.
     """
 
+    if gram_n < 1 or window < 1:
+        raise ValueError(f"gram_n and window must be >= 1, got {gram_n}/{window}")
+
     def let(val, body):  # evaluate `val` once, use it via a lambda variable
         return F.element_at(F.transform(F.array(val), body), 1)
 
@@ -190,7 +193,10 @@ def fingerprints(
             ),
         ),
     )
-    keep = F.greatest(F.size(toks) - (gram_n - 1), F.lit(1)) >= window
+    # no floor on the gram count here: with window=1 a floored bound would
+    # admit sub-gram_n docs whose gram sequence(1, n<=0) runs DESCENDING and
+    # crashes F.slice with index 0 — the filter must reject them itself
+    keep = (F.size(toks) - (gram_n - 1)) >= window
     return df.filter(keep).select(F.col(id_col), F.inline(F.array(result)))
 
 

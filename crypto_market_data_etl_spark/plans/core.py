@@ -815,18 +815,27 @@ def q21_salted_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # per-sf_dir event-time bounds memo: q22/q23 only need min/max ts_us to
 # force a small block span at gate scale; re-deriving them per call was an
-# extra full scan per query (round-1 verdict nit). At production scale these
-# come from partition values / file statistics, not a data scan.
-_TS_BOUNDS: dict[str, tuple[int, int]] = {}
+# extra full scan per query (round-1 verdict nit). Keyed on the parquet
+# file's (mtime_ns, size) so regenerating the data under the same path
+# invalidates the memo. At production scale these come from partition
+# values / file statistics, not a data scan.
+_TS_BOUNDS: dict[tuple[str, int, int], tuple[int, int]] = {}
 
 
 def _events_ts_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    if sf_dir not in _TS_BOUNDS:
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path (e.g. object store): no cheap stat —
+        key = (sf_dir, 0, 0)  # fall back to path-keyed (immutable-dir contract)
+    if key not in _TS_BOUNDS:
         lo, hi = (
             _events(spark, sf_dir).agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
         )
-        _TS_BOUNDS[sf_dir] = (int(lo), int(hi))
-    return _TS_BOUNDS[sf_dir]
+        _TS_BOUNDS[key] = (int(lo), int(hi))
+    return _TS_BOUNDS[key]
 
 
 def q22_ewma_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:

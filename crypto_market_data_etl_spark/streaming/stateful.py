@@ -27,6 +27,7 @@ on integer keys alike.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 from typing import Any
 
@@ -186,9 +187,29 @@ def _pd_dtype(t: T.DataType) -> str:
         return "Int64"
     if isinstance(t, T.IntegerType):
         return "Int32"
+    if isinstance(t, T.ShortType):
+        return "Int16"
+    if isinstance(t, T.ByteType):
+        return "Int8"
     if isinstance(t, (T.DoubleType, T.FloatType)):
         return "float64"
     return "object"
+
+
+def _integral(t: T.DataType) -> bool:
+    return isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _native_scalar(v: Any) -> Any:
+    """Pandas/numpy cell → the exact Python value ``GroupState.update``
+    expects (None for missing, int/float/str/bool/... otherwise)."""
+    if v is None:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
 
 
 def stateful_asof_enrich(
@@ -209,9 +230,14 @@ def stateful_asof_enrich(
     the **latest snapshot per key as state** (one row per key — O(keys)
     state, any stream volume). The two streams are tag-unioned into one
     keyed stream so a single ``applyInPandasWithState`` sees both sides in
-    ts order; within a micro-batch the merge is a vectorized masked
-    forward-fill over the Arrow batch (snapshots first at equal ts, so an
-    equal-ts snapshot is visible to its trade — the batch join's ``<=``).
+    ts order; within a micro-batch the merge is a vectorized POSITIONAL
+    forward-fill (cummax of snapshot indices + gather), so every payload
+    column is filled in the dtype Arrow delivered — int64 stays exact past
+    2^53 (integral columns ride zero-filled with a boolean validity
+    companion through the union, since Arrow hands long-with-null to pandas
+    as lossy float64), floats keep NaN≡null, and strings/decimals/arrays
+    forward-fill as objects. Snapshots sort before trades at equal ts, so
+    an equal-ts snapshot is visible to its trade — the batch join's ``<=``.
 
     ``tolerance`` (same unit as ``ts_col``) nulls out enrichments older
     than the band, matching the batch join's lower bound; state is still
@@ -228,23 +254,52 @@ def stateful_asof_enrich(
     clash = set(t_payload) & set(s_payload)
     if clash:
         raise ValueError(f"payload columns must be disjoint, overlap: {sorted(clash)}")
+    if not _integral(_dtype(trades, ts_col)) or not _integral(
+        _dtype(snapshots, ts_col)
+    ):
+        raise TypeError(
+            f"{ts_col} must be an integer epoch column on both streams "
+            f"(got {_dtype(trades, ts_col)} / {_dtype(snapshots, ts_col)}); "
+            "convert timestamps to epoch micros first"
+        )
+
+    # Integer columns need special transport: the tag-union gives every
+    # payload column NULLs on the other side's rows, and Arrow delivers
+    # long-with-null to pandas as float64 — silently lossy above 2^53
+    # (nanosecond epochs, large sequential ids). So integral payloads ride
+    # zero-filled (keeping the Arrow column int64-exact) next to a boolean
+    # `__nn_` validity companion that distinguishes a genuine NULL from the
+    # union fill. Floats (NaN≡null) and everything object-typed (strings,
+    # decimals, arrays) already round-trip in their native dtype.
+    int_t = [c for c in t_payload if _integral(_dtype(trades, c))]
+    int_s = [c for c in s_payload if _integral(_dtype(snapshots, c))]
+
+    def _own(df: DataFrame, c: str, integral: bool):
+        if integral:
+            return F.coalesce(F.col(c), F.lit(0).cast(_dtype(df, c))).alias(c)
+        return F.col(c)
+
+    def _fill(df: DataFrame, c: str, integral: bool):
+        base = F.lit(0) if integral else F.lit(None)
+        return base.cast(_dtype(df, c)).alias(c)
 
     t_tagged = trades.select(
         key_col,
         ts_col,
         F.lit(1).alias("__is_trade"),
-        *[F.col(c) for c in t_payload],
-        *[
-            F.lit(None).cast(_dtype(snapshots, c)).alias(c)
-            for c in s_payload
-        ],
+        *[_own(trades, c, c in int_t) for c in t_payload],
+        *[F.col(c).isNotNull().alias(f"__nn_{c}") for c in int_t],
+        *[_fill(snapshots, c, c in int_s) for c in s_payload],
+        *[F.lit(False).alias(f"__nn_{c}") for c in int_s],
     )
     s_tagged = snapshots.select(
         key_col,
         ts_col,
         F.lit(0).alias("__is_trade"),
-        *[F.lit(None).cast(_dtype(trades, c)).alias(c) for c in t_payload],
-        *[F.col(c) for c in s_payload],
+        *[_fill(trades, c, c in int_t) for c in t_payload],
+        *[F.lit(False).alias(f"__nn_{c}") for c in int_t],
+        *[_own(snapshots, c, c in int_s) for c in s_payload],
+        *[F.col(c).isNotNull().alias(f"__nn_{c}") for c in int_s],
     )
     u = t_tagged.unionByName(s_tagged)
 
@@ -276,63 +331,85 @@ def stateful_asof_enrich(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(sort_cols, kind="stable")
+            pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+            n = len(pdf)
             is_snap = (pdf["__is_trade"] == 0).to_numpy()
-            # masked forward-fill: snapshot rows carry (ts, payload); trade
-            # rows inherit the most recent one; row 0 seeds from state
-            block = pd.DataFrame(index=pdf.index)
-            block["snap_ts"] = pdf[ts_col].where(is_snap).astype("float64")
-            for c in s_payload:
-                block[c] = pdf[c].where(is_snap).astype("float64")
-            if seed is not None:
-                seed_row = pd.DataFrame(
-                    [dict(zip(["snap_ts", *s_payload], seed))]
-                )
-                block = pd.concat([seed_row, block], ignore_index=True)
-            filled = block.ffill()
-            if seed is not None:
-                filled = filled.iloc[1:].reset_index(drop=True)
-            else:
-                filled = filled.reset_index(drop=True)
-            pdf = pdf.reset_index(drop=True)
+            # positional forward-fill: pos[i] = index of the latest snapshot
+            # row at-or-before row i (snapshots sort before trades at equal
+            # ts), -1 if none in this batch. Gathering by position keeps
+            # every column in the exact dtype Arrow delivered — no float64
+            # round-trip for int64 values, native object ffill for strings.
+            pos = np.maximum.accumulate(np.where(is_snap, np.arange(n), -1))
             tr = ~is_snap
-            if is_snap.any():
-                last = filled[is_snap].iloc[-1]
-
-                def _native(v, pd_dtype):  # state.update needs exact JVM types
-                    if pd.isna(v):
-                        return None
-                    return int(v) if pd_dtype.startswith("Int") else float(v)
-
-                seed = tuple(
-                    _native(v, d)
-                    for v, d in zip(
-                        [last["snap_ts"], *[last[c] for c in s_payload]],
-                        [ts_pd, *[snap_pd[c] for c in s_payload]],
-                    )
+            if tr.any():
+                tpos = pos[tr]
+                clip = np.clip(tpos, 0, None)
+                have = tpos >= 0  # snapshot seen within this batch
+                ts_np = pdf[ts_col].to_numpy()
+                trade_ts = ts_np[tr]
+                seed_ts = seed[0] if seed is not None else None
+                if seed_ts is not None:
+                    snap_ts = np.where(have, ts_np[clip], seed_ts)
+                    avail = np.full(len(tpos), True)
+                else:
+                    snap_ts = ts_np[clip]
+                    avail = have
+                if tolerance is not None:
+                    stale = avail & ((trade_ts - snap_ts) > tolerance)
+                else:
+                    stale = np.zeros(len(tpos), dtype=bool)
+                drop = ~avail | stale  # null the enrichment, keep the trade
+                out: dict[str, Any] = {
+                    key_col: [k] * len(tpos),
+                    ts_col: trade_ts,
+                }
+                for c in t_payload:
+                    col = pdf[c].to_numpy()[tr]
+                    if c in int_t:  # restore genuine NULLs over the 0-fill
+                        arr = pd.array(col, dtype=trade_pd[c])
+                        arr[~pdf[f"__nn_{c}"].to_numpy()[tr]] = pd.NA
+                        out[c] = arr
+                    else:
+                        out[c] = col
+                sts = pd.array(snap_ts, dtype=ts_pd)
+                sts[drop] = pd.NA
+                out[ts_col + suffix] = sts
+                seed_elems = (
+                    dict(zip(s_payload, seed[1:])) if seed is not None else {}
                 )
-            if not tr.any():
-                continue
-            tpdf = pdf[tr]
-            fill = filled[tr]
-            snap_ts = fill["snap_ts"]
-            if tolerance is not None:
-                stale = (tpdf[ts_col].astype("float64") - snap_ts) > tolerance
-                mask = stale.to_numpy()
-            else:
-                mask = np.zeros(len(tpdf), dtype=bool)
-            out = {key_col: [k] * len(tpdf), ts_col: tpdf[ts_col].to_numpy()}
-            for c in t_payload:
-                # the tag-union makes trade payloads nullable (Arrow delivers
-                # long-with-null as float64) — restore the declared dtype
-                out[c] = pd.array(tpdf[c].to_numpy(), dtype=trade_pd[c])
-            out[ts_col + suffix] = pd.array(
-                np.where(mask, np.nan, snap_ts.to_numpy()), dtype=ts_pd
-            )
-            for c in s_payload:
-                vals = np.where(mask, np.nan, fill[c].to_numpy())
-                out[c + suffix] = pd.array(vals, dtype=snap_pd[c])
-            yield pd.DataFrame(out)
+                for c in s_payload:
+                    col = pdf[c].to_numpy()[clip]
+                    sv = seed_elems.get(c)
+                    if c in int_s:
+                        valid = np.where(
+                            have, pdf[f"__nn_{c}"].to_numpy()[clip], False
+                        )
+                        vals = col
+                        if sv is not None and not have.all():
+                            vals = np.where(have, col, sv)
+                            valid = valid | ~have
+                        arr = pd.array(vals, dtype=snap_pd[c])
+                        arr[~valid | drop] = pd.NA
+                        out[c + suffix] = arr
+                    else:
+                        vals = col.copy()
+                        na = np.nan if vals.dtype.kind == "f" else None
+                        if not have.all():
+                            vals[~have] = na if sv is None else sv
+                        vals[drop] = na
+                        out[c + suffix] = vals
+                yield pd.DataFrame(out)
+            if is_snap.any():  # advance the carry to the batch's last snapshot
+                row = pdf.iloc[int(pos[-1])]
+                vals = [int(row[ts_col])]
+                for c in s_payload:
+                    if c in int_s:
+                        vals.append(
+                            int(row[c]) if bool(row[f"__nn_{c}"]) else None
+                        )
+                    else:
+                        vals.append(_native_scalar(row[c]))
+                seed = tuple(vals)
         if seed is not None:
             state.update(seed)
 

@@ -222,3 +222,22 @@ def test_vocabulary_plans_take_ordered(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = vocabulary(df, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_fingerprints_window_one_short_docs(spark):
+    """window=1 must not crash on sub-gram_n docs (regression: a floored
+    sequence bound let them through to a descending F.sequence(1, 0) →
+    F.slice(tk, 0, n) runtime error); short docs are filtered, window=1
+    keeps every gram hash as its own minimum."""
+    from crypto_market_data_etl_spark.operators.text import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "ab"), (3, "x y")],  # docs 2,3 have < 3 tokens
+        "doc_id bigint, text string",
+    )
+    out = fingerprints(df, gram_n=3, window=1).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_minima"] == 2  # two distinct 3-grams, each its own min
+
+    with pytest.raises(ValueError):
+        fingerprints(df, window=0)

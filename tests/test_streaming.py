@@ -670,3 +670,77 @@ def test_stateful_asof_enrich_tolerance_and_equal_ts(spark, tmp_path):
         2 * US: (2 * US, 99.0),   # equal-ts snapshot counts
         10 * US: (None, None),    # 8s-old snapshot outside the 3s band
     }
+
+
+def test_stateful_asof_enrich_mixed_payload_dtypes(spark, tmp_path):
+    """String and big-int snapshot payloads survive the forward-fill in
+    their native dtypes: object ffill for strings (previously a ValueError
+    through a float64 astype), exact int64 for values past 2^53 (previously
+    silently rounded through Arrow's long-with-null float64), and a genuine
+    NULL in a snapshot payload stays NULL (never conflated with the
+    zero-fill transport)."""
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_asof_enrich
+
+    big = 2**60 + 1  # not representable in float64
+    tdir, sdir = str(tmp_path / "trades"), str(tmp_path / "snaps")
+    t_schema = "code long, ts_us long, seq long"
+    s_schema = "code long, ts_us long, venue string, book_id long"
+    spark.createDataFrame(
+        [(1, 2 * US, big + 7), (1, 6 * US, None)], t_schema
+    ).coalesce(1).write.parquet(tdir)
+    spark.createDataFrame(
+        [(1, 1 * US, "upbit", big), (1, 5 * US, None, None)], s_schema
+    ).coalesce(1).write.parquet(sdir)
+
+    tr = spark.readStream.schema(t_schema).parquet(tdir)
+    sn = spark.readStream.schema(s_schema).parquet(sdir)
+    out = stateful_asof_enrich(tr, sn, key_col="code", ts_col="ts_us")
+    q = (
+        out.writeStream.format("memory").queryName("asof_mixed")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.ts_us: (r.seq, r.ts_us_r, r.venue_r, r.book_id_r)
+            for r in spark.table("asof_mixed").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        2 * US: (big + 7, 1 * US, "upbit", big),      # exact, not float-rounded
+        6 * US: (None, 5 * US, None, None),           # genuine NULLs preserved
+    }
+
+
+def test_stateful_asof_enrich_big_int_state_across_batches(spark, tmp_path):
+    """A >2^53 snapshot payload carried as STATE into a later micro-batch
+    comes back exact (the state round-trip must not pass through float64)."""
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_asof_enrich
+
+    big = 2**61 + 3
+    tdir, sdir = str(tmp_path / "trades"), str(tmp_path / "snaps")
+    t_schema = "code long, ts_us long, price double"
+    s_schema = "code long, ts_us long, book_id long"
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    write(sdir, s_schema, [(1, 1 * US, big)])
+    write(tdir, t_schema, [(1, 2 * US, 100.0)])
+    time.sleep(1.1)
+    write(tdir, t_schema, [(1, 4 * US, 101.0)])  # enriched from carried state
+
+    tr = spark.readStream.schema(t_schema).option("maxFilesPerTrigger", "1").parquet(tdir)
+    sn = spark.readStream.schema(s_schema).parquet(sdir)
+    out = stateful_asof_enrich(tr, sn, key_col="code", ts_col="ts_us")
+    q = (
+        out.writeStream.format("memory").queryName("asof_bigstate")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.ts_us: r.book_id_r for r in spark.table("asof_bigstate").collect()}
+    finally:
+        q.stop()
+    assert got == {2 * US: big, 4 * US: big}
