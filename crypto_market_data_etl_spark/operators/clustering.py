@@ -31,12 +31,64 @@ cluster with a fault-tolerance requirement, swap in reliable
 Determinism: the fixpoint is unique (min id of the component), so the result
 is engine-independent — a DuckDB recursive-CTE reachability oracle computes
 the identical labels.
+
+**Two tiers.** The distributed loop above is the 100 TB path — but its
+per-round constant cost (two shuffled joins + a checkpoint + a count, ×
+O(log d) rounds) swamps small graphs: ~10 s for a 2.5k-node pair graph at
+sf0.1 while the candidate generation itself takes 3. Dedup edge lists are
+orders of magnitude smaller than the corpus (edges exist only where docs
+collide in a band), so production pipelines finish the contraction wherever
+the edge list fits: under ``driver_threshold`` distinct edges the operator
+pulls (src,dst) through Arrow and runs the SAME min-label-propagation +
+pointer-jumping algorithm vectorized in numpy (O(E) per round, C speed,
+~20 rounds) — identical unique fixpoint, zero iterative Spark jobs. Above
+it, the distributed loop runs unchanged. The tier choice is logged.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
+
+#: Edge-count ceiling for the driver tier: 2M edges ≈ 32 MB of int64 through
+#: Arrow — trivially driver-safe, while the numpy rounds stay sub-second.
+DRIVER_EDGE_THRESHOLD = 2_000_000
+
+
+def _cc_numpy(spark, edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Driver tier: min-label propagation + pointer jumping over numpy
+    arrays. Same algorithm, same fixpoint as the distributed loop."""
+    import numpy as np
+
+    pdf = edges.toPandas()  # Arrow path: two int64 columns
+    id_type = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("comp", id_type)]
+    )
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    a = pdf["src"].to_numpy()
+    b = pdf["dst"].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    labels = np.arange(len(ids))  # np.unique sorts → min index ⇔ min id
+    for _ in range(max_rounds):
+        old = labels.copy()
+        np.minimum.at(labels, ia, labels[ib])  # spread both directions
+        np.minimum.at(labels, ib, labels[ia])
+        labels = labels[labels]  # pointer jump
+        if np.array_equal(labels, old):
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame({"node": ids, "comp": ids[labels]}), out_schema
+            )
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
 def connected_components(
@@ -44,6 +96,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    driver_threshold: int | None = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Component label (min node id in the component) per node.
 
@@ -51,10 +104,27 @@ def connected_components(
     either column. Output: ``(node, comp)`` with ``comp = min(id)`` over the
     node's component. Raises if ``max_rounds`` is hit without convergence
     (pointer jumping makes that ~2^25-deep chains — unreachable in practice).
+
+    Edge lists of at most ``driver_threshold`` distinct edges contract on
+    the driver (see module docstring); pass ``driver_threshold=0``/``None``
+    to force the distributed loop.
     """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
+    if driver_threshold:
+        half = half.localCheckpoint()  # counted AND reused below: one compute
+        n_edges = half.count()
+        if n_edges <= driver_threshold:
+            logger.info(
+                f"connected_components: driver tier ({n_edges} edges ≤ "
+                f"{driver_threshold})"
+            )
+            return _cc_numpy(half.sparkSession, half, max_rounds)
+        logger.info(
+            f"connected_components: distributed tier ({n_edges} edges > "
+            f"{driver_threshold})"
+        )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )

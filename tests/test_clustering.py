@@ -37,6 +37,27 @@ def test_cc_long_chain_pointer_jumping(spark):
     assert len(rows) == 64 and all(r.comp == 0 for r in rows)
 
 
+def test_cc_distributed_tier_matches_driver_tier(spark):
+    # driver_threshold=0 forces the iterative Spark loop; both tiers run the
+    # same algorithm and must land on the identical unique fixpoint
+    edges = [(i, i + 1) for i in range(40)] + [(100, 200), (200, 150), (7, 300)]
+    fast = connected_components(_pairs(spark, edges))
+    dist = connected_components(_pairs(spark, edges), driver_threshold=0)
+    assert {(r.node, r.comp) for r in fast.collect()} == {
+        (r.node, r.comp) for r in dist.collect()
+    }
+
+
+def test_cc_string_ids_driver_tier(spark):
+    cc = connected_components(
+        spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+        )
+    )
+    got = {r.node: r.comp for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dup_groups_sizes_and_survivor(spark):
     out = {
         r.node: (r.comp, r.group_size)
