@@ -128,14 +128,30 @@ def lsh_candidate_pairs(
     healthy corpora, a hard bound on degenerate ones. Pass
     ``max_bucket_size=0`` to disable.
     """
-    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size_chained
+    from .skew import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        capped_pair_condition,
+        needs_cap,
+        ranked_pair_sides,
+    )
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
-    chains = None
-    if max_bucket_size > 0:
-        bands, chains = cap_bucket_size_chained(
+    if max_bucket_size > 0 and needs_cap(
+        bands, ["band_idx", "band_sig"], max_bucket_size
+    ):
+        # cap + chains folded into the self-join: one window (same shuffle
+        # key as the join — exchange reused), one join, no second traversal
+        ra, rb = ranked_pair_sides(
             bands, ["band_idx", "band_sig"], id_col, max_bucket_size, log_dropped
+        )
+        a = ra.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig", "__rn_a")
+        b = rb.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig", "__rn_b")
+        return (
+            a.join(b, ["band_idx", "band_sig"])
+            .filter(capped_pair_condition("id_a", "id_b", max_bucket_size))
+            .select("id_a", "id_b")
+            .distinct()
         )
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_sig"
@@ -143,14 +159,12 @@ def lsh_candidate_pairs(
     b = bands.select(
         F.col(id_col).alias("id_b"), "band_idx", "band_sig"
     )
-    pairs = (
+    return (
         a.join(b, ["band_idx", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
     )
-    if chains is not None:
-        pairs = pairs.unionByName(chains)
-    return pairs.distinct()
 
 
 def minhash_jaccard_pairs(

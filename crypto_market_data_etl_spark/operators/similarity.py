@@ -420,43 +420,43 @@ def embedding_neardup_pairs(
     same exact-cosine verification as joined candidates, so no similarity
     is ever fabricated. See ``operators.skew``.
     """
-    from .skew import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size_chained
+    from .skew import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        capped_pair_condition,
+        needs_cap,
+        ranked_pair_sides,
+    )
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     sig = bucket_signature(vec_col, n_planes, dim)
     t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
-    chains = None
-    if max_bucket_size > 0:
-        t, chains = cap_bucket_size_chained(t, ["bucket"], id_col, max_bucket_size)
-    a = t.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = t.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(sim, 6))
+    if max_bucket_size > 0 and needs_cap(
+        t.select("bucket"), ["bucket"], max_bucket_size
+    ):
+        ra, rb = ranked_pair_sides(t, ["bucket"], id_col, max_bucket_size)
+        a = ra.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", "__rn_a"
+        )
+        b = rb.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", "__rn_b"
+        )
+        joined = a.join(b, "bucket").filter(
+            capped_pair_condition("id_a", "id_b", max_bucket_size)
+        )
+    else:
+        a = t.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+        b = t.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+        .distinct()
     )
-    if chains is not None:
-        chain_pairs = (
-            chains.join(
-                df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
-                "id_a",
-            )
-            .join(
-                df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
-                "id_b",
-            )
-            .withColumn("sim", F.round(sim, 6))
-            .filter(F.col("sim") >= threshold)
-            .select("id_a", "id_b", "sim")
-        )
-        pairs = pairs.unionByName(chain_pairs)
-    return pairs.distinct()
 
 
 def ivf_ann_topk(

@@ -98,6 +98,78 @@ def _with_rank(df: DataFrame, bucket_cols: Sequence[str], id_col: str) -> DataFr
     )
 
 
+def ranked_pair_sides(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    id_col: str,
+    max_bucket_size: int,
+    log_dropped: bool = True,
+    log_fn: Callable[[str], None] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The capped-and-chained candidate self-join as ONE join — no second
+    traversal, no union, no materialization.
+
+    Returns ``(a, b)``: the a-side keeps only in-cap members (plus their
+    rank ``__rn_a``); the b-side keeps every member (rank ``__rn_b``).
+    Joining them on the bucket key under :func:`capped_pair_condition`
+    yields exactly the capped pair set PLUS the chain pairs — a dropped
+    member (``__rn_b > cap``) pairs only with the bucket's min-id member
+    (``__rn_a == 1``), O(dropped) extra rows. The rank window shuffles on
+    the same key the join shuffles on, so the exchange is reused; relative
+    to an uncapped self-join the guard costs one in-partition sort.
+    """
+    ranked = _with_rank(df, bucket_cols, id_col)
+    if log_dropped:
+        ranked = _observed(ranked, max_bucket_size, log_fn)
+    a = ranked.filter(F.col("__bucket_rn") <= max_bucket_size).withColumnRenamed(
+        "__bucket_rn", "__rn_a"
+    )
+    b = ranked.withColumnRenamed("__bucket_rn", "__rn_b")
+    return a.drop("__bucket_min"), b.drop("__bucket_min")
+
+
+def needs_cap(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    max_bucket_size: int,
+    log_fn: Callable[[str], None] | None = None,
+) -> bool:
+    """Adaptive guard: does any bucket actually exceed the cap?
+
+    One tiny scalar job — a map-side partial count per bucket, an 8-byte max
+    — decided at plan-build time. The capped self-join costs an extra
+    exchange+sort+window pair of stage boundaries; on healthy corpora (no
+    bucket over the cap) that is pure overhead AND the capped join's output
+    is identical to the plain one, so the plain plan is simply the better
+    physical choice. Callers probing an expensive upstream should persist it
+    (the pair operators persist their signature table) so the probe and the
+    main action share the computation.
+    """
+    row = (
+        df.groupBy(*[str(c) for c in bucket_cols])
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .agg(F.max("__bucket_n"))
+        .first()
+    )
+    max_n = row[0] or 0
+    hot = max_n > max_bucket_size
+    if hot:
+        (log_fn or logger.warning)(
+            f"needs_cap: hottest bucket has {max_n} members (cap "
+            f"{max_bucket_size}) — engaging capped+chained candidate join"
+        )
+    return hot
+
+
+def capped_pair_condition(id_a, id_b, max_bucket_size: int):
+    """Join condition completing :func:`ranked_pair_sides`: ordinary
+    ``id_a < id_b`` pairs while both sides are within the cap, min-id chain
+    pairs for dropped members."""
+    in_cap = (F.col("__rn_b") <= max_bucket_size) & (F.col(id_a) < F.col(id_b))
+    chain = (F.col("__rn_b") > max_bucket_size) & (F.col("__rn_a") == 1)
+    return in_cap | chain
+
+
 def _observed(ranked: DataFrame, max_bucket_size: int, log_fn) -> DataFrame:
     from pyspark.sql import Observation
 
@@ -166,25 +238,23 @@ def cap_bucket_size_chained(
       buckets. O(dropped) rows — restores candidacy for every truncated
       member at linear cost.
 
-    The chains branch re-filters the ranked plan (a second traversal of
-    *df* when both branches execute). Callers with an expensive upstream —
-    minhash signatures, LSH projections — should persist *df* (the
-    pair-pipeline operators in ``dedup``/``similarity`` already persist the
-    signature table they fan out from).
+    Pair-generating operators should prefer :func:`ranked_pair_sides`,
+    which folds cap + chains into their candidate self-join (one window,
+    one join); this two-output form is for consumers that need the capped
+    TABLE itself. The ranked plan is lazily materialized
+    (``localCheckpoint(eager=False)``) because both outputs filter it —
+    without that, each would recompute the expensive upstream.
     """
     if max_bucket_size is None:
         raise ValueError("cap_bucket_size_chained requires a finite cap")
     ranked = _with_rank(df, bucket_cols, id_col)
     if log_dropped:
-        observed = _observed(ranked, max_bucket_size, log_fn)
-    else:
-        observed = ranked
+        ranked = _observed(ranked, max_bucket_size, log_fn)
+    ranked = ranked.localCheckpoint(eager=False)
     kept = (
-        observed.filter(F.col("__bucket_rn") <= max_bucket_size)
+        ranked.filter(F.col("__bucket_rn") <= max_bucket_size)
         .drop("__bucket_rn", "__bucket_min")
     )
-    # chains come from the un-observed plan: the metric must fire exactly
-    # once per action, on the branch that always executes (kept)
     chains = (
         ranked.filter(F.col("__bucket_rn") > max_bucket_size)
         .select(

@@ -760,7 +760,9 @@ WHERE rnk <= 100
 
 def x21_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(_docs(spark, sf_dir))
-    sig = minhash_signatures(sh, n_hashes=N_HASHES)
+    # persisted: the candidate operator's skew probe and the pair join both
+    # read the signature table — one minhash computation, not two
+    sig = minhash_signatures(sh, n_hashes=N_HASHES).persist()
     cand = lsh_candidate_pairs(
         lsh_bands(sig, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND)
     )
