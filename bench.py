@@ -42,6 +42,8 @@ HEADLINE = [
     "x21_dup_clusters",
     "x22_contamination",
     "x24_shard_packing",
+    # round-3: Bloom-bitmap decontamination tier (bit_or bitmap + map-side probe)
+    "x26_bloom_contamination",
 ]
 
 

@@ -17,12 +17,14 @@ papers). Not in the reference; built Spark-first:
 
 If the benchmark side ever outgrows broadcast size, drop ``broadcast_bench``
 to fall back to a shuffled hash join on the gram hash — same semantics, one
-extra shuffle.
+extra shuffle. :func:`bloom_contamination_report` is the third tier: the
+bench gram set compressed to a fixed-size broadcast Bloom bitmap, for bench
+sets whose exact gram strings are too large to broadcast at all.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
@@ -68,5 +70,89 @@ def contamination_report(
             F.when(F.col("n_hit") > 0, F.col("n_hit") / F.col("n_grams"))
             .otherwise(F.lit(0.0))
             .alias("frac_hit"),
+        )
+    )
+
+
+def _bloom_pos(s: Column, seed: int, n_bits: int) -> Column:
+    """Deterministic, engine-portable hash position: the first 15 hex chars
+    of ``md5(seed|s)`` parsed as an integer, mod ``n_bits``. md5 + hex parse
+    compute identically in Spark (``conv``) and DuckDB (``'0x…'::BIGINT``),
+    so an oracle can rebuild the exact same bitmap."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10)
+    return h.cast("long") % n_bits
+
+
+def bloom_contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 3,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Contamination scan against a Bloom BITMAP of the benchmark grams:
+    ``(id, n_grams, n_maybe_hit, frac_maybe)`` — one-sided
+    (``n_maybe_hit >= n_hit`` of :func:`contamination_report`, false-
+    positive rate ``(1-e^{-kn/m})^k``), for bench sets too large to
+    broadcast exactly.
+
+    The bitmap is built WITH aggregation, not driver code: each bench gram
+    maps to ``n_hashes`` bit positions; positions group into 63-bit words
+    via ``bit_or`` (bit 63 stays clear — DuckDB range-checks ``1<<63``, so
+    the sign bit is not portable). ``n_bits/63`` rows ≈ 16 MB for a 1 Gbit
+    filter, broadcastable regardless of bench cardinality. Probing is a
+    map-side broadcast join per hash on the word index + a bitwise AND —
+    the corpus side still never shuffles before the per-doc count, and a
+    gram counts only when ALL ``n_hashes`` probes hit.
+    """
+    grams = word_shingles(corpus, id_col, text_col, gram_n)
+    bench_grams = word_shingles(bench, id_col, text_col, gram_n).select("s").distinct()
+    positions = None
+    for i in range(n_hashes):
+        p = bench_grams.select(_bloom_pos(F.col("s"), i, n_bits).alias("pos"))
+        positions = p if positions is None else positions.union(p)
+    bitmap = positions.groupBy(F.expr("pos DIV 63").alias("widx")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))").alias(
+            "wbits"
+        )
+    )
+    probed = grams
+    all_hit = F.lit(True)
+    for i in range(n_hashes):
+        bm = F.broadcast(
+            bitmap.select(F.col("widx").alias(f"widx{i}"), F.col("wbits").alias(f"wbits{i}"))
+        )
+        probed = (
+            probed.withColumn(f"pos{i}", _bloom_pos(F.col("s"), i, n_bits))
+            .withColumn(f"widx{i}", F.expr(f"pos{i} DIV 63"))
+            .withColumn(
+                f"bit{i}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 63 AS INT))"),
+            )
+            .join(bm, f"widx{i}", "left")
+        )
+        all_hit = all_hit & (
+            F.coalesce(F.col(f"wbits{i}"), F.lit(0)).bitwiseAND(F.col(f"bit{i}")) != 0
+        )
+    hits = (
+        probed.filter(all_hit)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe_hit"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        corpus.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .na.fill({"n_grams": 0, "n_maybe_hit": 0})
+        .select(
+            id_col,
+            "n_grams",
+            "n_maybe_hit",
+            F.when(F.col("n_maybe_hit") > 0, F.col("n_maybe_hit") / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .alias("frac_maybe"),
         )
     )

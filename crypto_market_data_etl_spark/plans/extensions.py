@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.clustering import dup_groups
-from ..operators.contamination import contamination_report
+from ..operators.contamination import (
+    bloom_contamination_report,
+    contamination_report,
+)
 from ..operators.dedup import (
     exact_dedup,
     lsh_bands,
@@ -926,6 +929,81 @@ GROUP BY c_id, pos
 """
 
 
+# --------------------------------------------------------------------------
+# x26 Bloom-bitmap decontamination: the scale tier of x22 for bench sets too
+# large to broadcast exactly — bench grams compressed into a fixed-size
+# bit_or-aggregated bitmap (n_bits/64 rows broadcast regardless of bench
+# cardinality), corpus grams probed map-side with k md5-derived positions.
+# The hash (first 15 hex chars of md5, parsed as int) computes identically
+# in Spark (conv) and DuckDB ('0x…'::BIGINT), so the oracle rebuilds the
+# EXACT bitmap: false positives and all, bit-for-bit.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 18
+_BLOOM_HASHES = 2
+
+
+def x26_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != _BENCH_SRC)
+    bench = docs.filter(F.col("source") == _BENCH_SRC)
+    return bloom_contamination_report(
+        corpus, bench, gram_n=3, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )
+
+
+def _duck_bloom_pos(seed: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}|' || s), 1, 15))::BIGINT % {_BLOOM_BITS})"
+    )
+
+
+X26_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> '{_BENCH_SRC}'),
+bench AS (SELECT text FROM documents WHERE source = '{_BENCH_SRC}'),
+ct AS (SELECT doc_id, str_split(text, ' ') AS tk FROM corpus),
+cg AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM ct
+),
+bt AS (SELECT str_split(text, ' ') AS tk FROM bench),
+bg AS (
+  SELECT DISTINCT
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM bt
+),
+pos AS (
+  SELECT {_duck_bloom_pos(0)} AS pos FROM bg
+  UNION ALL
+  SELECT {_duck_bloom_pos(1)} AS pos FROM bg
+),
+bitmap AS (
+  SELECT pos // 63 AS widx, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS wbits
+  FROM pos GROUP BY 1
+),
+cp AS (
+  SELECT doc_id, {_duck_bloom_pos(0)} AS p0, {_duck_bloom_pos(1)} AS p1 FROM cg
+),
+hit AS (
+  SELECT doc_id, count(*) AS n_maybe_hit
+  FROM cp
+  JOIN bitmap b0 ON b0.widx = p0 // 63
+  JOIN bitmap b1 ON b1.widx = p1 // 63
+  WHERE (b0.wbits & (1::BIGINT << CAST(p0 % 63 AS INT))) <> 0
+    AND (b1.wbits & (1::BIGINT << CAST(p1 % 63 AS INT))) <> 0
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_maybe_hit, 0) AS n_maybe_hit,
+       CASE WHEN coalesce(n_maybe_hit, 0) > 0
+            THEN n_maybe_hit::DOUBLE / n_grams ELSE 0.0 END AS frac_maybe
+FROM corpus c LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+"""
+
+
 QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x02_minhash_pairs": x02_minhash_pairs,
@@ -952,6 +1030,7 @@ QUERIES = {
     "x23_stratified_sample": x23_stratified_sample,
     "x24_shard_packing": x24_shard_packing,
     "x25_kmeans_step": x25_kmeans_step,
+    "x26_bloom_contamination": x26_bloom_contamination,
 }
 
 ORACLES = {
@@ -980,4 +1059,5 @@ ORACLES = {
     "x23_stratified_sample": X23_SQL,
     "x24_shard_packing": X24_SQL,
     "x25_kmeans_step": X25_SQL,
+    "x26_bloom_contamination": X26_SQL,
 }

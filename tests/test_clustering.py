@@ -163,3 +163,63 @@ def test_kmeans_step_two_clear_clusters(spark):
         (1, 1): (0.95, 2), (1, 2): (0.05, 2),
         (2, 1): (0.05, 2), (2, 2): (0.95, 2),
     }
+
+
+def test_bloom_contamination_one_sided_and_converges_to_exact(spark):
+    """Bloom probe is one-sided (n_maybe_hit >= exact n_hit per doc) and at
+    generous filter size the report equals the exact one bit-for-bit."""
+    from crypto_market_data_etl_spark.operators.contamination import (
+        bloom_contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "z z z z"), (4, "too short")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "a b c d e")], "doc_id long, text string")
+    exact = {
+        r.doc_id: r.n_hit
+        for r in contamination_report(corpus, bench).collect()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.n_maybe_hit, r.frac_maybe)
+        for r in bloom_contamination_report(
+            corpus, bench, n_bits=1 << 20, n_hashes=2
+        ).collect()
+    }
+    assert all(got[d][1] >= exact[d] for d in exact)
+    assert got == {  # at 2^20 bits / 4 bench grams, fp probability ~ 0
+        1: (2, 2, 1.0),
+        2: (2, 1, 0.5),
+        3: (1, 0, 0.0),
+        4: (0, 0, 0.0),
+    }
+
+
+def test_bloom_contamination_tiny_filter_saturates(spark):
+    """A saturated 63-bit filter flags everything — the fp direction, never
+    a false negative."""
+    from crypto_market_data_etl_spark.operators.contamination import (
+        bloom_contamination_report,
+    )
+
+    corpus = spark.createDataFrame([(1, "p q r s")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(200)))], "doc_id long, text string"
+    )
+    got = bloom_contamination_report(corpus, bench, n_bits=63, n_hashes=1).collect()
+    assert got[0].n_maybe_hit == got[0].n_grams == 2
+
+
+def test_bloom_contamination_broadcasts_bitmap(spark):
+    from crypto_market_data_etl_spark.operators.contamination import (
+        bloom_contamination_report,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = (
+        bloom_contamination_report(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # bitmap probes are map-side
