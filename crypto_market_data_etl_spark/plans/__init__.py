@@ -12,6 +12,8 @@ from . import core, extensions  # noqa: F401
 
 
 def all_queries():
+    """Driver-gated queries (kept at exactly 50 — the driver's CORRECTNESS
+    gate records at most 50 rows; see core.QUERIES comment)."""
     q = dict(core.QUERIES)
     q.update(extensions.QUERIES)
     return q
@@ -20,4 +22,18 @@ def all_queries():
 def all_oracles():
     o = dict(core.ORACLES)
     o.update(extensions.ORACLES)
+    return o
+
+
+def variant_queries():
+    """Physical-variant queries verified outside the driver gate (selfcheck +
+    pytest): same oracle as a gated query, alternate physical plan."""
+    q = dict(core.VARIANT_QUERIES)
+    q.update(extensions.VARIANT_QUERIES)
+    return q
+
+
+def variant_oracles():
+    o = dict(core.VARIANT_ORACLES)
+    o.update(extensions.VARIANT_ORACLES)
     return o

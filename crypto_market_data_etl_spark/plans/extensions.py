@@ -1022,7 +1022,6 @@ QUERIES = {
     "x15_ivf_ann": x15_ivf_ann,
     "x16_hll_distinct": x16_hll_distinct,
     "x17_multiprobe_ann": x17_multiprobe_ann,
-    "x18_bandor_ann": x18_bandor_ann,
     "x19_redaction": x19_redaction,
     "x20_vocabulary": x20_vocabulary,
     "x21_dup_clusters": x21_dup_clusters,
@@ -1051,7 +1050,6 @@ ORACLES = {
     "x15_ivf_ann": X15_SQL,
     "x16_hll_distinct": X16_SQL,
     "x17_multiprobe_ann": X17_SQL,
-    "x18_bandor_ann": X18_SQL,
     "x19_redaction": X19_SQL,
     "x20_vocabulary": X20_SQL,
     "x21_dup_clusters": X21_SQL,
@@ -1060,4 +1058,15 @@ ORACLES = {
     "x24_shard_packing": X24_SQL,
     "x25_kmeans_step": X25_SQL,
     "x26_bloom_contamination": X26_SQL,
+}
+
+# ANN physical variants outside the driver's 50-row gate budget (see
+# plans/core.py): x18 is the band-OR form of the x13/x15/x17 ANN family —
+# same oracle discipline, swept by tools/selfcheck.py + pytest.
+VARIANT_QUERIES = {
+    "x18_bandor_ann": x18_bandor_ann,
+}
+
+VARIANT_ORACLES = {
+    "x18_bandor_ann": X18_SQL,
 }

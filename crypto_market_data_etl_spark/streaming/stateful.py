@@ -124,6 +124,7 @@ def stateful_dollar_bars(
     ts_col: str = "ts_us",
     notional_cents_col: str = "cents",
     bar_cents: int = 300_000_000_00,
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming dollar bars: running notional cumsum per key carried as
     state (SURVEY §7.2 — inherently sequential per key, the stateful-op
@@ -131,16 +132,20 @@ def stateful_dollar_bars(
 
     Emits one row per input event with its cumulative cents and bar id —
     identical assignment to ``operators.bars.dollar_bars`` on the same data
-    (asserted in tests). Bar-level OHLCV is then a downstream groupBy on
-    (key, bar_num). State = one bigint per key. Requires per-key in-order
-    arrival across micro-batches (Kafka keyed by instrument provides it).
-    Exact under int64: cumulative cents stay integer end to end.
+    (asserted in tests). ``passthrough_cols`` (e.g. price, sequential id)
+    ride along unchanged so bar-level OHLCV is a downstream groupBy on
+    (key, bar_num) with no join back to the source. State = one bigint per
+    key. Requires per-key in-order arrival across micro-batches (Kafka keyed
+    by instrument provides it). Exact under int64: cumulative cents stay
+    integer end to end.
     """
+    passthrough_cols = [c for c in passthrough_cols]
     out_schema = T.StructType(
         [
             T.StructField(key_col, _dtype(df, key_col)),
             T.StructField(ts_col, _dtype(df, ts_col)),
             T.StructField(notional_cents_col, T.LongType()),
+            *[T.StructField(c, _dtype(df, c)) for c in passthrough_cols],
             T.StructField("cum_cents", T.LongType()),
             T.StructField("bar_num", T.LongType()),
         ]
@@ -160,15 +165,16 @@ def stateful_dollar_bars(
             cents = pdf[notional_cents_col].to_numpy(dtype="int64")
             cums = np.cumsum(cents) + cum
             cum = int(cums[-1])
-            yield pd.DataFrame(
-                {
-                    key_col: [k] * n,
-                    ts_col: pdf[ts_col].to_numpy(),
-                    notional_cents_col: cents,
-                    "cum_cents": cums,
-                    "bar_num": (cums - 1) // bar_cents,
-                }
-            )
+            out = {
+                key_col: [k] * n,
+                ts_col: pdf[ts_col].to_numpy(),
+                notional_cents_col: cents,
+            }
+            for c in passthrough_cols:
+                out[c] = pdf[c].to_numpy()
+            out["cum_cents"] = cums
+            out["bar_num"] = (cums - 1) // bar_cents
+            yield pd.DataFrame(out)
         state.update((int(cum),))
 
     return df.groupBy(key_col).applyInPandasWithState(

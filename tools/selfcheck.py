@@ -86,8 +86,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     import __spark_entry__ as e
+    from crypto_market_data_etl_spark import plans
 
-    qs, os_ = e.queries(), e.oracle_sql()
+    # sweep gate + variant registries (the driver only sees the gate 50;
+    # variants get the identical oracle compare here)
+    qs, os_ = dict(e.queries()), dict(e.oracle_sql())
+    qs.update(plans.variant_queries())
+    os_.update(plans.variant_oracles())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
