@@ -32,6 +32,8 @@ HEADLINE = [
     "q24_sliding_paned",
     "q08_dollar_bars",
     "q09_flagship",
+    "q29_asof_adaptive",
+    "q30_stream_dollar_bars",
     "q11_ewma",
     "x02_minhash_pairs",
     "x05_embedding_topk",
@@ -163,7 +165,10 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     qs = plans.all_queries()
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    qs.update(plans.variant_queries())  # q24 et al. live outside the gate 50
+    # best-of-3: sub-second queries drift ±0.1s run to run on this box; two
+    # repeats recorded that noise as regressions (x24 r2->r3)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -46,7 +46,12 @@ def contamination_report(
     report covers the whole corpus.
     """
     grams = word_shingles(corpus, id_col, text_col, gram_n)
-    bench_grams = word_shingles(bench, id_col, text_col, gram_n).select("s").distinct()
+    # bench side is small by contract (it gets broadcast) — skip the
+    # small-input spread, the extra exchange outweighs the 1-task explode
+    bench_grams = (
+        word_shingles(bench, id_col, text_col, gram_n, spread=False)
+        .select("s").distinct()
+    )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
     hits = (
@@ -108,7 +113,12 @@ def bloom_contamination_report(
     gram counts only when ALL ``n_hashes`` probes hit.
     """
     grams = word_shingles(corpus, id_col, text_col, gram_n)
-    bench_grams = word_shingles(bench, id_col, text_col, gram_n).select("s").distinct()
+    # bench side: small-by-contract relative to the corpus (if it fills the
+    # bitmap it is still one narrow agg) — skip the small-input spread
+    bench_grams = (
+        word_shingles(bench, id_col, text_col, gram_n, spread=False)
+        .select("s").distinct()
+    )
     positions = None
     for i in range(n_hashes):
         p = bench_grams.select(_bloom_pos(F.col("s"), i, n_bits).alias("pos"))

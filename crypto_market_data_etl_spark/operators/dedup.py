@@ -44,16 +44,52 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def spread_small_input(df: DataFrame, min_ratio: int = 1) -> DataFrame:
+    """Round-robin repartition a low-parallelism input up to the session's
+    default parallelism.
+
+    Row-explode operators (shingling, tokenization) amplify work ~tokens-per-
+    row; when the upstream is one small parquet row-group, Spark plans ONE
+    input task and the whole hash stage serializes through it (measured: the
+    x02 signature stage was a single-task 2.4 s at sf0.1). The repartition
+    shuffles only the tiny pre-explode table. At production scale inputs
+    already carry thousands of splits, so this is a no-op (the condition
+    keeps it plan-free there).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_ratio
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    distinct: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, s).
+    """Word n-gram shingles per document: (id, s); set semantics by default.
 
     The token array is materialized in its own projection before the gram
     lambda references it — column expressions are trees, so an inline
     ``split`` would re-tokenize the text once per gram (O(tokens^2) chars).
+
+    ``distinct=False`` skips the set-dedup shuffle — correct whenever the
+    consumer is multiset-invariant (MinHash: min over a multiset == min over
+    its set), and it turns the whole signature pipeline into explode →
+    map-side partial aggs with only a rows-per-doc-sized shuffle. Exact
+    jaccard (set sizes / intersections) needs ``distinct=True``.
+
+    ``spread=False`` skips the small-input repartition (see
+    :func:`spread_small_input`) — right for side tables that stay tiny by
+    contract (a benchmark suite, a query set), where the extra exchange
+    costs more than the single-task explode it parallelizes.
     """
-    staged = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    staged = (spread_small_input(df) if spread else df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
     toks = F.col("__toks")
     n_grams = F.size(toks) - (n - 1)
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs shorter
@@ -65,35 +101,58 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
-    return staged.select(F.col(id_col), F.explode(grams).alias("s")).distinct()
+    out = staged.select(F.col(id_col), F.explode(grams).alias("s"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 15
 ) -> DataFrame:
-    """Per-doc MinHash signature as ``n_hashes`` columns mh0..mhN-1 plus an
-    ``mhs`` array.
+    """Per-doc MinHash signature as ``n_hashes`` bigint columns mh0..mhN-1
+    plus an ``mhs`` array.
 
-    One aggregation pass: each seed is an independent ``min(md5(seed|s))``
-    agg expression (map-side partial agg keeps the shuffle tiny — one row per
-    doc), not a seeds x shingles explode.
+    ONE md5 per shingle; the ``n_hashes`` seeds come from the pairwise-
+    independent linear family ``mh_i = min((a + i*b) mod p)`` with
+    ``p = 2^31 - 1`` (prime) and ``a``, ``b`` taken from hex slices of that
+    single digest (``b >= 1`` so every seed permutes). Hashing each shingle
+    ``n_hashes`` times was the dominant cost of the whole LSH pipeline
+    (measured ~3x the rest combined at 15 seeds); the rehash is
+    O(1 digest + n multiply-add-mods) per shingle and stays an exact
+    cross-engine contract — DuckDB mirrors it with
+    ``('0x' || substr(md5(s), ..))::BIGINT``. The mod-p reduction is what
+    keeps the seeds INDEPENDENT: without it the ``i*b`` term dominates and
+    every seed i >= 1 ranks shingles by ``b`` — one effective permutation,
+    exploding band collisions. Products stay < 2^36, no overflow. Seeds
+    remain N parallel agg expressions (map-side partial agg, one output row
+    per doc), never a seeds x shingles explode.
     """
+    p = 2_147_483_647  # 2^31 - 1 (prime)
+    h = F.md5(F.col("s"))
+    staged = shingles.select(
+        F.col(id_col),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % p).alias("__a"),
+        (F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % (p - 1) + 1).alias("__b"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+        F.min((F.col("__a") + F.lit(i) * F.col("__b")) % p).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    sig = shingles.groupBy(id_col).agg(*aggs)
+    sig = staged.groupBy(id_col).agg(*aggs)
     return sig.withColumn("mhs", F.array(*[f"mh{i}" for i in range(n_hashes)]))
 
 
 def lsh_bands(
     sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 15, rows_per_band: int = 3
 ) -> DataFrame:
-    """Banded signatures: (id, band_idx, band_sig)."""
+    """Banded signatures: (id, band_idx, band_sig).
+
+    ``band_sig`` is the '|'-joined decimal form of the band's minhashes —
+    join-key equality only, so no digest needed on top (DuckDB mirrors with
+    ``string_agg(mh, '|' ORDER BY i)``)."""
     n_bands = n_hashes // rows_per_band
     bands = F.array(
         *[
-            F.md5(
+            (
                 F.concat_ws(
                     "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
                 )
@@ -122,8 +181,16 @@ def lsh_candidate_pairs(
     Truncation alone would orphan EXACT-dup members beyond the cap (identical
     docs share a signature in every band — no other band rescues them), so
     each dropped membership also emits a chain pair to the bucket's smallest
-    id (``operators.skew.cap_bucket_size_chained``): O(dropped) extra pairs,
-    and every capped member stays connected for downstream clustering/dedup.
+    id: O(dropped) extra pairs, and every capped member stays connected for
+    downstream clustering/dedup.
+
+    The cap decision is IN-PLAN: the rank window shuffles on the same key
+    the join shuffles on (exchange reused), and ``capped_pair_condition``
+    degenerates to plain ``id_a < id_b`` wherever the bucket is within the
+    cap — healthy buckets pay one in-partition sort, nothing else. (A
+    driver-side "is any bucket hot?" pre-count was tried and reverted: the
+    probe executed the whole upstream signature pipeline as a separate
+    synchronous job per call — a full extra corpus pass at scale.)
     Default (None) resolves to ``skew.DEFAULT_MAX_BUCKET_SIZE`` — inert on
     healthy corpora, a hard bound on degenerate ones. Pass
     ``max_bucket_size=0`` to disable.
@@ -131,15 +198,12 @@ def lsh_candidate_pairs(
     from .skew import (
         DEFAULT_MAX_BUCKET_SIZE,
         capped_pair_condition,
-        needs_cap,
         ranked_pair_sides,
     )
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
-    if max_bucket_size > 0 and needs_cap(
-        bands, ["band_idx", "band_sig"], max_bucket_size
-    ):
+    if max_bucket_size > 0:
         # cap + chains folded into the self-join: one window (same shuffle
         # key as the join — exchange reused), one join, no second traversal
         ra, rb = ranked_pair_sides(
@@ -177,11 +241,16 @@ def minhash_jaccard_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs + estimated jaccard
     (= fraction of matching minhashes)."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    # multiset shingles: MinHash is distinct-invariant, so the set-dedup
+    # shuffle of the exploded gram table is skipped entirely
+    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     # the signature table is referenced three times (bands + both pair
     # sides); Spark does not share subtrees, so materialize it once — the
-    # same move a production LSH pipeline makes by checkpointing signatures
-    sig = minhash_signatures(sh, id_col, n_hashes).persist()
+    # same move a production LSH pipeline makes by checkpointing signatures.
+    # Lazy localCheckpoint, not persist(): storage is released by the
+    # ContextCleaner when the result DataFrame is dropped, so repeated calls
+    # in a long-lived session cannot accumulate cached tables.
+    sig = minhash_signatures(sh, id_col, n_hashes).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("mhs").alias("mhs_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("mhs").alias("mhs_b"))
@@ -215,7 +284,8 @@ def ngram_jaccard_pairs(
     exclusion from per-doc set sizes. O(candidates x shared shingles), never
     all-pairs.
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    # lazy localCheckpoint (not persist): auto-released when unreferenced
+    sh = word_shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sig = minhash_signatures(sh, id_col, n_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)

@@ -418,12 +418,14 @@ def embedding_neardup_pairs(
     smallest id (exact dups collapse to ONE bucket per table — truncation
     alone would orphan members beyond the cap); chain pairs go through the
     same exact-cosine verification as joined candidates, so no similarity
-    is ever fabricated. See ``operators.skew``.
+    is ever fabricated. The cap decision is in-plan (the rank window shares
+    the join's exchange and the capped condition degenerates to
+    ``id_a < id_b`` for in-cap buckets) — no driver-side pre-count, no
+    second pass over the embeddings. See ``operators.skew``.
     """
     from .skew import (
         DEFAULT_MAX_BUCKET_SIZE,
         capped_pair_condition,
-        needs_cap,
         ranked_pair_sides,
     )
 
@@ -434,9 +436,7 @@ def embedding_neardup_pairs(
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
-    if max_bucket_size > 0 and needs_cap(
-        t.select("bucket"), ["bucket"], max_bucket_size
-    ):
+    if max_bucket_size > 0:
         ra, rb = ranked_pair_sides(t, ["bucket"], id_col, max_bucket_size)
         a = ra.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", "__rn_a"

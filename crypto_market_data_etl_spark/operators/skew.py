@@ -48,6 +48,20 @@ DEFAULT_MAX_BUCKET_SIZE = 10_000
 _REPORT_TIMEOUT_S = 900.0
 
 
+_reporter_warned = False
+
+
+def _warn_reporter_unavailable() -> None:
+    global _reporter_warned
+    if not _reporter_warned:
+        _reporter_warned = True
+        logger.warning(
+            "cap_bucket_size: Observation.getRowOrEmpty internal API "
+            "unavailable on this PySpark build — dropped-membership counts "
+            "will not be logged (still recorded as observed metrics)"
+        )
+
+
 def _watch_observation(
     obs,  # pyspark.sql.Observation
     max_bucket_size: int,
@@ -71,8 +85,16 @@ def _watch_observation(
         while time.monotonic() < deadline:  # immediately), easing off to 1s
             try:
                 row_opt = obs._jo.getRowOrEmpty()  # waits ≤100ms JVM-side
-            except Exception:  # py4j gateway gone / session stopped
+            except (AttributeError, TypeError):
+                # `_jo`/`getRowOrEmpty` is a private accessor — absent or
+                # renamed on another PySpark build. Say so ONCE instead of
+                # silently voiding the drop-count logging guarantee; the
+                # count stays visible as an observed metric on the listener
+                # bus / Spark UI.
+                _warn_reporter_unavailable()
                 return
+            except Exception:  # py4j gateway gone / session stopped — the
+                return  # query is over, nothing left to report
             if row_opt.isDefined():
                 got = obs.get  # now non-blocking
                 if got["dropped"]:

@@ -1131,10 +1131,13 @@ def q28_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_asof_enrich(trades, snaps, key_col="code", ts_col="ts_us")
     name = "q28_stream_asof_sink"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-    )
+    from ..session import state_partitions
+
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -1220,10 +1223,15 @@ def q30_stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         passthrough_cols=["value", "event_id"],
     )
     name = "q30_stream_bars_sink"
-    q = (
-        assigned.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-    )
+    # state-store count is frozen at query start; size it to the ~150
+    # instrument keys, not the core count (see session.state_partitions)
+    from ..session import state_partitions
+
+    with state_partitions(spark, 8):
+        q = (
+            assigned.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -107,19 +107,28 @@ def x02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mirrors operators/dedup.py exactly: ONE md5 per shingle, seeds via the
+# pairwise-independent linear family mh_i = min((a + i*b) mod p), p = 2^31-1
 _SHINGLES_CTE = """
 WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS s
   FROM toks
 ),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT % 2147483646 + 1 AS b
+  FROM sh
+),
 seeds AS (SELECT unnest(generate_series(0, {n_last})) AS i),
 sig AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS mh
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, i
+  SELECT doc_id, i, min((a + i * b) % 2147483647) AS mh
+  FROM hs CROSS JOIN seeds GROUP BY doc_id, i
 ),
 bands AS (
-  SELECT doc_id, i // {rpb} AS band_idx, md5(string_agg(mh, '|' ORDER BY i)) AS band_sig
+  SELECT doc_id, i // {rpb} AS band_idx,
+         string_agg(mh, '|' ORDER BY i) AS band_sig
   FROM sig GROUP BY doc_id, i // {rpb}
 ),
 cand AS (
@@ -762,10 +771,13 @@ WHERE rnk <= 100
 # --------------------------------------------------------------------------
 
 def x21_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = word_shingles(_docs(spark, sf_dir))
-    # persisted: the candidate operator's skew probe and the pair join both
-    # read the signature table — one minhash computation, not two
-    sig = minhash_signatures(sh, n_hashes=N_HASHES).persist()
+    # multiset shingles: MinHash is distinct-invariant (no set-dedup shuffle)
+    sh = word_shingles(_docs(spark, sf_dir), distinct=False)
+    # lazily checkpointed: both pair-join sides read the signature table —
+    # one minhash computation, not two — and the storage is auto-released by
+    # the ContextCleaner once the result is dropped (persist() here leaked a
+    # cached table per call across a long-lived session)
+    sig = minhash_signatures(sh, n_hashes=N_HASHES).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(
         lsh_bands(sig, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND)
     )
@@ -1060,13 +1072,80 @@ ORACLES = {
     "x26_bloom_contamination": X26_SQL,
 }
 
-# ANN physical variants outside the driver's 50-row gate budget (see
-# plans/core.py): x18 is the band-OR form of the x13/x15/x17 ANN family —
-# same oracle discipline, swept by tools/selfcheck.py + pytest.
+# --------------------------------------------------------------------------
+# x27 interval-overlap join (operators/interval.py) — grain-bucketed
+# interval×interval range join, each qualifying pair emitted exactly once via
+# the first-overlap-bucket filter (no distinct). Oracle: DuckDB's plain
+# overlap-predicate join. Intervals derive from events: "visits" (every 3rd
+# event, 2 h long) × "campaigns" (every 5th event, ±1 h) per user.
+# --------------------------------------------------------------------------
+
+_IVL_H_US = 3_600_000_000
+
+
+def x27_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import interval_join
+    from ..plans.core import _events
+
+    ev = _events(spark, sf_dir)
+    visits = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id",
+        F.col("event_id").alias("visit_id"),
+        F.col("ts_us").alias("v_start"),
+        (F.col("ts_us") + 2 * _IVL_H_US).alias("v_end"),
+    )
+    camps = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        F.col("event_id").alias("camp_id"),
+        (F.col("ts_us") - _IVL_H_US).alias("c_start"),
+        (F.col("ts_us") + _IVL_H_US).alias("c_end"),
+    )
+    joined = interval_join(
+        visits,
+        camps,
+        left_bounds=("v_start", "v_end"),
+        right_bounds=("c_start", "c_end"),
+        grain=_IVL_H_US,
+        on=["user_id"],
+    )
+    return joined.select(
+        "user_id", "visit_id",
+        F.col("camp_id_r").alias("camp_id"),
+        "v_start", "v_end",
+        F.col("c_start_r").alias("c_start"),
+        F.col("c_end_r").alias("c_end"),
+    )
+
+
+X27_SQL = f"""
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+v AS (
+  SELECT user_id, event_id AS visit_id, ts_us AS v_start,
+         ts_us + {2 * _IVL_H_US} AS v_end
+  FROM e WHERE event_id % 3 = 0
+),
+c AS (
+  SELECT user_id, event_id AS camp_id, ts_us - {_IVL_H_US} AS c_start,
+         ts_us + {_IVL_H_US} AS c_end
+  FROM e WHERE event_id % 5 = 0
+)
+SELECT v.user_id, visit_id, camp_id, v_start, v_end, c_start, c_end
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND v_start <= c_end AND c_start <= v_end
+"""
+
+
+# Physical variants / range-join family outside the driver's 50-row gate
+# budget (see plans/core.py): x18 is the band-OR form of the x13/x15/x17 ANN
+# family; x27 exercises operators/interval.py. Same oracle discipline, swept
+# by tools/selfcheck.py + pytest.
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
+    "x27_interval_join": x27_interval_join,
 }
 
 VARIANT_ORACLES = {
     "x18_bandor_ann": X18_SQL,
+    "x27_interval_join": X27_SQL,
 }

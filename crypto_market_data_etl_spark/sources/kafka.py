@@ -36,54 +36,83 @@ def kafka_timestamps_json(topic: str, partition_ts_ms: dict[int, int]) -> str:
     return json.dumps({topic: {str(p): t for p, t in partition_ts_ms.items()}})
 
 
-def kafka_stream_reader(
-    spark: SparkSession,
-    brokers: str,
-    topic: str,
-    starting_offsets: str = "latest",
-    **extra: str,
-):
-    """S1: streaming Kafka reader (returns the configured DataStreamReader;
-    call ``.load()`` where a broker exists)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    for k, v in extra.items():
-        reader = reader.option(k, v)
-    return reader
-
-
-def kafka_batch_reader(
-    spark: SparkSession,
+def kafka_source_options(
     brokers: str,
     topic: str,
     starting_offsets: str | None = None,
     ending_offsets: str | None = None,
     starting_ts: str | None = None,
     ending_ts: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+    fail_on_data_loss: bool | None = None,
     **extra: str,
+) -> dict[str, str]:
+    """Complete Kafka source option dict — the reference's operational
+    envelope as first-class knobs (unit-testable without a broker):
+
+    - ``max_offsets_per_trigger`` → ``maxOffsetsPerTrigger``: per-micro-batch
+      record cap = streaming backpressure. Without it a restart after
+      downtime reads the whole backlog into ONE batch (the reference's
+      15 s-trigger realtime job would OOM on a weekend's backlog).
+    - ``min_partitions`` → ``minPartitions``: fan a hot topic-partition out
+      to more Spark tasks than Kafka partitions — the knob for the
+      3-symbols-on-few-partitions skew the reference runs with.
+    - ``fail_on_data_loss`` → ``failOnDataLoss``: whether expired-retention
+      gaps abort the query. The reference's 5-minute archival cadence
+      (``kafka_to_gcs_by_spark_batch.py:81-87``) reads offset bands resolved
+      an hour earlier — set False to survive retention races, True (default)
+      for exactly-once audit jobs.
+    """
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+    }
+    if starting_offsets is not None:
+        opts["startingOffsets"] = starting_offsets
+    if ending_offsets is not None:
+        opts["endingOffsets"] = ending_offsets
+    if starting_ts is not None:
+        opts["startingOffsetsByTimestamp"] = starting_ts
+    if ending_ts is not None:
+        opts["endingOffsetsByTimestamp"] = ending_ts
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    opts.update(extra)
+    return opts
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    **kwargs,
+):
+    """S1: streaming Kafka reader (returns the configured DataStreamReader;
+    call ``.load()`` where a broker exists). Accepts every
+    :func:`kafka_source_options` knob."""
+    opts = kafka_source_options(
+        brokers, topic, starting_offsets=starting_offsets, **kwargs
+    )
+    return spark.readStream.format("kafka").options(**opts)
+
+
+def kafka_batch_reader(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    **kwargs,
 ):
     """S2/S3: bounded Kafka reader by offsets or by timestamps (built-in
-    replacement for the reference's external offset resolution)."""
-    reader = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-    )
-    if starting_offsets is not None:
-        reader = reader.option("startingOffsets", starting_offsets)
-    if ending_offsets is not None:
-        reader = reader.option("endingOffsets", ending_offsets)
-    if starting_ts is not None:
-        reader = reader.option("startingOffsetsByTimestamp", starting_ts)
-    if ending_ts is not None:
-        reader = reader.option("endingOffsetsByTimestamp", ending_ts)
-    for k, v in extra.items():
-        reader = reader.option(k, v)
-    return reader
+    replacement for the reference's external offset resolution). Accepts
+    every :func:`kafka_source_options` knob."""
+    opts = kafka_source_options(brokers, topic, **kwargs)
+    return spark.read.format("kafka").options(**opts)
 
 
 def kafka_stream_writer(

@@ -208,9 +208,12 @@ def _integral(t: T.DataType) -> bool:
 
 def _native_scalar(v: Any) -> Any:
     """Pandas/numpy cell → the exact Python value ``GroupState.update``
-    expects (None for missing, int/float/str/bool/... otherwise)."""
+    expects (None for missing, int/float/str/bool/list/... otherwise;
+    ndarray cells — array-typed columns — become plain lists)."""
     if v is None:
         return None
+    if isinstance(v, np.ndarray):
+        return v.tolist()
     if isinstance(v, np.generic):
         v = v.item()
     if isinstance(v, float) and math.isnan(v):
@@ -401,7 +404,15 @@ def stateful_asof_enrich(
                         vals = col.copy()
                         na = np.nan if vals.dtype.kind == "f" else None
                         if not have.all():
-                            vals[~have] = na if sv is None else sv
+                            fillv = na if sv is None else sv
+                            if isinstance(fillv, (list, tuple, np.ndarray)):
+                                # sequence-valued seed (array column): a
+                                # masked bulk assign would numpy-broadcast
+                                # the elements — fill slots one by one
+                                for j in np.where(~have)[0]:
+                                    vals[j] = fillv
+                            else:
+                                vals[~have] = fillv
                         vals[drop] = na
                         out[c + suffix] = vals
                 yield pd.DataFrame(out)

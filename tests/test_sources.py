@@ -64,3 +64,38 @@ def test_kafka_reader_builders_construct(spark):
         ending_offsets=kafka_offsets_json("upbit_trade", {0: 100}),
     )
     assert r1 is not None and r2 is not None
+
+
+def test_kafka_source_options_operational_envelope():
+    from crypto_market_data_etl_spark.sources.kafka import kafka_source_options
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9092",
+        "upbit_orderbook",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=50_000,
+        min_partitions=64,
+        fail_on_data_loss=False,
+        **{"kafka.group.id": "archiver"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "upbit_orderbook",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "50000",
+        "minPartitions": "64",
+        "failOnDataLoss": "false",
+        "kafka.group.id": "archiver",
+    }
+    # unset knobs never emit an option (Spark treats presence as intent)
+    lean = kafka_source_options("b:9092", "t")
+    assert lean == {"kafka.bootstrap.servers": "b:9092", "subscribe": "t"}
+    # ByTimestamp bounds coexist with backpressure/fan-out knobs
+    ts = kafka_source_options(
+        "b:9092", "t",
+        starting_ts=kafka_timestamps_json("t", {0: 1_704_067_200_000}),
+        ending_ts=kafka_timestamps_json("t", {0: 1_704_070_800_000}),
+        fail_on_data_loss=True,
+    )
+    assert json.loads(ts["startingOffsetsByTimestamp"]) == {"t": {"0": 1704067200000}}
+    assert ts["failOnDataLoss"] == "true"

@@ -744,3 +744,47 @@ def test_stateful_asof_enrich_big_int_state_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == {2 * US: big, 4 * US: big}
+
+
+def test_stateful_asof_enrich_array_payload_across_batches(spark, tmp_path):
+    """An array-typed snapshot payload (order-book depth levels) forward-
+    fills within a batch AND survives the cross-batch state round-trip as a
+    list — a masked numpy assign would scatter its ELEMENTS across slots,
+    and GroupState.update needs a plain list, not an ndarray."""
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_asof_enrich
+
+    tdir, sdir = str(tmp_path / "trades"), str(tmp_path / "snaps")
+    t_schema = "code long, ts_us long, price double"
+    s_schema = "code long, ts_us long, depth array<double>"
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    write(sdir, s_schema, [(1, 1 * US, [99.0, 98.5, 98.0])])
+    write(tdir, t_schema, [(1, 2 * US, 100.0)])
+    time.sleep(1.1)
+    # two trades in batch 2: first BEFORE the new snapshot (filled from the
+    # batch-1 state — the list-valued seed path), second after it
+    write(sdir, s_schema, [(1, 5 * US, [97.0, 96.5])])
+    write(tdir, t_schema, [(1, 4 * US, 101.0), (1, 6 * US, 102.0)])
+
+    tr = spark.readStream.schema(t_schema).option("maxFilesPerTrigger", "1").parquet(tdir)
+    sn = spark.readStream.schema(s_schema).option("maxFilesPerTrigger", "1").parquet(sdir)
+    out = stateful_asof_enrich(tr, sn, key_col="code", ts_col="ts_us")
+    q = (
+        out.writeStream.format("memory").queryName("asof_arraystate")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.ts_us: (r.ts_us_r, list(r.depth_r) if r.depth_r is not None else None)
+            for r in spark.table("asof_arraystate").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        2 * US: (1 * US, [99.0, 98.5, 98.0]),
+        4 * US: (1 * US, [99.0, 98.5, 98.0]),  # list-valued state carry
+        6 * US: (5 * US, [97.0, 96.5]),
+    }
