@@ -18,8 +18,12 @@ def oracle_con():
     return con
 
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+from crypto_market_data_etl_spark import plans
+
+# gate + variant registries: variants get the identical oracle compare here
+# even though the driver only sees the gate 50 (test_gate_contract.py)
+QUERIES = {**entrymod.queries(), **plans.variant_queries()}
+ORACLES = {**entrymod.oracle_sql(), **plans.variant_oracles()}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -33,6 +33,14 @@ def test_q09_asof_is_equi_join_not_nested_loop(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_q29_adaptive_asof_is_equi_join_not_nested_loop(spark):
+    plan = _plan(core.q29_asof_adaptive(spark, SF_SMOKE))
+    # the interval formulation must also stay an equi-join on (key, bucket);
+    # its per-key stats/lead sides broadcast (tiny dims), never nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q09_single_shuffle_for_bars(spark):
     plan = _plan(core.q08_dollar_bars(spark, SF_SMOKE))
     # cumsum + bar agg reuse the same user_id hash partitioning: exactly one
