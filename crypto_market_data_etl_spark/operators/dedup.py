@@ -345,3 +345,75 @@ def simhash(
         )
         .drop("n_bits")
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 3,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-chunk removal (the C4/Dolma "line dedup"
+    step, on whitespace text): split each doc into consecutive
+    ``chunk_words``-word chunks, drop every chunk whose text appears in
+    more than ``max_doc_freq`` DISTINCT documents (boilerplate: headers,
+    nav bars, license blurbs), and reassemble the surviving chunks in
+    order.
+
+    Output per doc: ``(id, n_chunks, n_dropped, clean_md5)`` — the cleaned
+    text is fingerprinted (md5) so downstream compares stay cheap; swap the
+    digest for the string itself when writing a cleaned corpus.
+
+    Shape at 100 TB: explode to one row per chunk (bounded fan-out
+    tokens/chunk_words), doc-frequency via two map-side-combined aggs on
+    the chunk text (exact distinct-doc counts — a corpus-wide shuffle on
+    the chunk key, the step that HAS to see all docs), broadcast-free join
+    back on the same key, then one per-doc agg whose deterministic
+    reassembly is ``array_sort(collect_list(struct(idx, chunk)))`` — order
+    restored after the shuffle, never assumed.
+    """
+    staged = spread_small_input(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    n_chunks = F.ceil(F.size(F.col("__toks")) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * chunk_words + 1, chunk_words)),
+    )
+    exploded = staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("idx", "chunk")
+    )
+    doc_freq = (
+        exploded.groupBy("chunk", id_col)
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    marked = exploded.join(doc_freq, "chunk")
+    kept_texts = (
+        marked.filter(F.col("df") <= max_doc_freq)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("__clean")
+        )
+    )
+    stats = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("df") > max_doc_freq).cast("long")).alias("n_dropped"),
+    )
+    return (
+        stats.join(kept_texts, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "n_dropped",
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )

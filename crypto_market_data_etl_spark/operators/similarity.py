@@ -432,7 +432,11 @@ def embedding_neardup_pairs(
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     sig = bucket_signature(vec_col, n_planes, dim)
-    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    # both self-join sides read the signature projection (n_planes x dim HOF
+    # work per vector) — materialize once, auto-released when unreferenced
+    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket")).localCheckpoint(
+        eager=False
+    )
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )

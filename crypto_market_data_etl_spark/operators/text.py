@@ -258,3 +258,57 @@ def vocabulary(
     topk = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText quality
+    rules): per doc, the duplicate fraction of word 2-grams and 3-grams
+    (``1 - distinct/total``) and the share of the single most frequent
+    token. High values flag template/spam/keyword-stuffed pages that
+    length/punctuation heuristics (:func:`quality_scores`) miss.
+
+    Shape at 100 TB: the n-gram fractions are PER-ROW array expressions
+    (``array_distinct`` over the token array — no explode, no shuffle,
+    map-only); only the top-token share needs an explode + two-level agg,
+    shuffling one row per (doc, distinct token). Fractions round to 6dp
+    (oracle-mirrored).
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def grams(n: int):
+        cnt = F.size(toks) - (n - 1)
+        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+
+    def dup_frac(n: int):
+        g = grams(n)
+        return F.when(
+            F.size(g) > 0,
+            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6),
+        ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),  # bigint: oracle dtype parity
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_c"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("top_c") / F.col("tot_c"), 6).alias("top_token_frac"),
+        )
+    )
+    return base.join(tok_counts, id_col, "left").na.fill({"top_token_frac": 0.0})

@@ -1136,16 +1136,108 @@ FROM v JOIN c
 """
 
 
-# Physical variants / range-join family outside the driver's 50-row gate
-# budget (see plans/core.py): x18 is the band-OR form of the x13/x15/x17 ANN
-# family; x27 exercises operators/interval.py. Same oracle discipline, swept
-# by tools/selfcheck.py + pytest.
+# --------------------------------------------------------------------------
+# x28 corpus-level duplicate-chunk removal (C4/Dolma "line dedup"):
+# 3-word chunks whose text appears in > max_doc_freq distinct docs are
+# boilerplate; docs are reassembled without them. Oracle rebuilds the exact
+# chunking, doc-frequency, and ordered reassembly in DuckDB.
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_DF = 3, 2
+
+
+def x28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import chunk_dedup
+
+    return chunk_dedup(
+        _docs(spark, sf_dir), chunk_words=_CHUNK_W, max_doc_freq=_CHUNK_DF
+    )
+
+
+X28_SQL = f"""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest([{{'idx': i, 'chunk': array_to_string(tk[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' ')}}
+                 FOR i IN range(0, CAST(ceil(len(tk) / {_CHUNK_W}.0) AS INT))]) AS s
+  FROM toks
+),
+e AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM ch),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM e GROUP BY chunk),
+m AS (SELECT e.*, df FROM e JOIN freq USING (chunk)),
+kept AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean
+  FROM m WHERE df <= {_CHUNK_DF} GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN df > {_CHUNK_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM m GROUP BY doc_id
+)
+SELECT s.doc_id, n_chunks, n_dropped, md5(coalesce(clean, '')) AS clean_md5
+FROM stats s LEFT JOIN kept USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# x29 intra-document repetition metrics (Gopher/MassiveText quality rules):
+# duplicate word 2/3-gram fractions + top-token share per doc.
+# --------------------------------------------------------------------------
+
+def x29_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+X29_SQL = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS g2,
+         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk)-1)] AS g3
+  FROM toks
+),
+base AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(g2) > 0
+              THEN round(1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN len(g3) > 0
+              THEN round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_3gram_frac
+  FROM g
+),
+tc AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY doc_id, t
+),
+top AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+  FROM tc GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+       coalesce(top_token_frac, 0.0) AS top_token_frac
+FROM base LEFT JOIN top USING (doc_id)
+"""
+
+
+# Physical variants / range-join family / corpus-hygiene extras outside the
+# driver's 50-row gate budget (see plans/core.py): x18 is the band-OR form
+# of the x13/x15/x17 ANN family; x27 exercises operators/interval.py; x28
+# (chunk dedup) and x29 (repetition metrics) are the C4/Gopher hygiene
+# steps. Same oracle discipline, swept by tools/selfcheck.py + pytest.
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
+    "x28_chunk_dedup": x28_chunk_dedup,
+    "x29_repetition": x29_repetition,
 }
 
 VARIANT_ORACLES = {
     "x18_bandor_ann": X18_SQL,
     "x27_interval_join": X27_SQL,
+    "x28_chunk_dedup": X28_SQL,
+    "x29_repetition": X29_SQL,
 }

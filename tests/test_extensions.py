@@ -241,3 +241,61 @@ def test_fingerprints_window_one_short_docs(spark):
 
     with pytest.raises(ValueError):
         fingerprints(df, window=0)
+
+
+def test_chunk_dedup_drops_shared_chunks_and_reassembles(spark):
+    from crypto_market_data_etl_spark.operators.dedup import chunk_dedup
+    import hashlib
+
+    # "a b c" is a chunk in BOTH docs (boilerplate); the rest is unique.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z q"),      # chunks: "a b c", "x y z", "q"
+            (2, "a b c m n o"),        # chunks: "a b c", "m n o"
+            (3, "solo doc here"),      # chunks: "solo doc here"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.clean_md5)
+        for r in chunk_dedup(docs, chunk_words=3, max_doc_freq=1).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (3, 1, md5("x y z q"))
+    assert got[2] == (2, 1, md5("m n o"))
+    assert got[3] == (1, 0, md5("solo doc here"))
+
+
+def test_chunk_dedup_fully_boilerplate_doc_empties(spark):
+    from crypto_market_data_etl_spark.operators.dedup import chunk_dedup
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_dropped, r.clean_md5) for r in chunk_dedup(
+        docs, chunk_words=3, max_doc_freq=1
+    ).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    assert got == {1: (1, empty), 2: (1, empty), 3: (1, empty)}
+
+
+def test_repetition_metrics_hand_case(spark):
+    from crypto_market_data_etl_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 3 identical 2-grams, 2 identical 3-grams
+            (2, "all words here differ"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_metrics(docs).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_2gram_frac"] == round(1 - 1 / 3, 6)   # 3 grams, 1 distinct
+    assert r1["dup_3gram_frac"] == round(1 - 1 / 2, 6)   # 2 grams, 1 distinct
+    assert r1["top_token_frac"] == 1.0                   # every token is "spam"
+    r2 = got[2]
+    assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
+    assert r2["top_token_frac"] == 0.25
