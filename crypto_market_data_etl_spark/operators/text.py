@@ -269,35 +269,30 @@ def repetition_metrics(
     token. High values flag template/spam/keyword-stuffed pages that
     length/punctuation heuristics (:func:`quality_scores`) miss.
 
-    Shape at 100 TB: the n-gram fractions are PER-ROW array expressions
-    (``array_distinct`` over the token array — no explode, no shuffle,
-    map-only); only the top-token share needs an explode + two-level agg,
-    shuffling one row per (doc, distinct token). Fractions round to 6dp
-    (oracle-mirrored).
+    Shape at 100 TB: explode + two-level map-side-combined aggregation per
+    signal — linear in grams, shuffling one row per (doc, distinct gram).
+    A per-row ``array_distinct`` formulation was tried and reverted: the
+    JVM dedups arrays by pairwise comparison (quadratic per doc — measured
+    7.6 s vs 1.5 s at sf0.1 on ~200-token docs), so "map-only" lost to the
+    linear shuffle by 5x. Fractions round to 6dp (oracle-mirrored).
     """
-    toks = F.split(F.col(text_col), " ")
+    from .dedup import word_shingles
 
-    def grams(n: int):
-        cnt = F.size(toks) - (n - 1)
-        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    def dup_frac(n: int, out: str):
+        g = word_shingles(df, id_col, text_col, n=n, distinct=False)
+        return (
+            g.groupBy(id_col, "s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.round(1 - F.count(F.lit(1)) / F.sum("c"), 6).alias(out)
             )
         )
 
-    def dup_frac(n: int):
-        g = grams(n)
-        return F.when(
-            F.size(g) > 0,
-            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6),
-        ).otherwise(F.lit(0.0))
-
     base = df.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),  # bigint: oracle dtype parity
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
+        # bigint cast: oracle dtype parity (DuckDB len() is BIGINT)
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
     tok_counts = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
@@ -311,4 +306,11 @@ def repetition_metrics(
             F.round(F.col("top_c") / F.col("tot_c"), 6).alias("top_token_frac"),
         )
     )
-    return base.join(tok_counts, id_col, "left").na.fill({"top_token_frac": 0.0})
+    return (
+        base.join(dup_frac(2, "dup_2gram_frac"), id_col, "left")
+        .join(dup_frac(3, "dup_3gram_frac"), id_col, "left")
+        .join(tok_counts, id_col, "left")
+        .na.fill(
+            {"dup_2gram_frac": 0.0, "dup_3gram_frac": 0.0, "top_token_frac": 0.0}
+        )
+    )
