@@ -1,0 +1,80 @@
+"""Corpus-operator scale stress: the dedup/hygiene family on a ~20x corpus.
+
+The driver's documents table tops out at 5k docs (sf0.1); the scale claims
+in operators/dedup.py are about behavior when the corpus is much larger
+than a row-group. This replicates the sf0.1 documents 20x (shifted ids,
+per-replica salt so near-dup structure survives within each replica but
+exact text never collides across replicas), materializes the 100k-doc
+corpus, and times the pipelines end-to-end:
+
+    python tools/scale_corpus_run.py [reps]
+
+Recorded on local[32] at 20x (100k docs, ~5.1M shingles), full evaluation
+(sum-agg over every metric column — a bare count() lets Catalyst eliminate
+unique-key left joins and skip the work):
+  minhash_jaccard_pairs    9.6 s   (2.1M pairs; 20x data ~ 5.5x the sf0.1 wall)
+  chunk_dedup              5.4 s   (~3x sf0.1)
+  repetition_metrics      13.6 s   (~8x sf0.1; three explode+agg pipelines)
+Sub-linear walls vs data because fixed per-job overhead dominates sf0.1;
+the point is the absence of any quadratic blow-up (the in-plan bucket cap
+and the band equi-join keep pair generation linear in candidates).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crypto_market_data_etl_spark.operators.dedup import (  # noqa: E402
+    chunk_dedup,
+    minhash_jaccard_pairs,
+)
+from crypto_market_data_etl_spark.operators.text import repetition_metrics  # noqa: E402
+from crypto_market_data_etl_spark.schemas import load_table  # noqa: E402
+from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark(app_name="scale_corpus")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    big = None
+    for i in range(reps):
+        r = docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+        )
+        big = r if big is None else big.unionByName(r)
+    big = big.repartition(32).localCheckpoint()
+    n = big.count()
+    print(f"corpus: {n} docs ({reps}x sf0.1)")
+
+    # force FULL evaluation: a bare count() lets Catalyst eliminate
+    # unique-key left joins (and with them the metric computation itself)
+    def run_all(df):
+        agg = [
+            F.sum(f.name).alias(f.name)
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("double", "bigint")
+        ]
+        return df.agg(F.count(F.lit(1)), *agg).collect()[0][0]
+
+    for label, fn in [
+        ("minhash_jaccard_pairs", lambda: run_all(minhash_jaccard_pairs(big))),
+        ("chunk_dedup", lambda: run_all(chunk_dedup(big))),
+        ("repetition_metrics", lambda: run_all(repetition_metrics(big))),
+    ]:
+        t0 = time.time()
+        rows = fn()
+        print(f"{label}: {time.time() - t0:.1f}s rows={rows}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
