@@ -46,6 +46,9 @@ HEADLINE = [
     "x24_shard_packing",
     # round-3: Bloom-bitmap decontamination tier (bit_or bitmap + map-side probe)
     "x26_bloom_contamination",
+    # round-4: corpus-level chunk dedup (C4/Dolma line-dedup shape) — first
+    # recorded run sets its baseline
+    "x28_chunk_dedup",
 ]
 
 

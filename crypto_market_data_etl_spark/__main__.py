@@ -32,12 +32,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from . import plans
 
-    queries, oracles = plans.all_queries(), plans.all_oracles()
+    # gate + variant registries: the CLI runs anything registered anywhere
+    gated = plans.all_queries()
+    queries = {**gated, **plans.variant_queries()}
+    oracles = {**plans.all_oracles(), **plans.variant_oracles()}
 
     if args.cmd == "list":
         for name in sorted(queries):
             mark = "oracle" if name in oracles else "rows-only"
-            print(f"{name:32s} [{mark}]")
+            tier = "gate" if name in gated else "variant"
+            print(f"{name:32s} [{mark}, {tier}]")
         return 0
 
     if args.cmd == "oracle":

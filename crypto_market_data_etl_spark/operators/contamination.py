@@ -45,9 +45,12 @@ def contamination_report(
     have no grams and report (0, 0, 0.0) — present, not dropped, so the
     report covers the whole corpus.
     """
-    grams = word_shingles(corpus, id_col, text_col, gram_n)
-    # bench side is small by contract (it gets broadcast) — skip the
-    # small-input spread, the extra exchange outweighs the 1-task explode
+    # spread=False on BOTH sides: the per-gram work here is a broadcast
+    # probe + partial count (light — unlike the minhash digest pipeline),
+    # so the spread's extra exchange costs more than the parallelism buys
+    # at small scale, and at production scale the corpus already has
+    # thousands of splits (spread is a no-op there by construction)
+    grams = word_shingles(corpus, id_col, text_col, gram_n, spread=False)
     bench_grams = (
         word_shingles(bench, id_col, text_col, gram_n, spread=False)
         .select("s").distinct()
@@ -112,9 +115,8 @@ def bloom_contamination_report(
     the corpus side still never shuffles before the per-doc count, and a
     gram counts only when ALL ``n_hashes`` probes hit.
     """
-    grams = word_shingles(corpus, id_col, text_col, gram_n)
-    # bench side: small-by-contract relative to the corpus (if it fills the
-    # bitmap it is still one narrow agg) — skip the small-input spread
+    # spread=False on both sides — same reasoning as contamination_report
+    grams = word_shingles(corpus, id_col, text_col, gram_n, spread=False)
     bench_grams = (
         word_shingles(bench, id_col, text_col, gram_n, spread=False)
         .select("s").distinct()
