@@ -299,3 +299,21 @@ def test_repetition_metrics_hand_case(spark):
     r2 = got[2]
     assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
     assert r2["top_token_frac"] == 0.25
+
+
+def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
+    """With a doc-frequency threshold no chunk exceeds, the chunk split +
+    shuffled reassembly must reproduce every document byte-for-byte —
+    ordering restored by array_sort(struct(idx, chunk)), never assumed."""
+    from crypto_market_data_etl_spark.operators.dedup import chunk_dedup
+    import hashlib
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: r.clean_md5
+        for r in chunk_dedup(docs, chunk_words=3, max_doc_freq=10**9).collect()
+    }
+    want = {
+        r.doc_id: hashlib.md5(r.text.encode()).hexdigest() for r in docs.collect()
+    }
+    assert got == want

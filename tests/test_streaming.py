@@ -261,6 +261,46 @@ def test_stateful_dollar_bars_match_batch(spark, tmp_path):
     assert {b.bar_num for b in expected_bars.collect()} == {v[1] for v in got.values()}
 
 
+def test_stateful_dollar_bars_passthrough_ohlc_matches_batch(spark, tmp_path):
+    """Passthrough columns (price, seq id) ride the streamed assignment
+    across micro-batches, so a downstream groupBy reproduces the batch
+    operator's full OHLCV — the q30 gate pipeline, exercised cross-batch."""
+    from crypto_market_data_etl_spark.operators.bars import dollar_bars
+    from crypto_market_data_etl_spark.operators.candles import ohlcv_aggs
+
+    path = str(tmp_path / "in")
+    prices = [4.0, 6.0, 2.0, 5.0, 3.0, 4.0]
+    rows = [(1, i * US, prices[i]) for i in range(6)]
+    _write_batch(spark, path, rows[:3])
+    _write_batch(spark, path, rows[3:])
+    stream = _stream(spark, path).select(
+        "code", "ts_us", "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = stateful_dollar_bars(
+        stream, "code", "ts_us", "cents", bar_cents=1000,
+        passthrough_cols=["value"],
+    )
+    q = run_to_memory(out, "sbars_pt", output_mode="append")
+    try:
+        streamed_bars = {
+            (r.code, r.bar_num): (r.open, r.high, r.low, r.close, r.n_trades, r.notional)
+            for r in spark.table("sbars_pt")
+            .groupBy("code", "bar_num")
+            .agg(*ohlcv_aggs("value", "ts_us", [], volume_cents_col="cents"))
+            .withColumnRenamed("volume", "notional")
+            .collect()
+        }
+    finally:
+        q.stop()
+    batch_df = spark.createDataFrame(rows, "code long, ts_us long, value double")
+    batch_bars = {
+        (r.code, r.bar_num): (r.open, r.high, r.low, r.close, r.n_trades, r.notional)
+        for r in dollar_bars(batch_df, ["code"], "ts_us", "value", 10.0).collect()
+    }
+    assert streamed_bars == batch_bars and len(streamed_bars) >= 2
+
+
 def test_stream_stream_join(spark, tmp_path):
     # T8 family: stream-stream inner join with watermarks + time band
     la, lb = str(tmp_path / "a"), str(tmp_path / "b")
