@@ -417,3 +417,84 @@ def chunk_dedup(
             F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded candidate generation + exact
+    Hamming verification — the pairing tier :func:`simhash` signatures
+    exist for (Charikar/Manku-style web dedup).
+
+    Pigeonhole guarantee: with ``n_bands`` bands, any pair within
+    ``n_bands - 1`` bit flips shares at least one untouched band, so recall
+    is exact for ``max_hamming < n_bands``; beyond that it degrades
+    gracefully (band collision required). Candidates come from an equi-join
+    on (band_idx, band substring) — never all-pairs — through the same
+    in-plan bucket cap as the MinHash path; Hamming distance is
+    ``bit_count(a XOR b)`` on the integer form of the signature (exact,
+    oracle-portable). Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    from .skew import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        capped_pair_condition,
+        ranked_pair_sides,
+    )
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    width = bits // n_bands
+    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", b * width + 1, width)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    if max_bucket_size > 0:
+        ra, rb = ranked_pair_sides(
+            bands, ["band_idx", "band_sig"], id_col, max_bucket_size
+        )
+        a = ra.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig", "__rn_a")
+        b = rb.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig", "__rn_b")
+        cand = (
+            a.join(b, ["band_idx", "band_sig"])
+            .filter(capped_pair_condition("id_a", "id_b", max_bucket_size))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+        b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+        cand = (
+            a.join(b, ["band_idx", "band_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    as_int = lambda c: F.conv(c, 2, 10).cast("bigint")  # noqa: E731
+    sa = sig.select(F.col(id_col).alias("id_a"), as_int("simhash").alias("__ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), as_int("simhash").alias("__hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

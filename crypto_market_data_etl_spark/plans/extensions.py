@@ -1228,11 +1228,74 @@ FROM base LEFT JOIN top USING (doc_id)
 # of the x13/x15/x17 ANN family; x27 exercises operators/interval.py; x28
 # (chunk dedup) and x29 (repetition metrics) are the C4/Gopher hygiene
 # steps. Same oracle discipline, swept by tools/selfcheck.py + pytest.
+# --------------------------------------------------------------------------
+# x30 SimHash near-dup pairs: banded candidates (pigeonhole-exact recall for
+# hamming < n_bands) + exact bit_count(XOR) verification — the pairing tier
+# of the x03 signatures.
+# --------------------------------------------------------------------------
+
+def x30_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    # inject exact duplicates so the pair set is non-trivially non-empty
+    dupes = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    # max_hamming=1: the synthetic corpus' small topical vocabulary makes
+    # 32-bit signatures weakly discriminating (hamming<=3 admits ~15% of all
+    # pairs); 1 keeps the pair set dup-dominated at every SF
+    return simhash_pairs(docs.unionByName(dupes), max_hamming=1)
+
+
+X30_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM all_docs
+),
+e AS (
+  SELECT doc_id, tok, pos FROM toks
+  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN substr(md5(tok), pos, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS sgn
+  FROM e GROUP BY doc_id, pos
+),
+sh AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+  FROM s GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, i AS band_idx, substr(simhash, i*8+1, 8) AS band
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c
+    ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa.simhash::BIT, sb.simhash::BIT)) AS BIGINT) AS hamming
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.simhash::BIT, sb.simhash::BIT)) <= 1
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
     "x28_chunk_dedup": x28_chunk_dedup,
     "x29_repetition": x29_repetition,
+    "x30_simhash_pairs": x30_simhash_pairs,
 }
 
 VARIANT_ORACLES = {
@@ -1240,4 +1303,5 @@ VARIANT_ORACLES = {
     "x27_interval_join": X27_SQL,
     "x28_chunk_dedup": X28_SQL,
     "x29_repetition": X29_SQL,
+    "x30_simhash_pairs": X30_SQL,
 }

@@ -317,3 +317,23 @@ def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
         r.doc_id: hashlib.md5(r.text.encode()).hexdigest() for r in docs.collect()
     }
     assert got == want
+
+
+def test_simhash_pairs_finds_planted_near_dups(spark):
+    from crypto_market_data_etl_spark.operators.dedup import simhash_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # exact dup: hamming 0
+            (3, base.replace("india", "xray")), # near dup: few bits flip
+            (4, " ".join(f"w{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert got[(1, 2)] == 0                       # exact duplicate
+    assert (1, 3) in got and got[(1, 3)] <= 8     # planted near-dup found
+    assert all(4 not in pair for pair in got)     # unrelated doc stays out
+    assert all(a < b for a, b in got)             # canonical pair order
