@@ -157,3 +157,36 @@ def test_connected_components_matches_union_find(spark, edges):
     # min-root union, matching the operator's fixpoint definition
     want = {n: min(m for m in want if want[m] == want[n]) for n in want}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff".split()), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_signatures_multiset_invariant(spark, texts):
+    """The distinct-shuffle removal in the MinHash path rests on min being
+    multiset-invariant: signatures from raw (duplicated) shingles must equal
+    signatures from the deduped shingle set, for any corpus."""
+    from crypto_market_data_etl_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    with_dups = minhash_signatures(
+        word_shingles(docs, distinct=False, spread=False), n_hashes=6
+    )
+    deduped = minhash_signatures(
+        word_shingles(docs, distinct=True, spread=False), n_hashes=6
+    )
+    a = {r.doc_id: r.mhs for r in with_dups.collect()}
+    b = {r.doc_id: r.mhs for r in deduped.collect()}
+    assert a == b
