@@ -110,3 +110,53 @@ def pack_shards(
     return cum.withColumn(
         "shard", F.expr(f"(cum_tok - 1) div {int(shard_tokens)}")
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: tuple[float, ...] = (0.8, 0.9),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment in which near-duplicate
+    documents never straddle splits.
+
+    Plain hash-splitting leaks: two near-identical docs hash independently,
+    one lands in train and one in test, and the eval set is contaminated by
+    construction. Here the split is decided by the duplicate CLUSTER's
+    canonical id (connected components over ``pairs`` — any pair generator:
+    MinHash, SimHash, embedding near-dup), so every member of a cluster
+    moves together; docs in no pair anchor on their own id. Assignment is
+    the same content-hash threshold as :func:`hash_sample` — a pure
+    function of the data, stable across partitionings and engines.
+
+    ``boundaries`` are ascending cumulative fractions; ``labels`` has one
+    more entry. Output: ``(id, anchor, split)``.
+
+    Scale: components over the PAIR list (edges ≪ corpus), one broadcast-
+    free left join back on id, then a map-only hash projection.
+    """
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError("need len(labels) == len(boundaries) + 1")
+    if list(boundaries) != sorted(boundaries):
+        raise ValueError("boundaries must ascend")
+    from .clustering import connected_components
+
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", id_col
+    )
+    anchored = df.select(id_col).join(cc, id_col, "left")
+    anchor = F.coalesce(F.col("comp"), F.col(id_col))
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt), anchor.cast("string"))), 1, 8
+    )
+    expr = None
+    for b, lab in zip(boundaries, labels[:-1]):
+        cond = digest < F.lit(rate_threshold(b))
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    expr = expr.otherwise(labels[-1])
+    return anchored.select(
+        F.col(id_col), anchor.alias("anchor"), expr.alias("split")
+    )

@@ -1290,12 +1290,63 @@ WHERE bit_count(xor(sa.simhash::BIT, sb.simhash::BIT)) <= 1
 """
 
 
+# --------------------------------------------------------------------------
+# x31 leakage-safe train/val/test splits: near-dup clusters (x21's
+# components over the x02 candidate pairs) are anchored to their canonical
+# id, and the split is a hash of the ANCHOR — so no duplicate cluster ever
+# straddles train/test. Oracle: the x21 recursive CTE + the x23 hash-
+# threshold logic over coalesce(comp, doc_id).
+# --------------------------------------------------------------------------
+
+def x31_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_jaccard_pairs
+    from ..operators.sampling import leakage_safe_splits
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_jaccard_pairs(
+        docs, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    return leakage_safe_splits(docs, pairs)
+
+
+def _x31_sql() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t80, t90 = rate_threshold(0.8), rate_threshold(0.9)
+    return _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+walk(node, seed) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.seed FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, min(seed) AS comp FROM walk GROUP BY node),
+anch AS (
+  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS anchor
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, anchor,
+       CASE WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
+            WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
+            ELSE 'test' END AS split
+FROM anch
+"""
+
+
+X31_SQL = _x31_sql()
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
     "x28_chunk_dedup": x28_chunk_dedup,
     "x29_repetition": x29_repetition,
     "x30_simhash_pairs": x30_simhash_pairs,
+    "x31_leakage_safe_splits": x31_leakage_safe_splits,
 }
 
 VARIANT_ORACLES = {
@@ -1304,4 +1355,5 @@ VARIANT_ORACLES = {
     "x28_chunk_dedup": X28_SQL,
     "x29_repetition": X29_SQL,
     "x30_simhash_pairs": X30_SQL,
+    "x31_leakage_safe_splits": X31_SQL,
 }

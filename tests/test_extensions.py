@@ -337,3 +337,30 @@ def test_simhash_pairs_finds_planted_near_dups(spark):
     assert (1, 3) in got and got[(1, 3)] <= 8     # planted near-dup found
     assert all(4 not in pair for pair in got)     # unrelated doc stays out
     assert all(a < b for a, b in got)             # canonical pair order
+
+
+def test_leakage_safe_splits_never_straddle_clusters(spark):
+    """Every near-dup pair lands in ONE split (the leakage guarantee), the
+    split is a pure function of the data, and fractions track boundaries."""
+    from crypto_market_data_etl_spark.operators.dedup import minhash_jaccard_pairs
+    from crypto_market_data_etl_spark.operators.sampling import leakage_safe_splits
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pairs = minhash_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    splits = leakage_safe_splits(docs, pairs)
+    s = {r.doc_id: r.split for r in splits.collect()}
+    straddlers = [
+        (p.id_a, p.id_b) for p in pairs.collect() if s[p.id_a] != s[p.id_b]
+    ]
+    assert straddlers == []
+    n = len(s)
+    frac_train = sum(1 for v in s.values() if v == "train") / n
+    assert 0.65 <= frac_train <= 0.95  # ~0.8 modulo hash noise + clustering
+    # determinism: a repartitioned input produces the identical assignment
+    s2 = {
+        r.doc_id: r.split
+        for r in leakage_safe_splits(docs.repartition(13), pairs).collect()
+    }
+    assert s2 == s
