@@ -172,6 +172,16 @@ def main() -> None:
     # best-of-3: sub-second queries drift ±0.1s run to run on this box; two
     # repeats recorded that noise as regressions (x24 r2->r3)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def session_hygiene() -> None:
+        """Drop leftover memory-sink temp views (q30 et al.) and any cached
+        blocks between headline queries so a streaming query can't skew the
+        batch timings that follow it in the shared session."""
+        for tbl in spark.catalog.listTables():
+            if tbl.tableType == "TEMPORARY":
+                spark.catalog.dropTempView(tbl.name)
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -180,6 +190,7 @@ def main() -> None:
             t0 = time.time()
             n = len(fn(spark, sf_dir).collect())
             best = min(best, time.time() - t0)
+            session_hygiene()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
@@ -188,6 +199,7 @@ def main() -> None:
     for _ in range(repeats):
         wall, n_events = stream_candles_bench(spark, sf_dir)
         stream_best = min(stream_best, wall)
+        session_hygiene()
     timings["s01_stream_candles"] = round(stream_best, 3)
     stream_eps = int(n_events / stream_best) if stream_best > 0 else 0
     print(f"# s01_stream_candles: {stream_best:.2f}s ({n_events} events, {stream_eps} ev/s)",
@@ -198,6 +210,7 @@ def main() -> None:
     for _ in range(repeats):
         wall, n_sf = stateful_ewma_bench(spark, sf_dir)
         stateful_best = min(stateful_best, wall)
+        session_hygiene()
     timings["s02_stateful_ewma"] = round(stateful_best, 3)
     stateful_eps = int(n_sf / stateful_best) if stateful_best > 0 else 0
     print(f"# s02_stateful_ewma: {stateful_best:.2f}s ({n_sf} events, {stateful_eps} ev/s)",

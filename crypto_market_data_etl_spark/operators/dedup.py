@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy.
@@ -57,9 +59,33 @@ def spread_small_input(df: DataFrame, min_ratio: int = 1) -> DataFrame:
     keeps it plan-free there).
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_ratio
-    if df.rdd.getNumPartitions() < target:
+    if _input_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+#: semanticHash(analyzed plan) -> observed partition count. The probe below
+#: (``df.rdd.getNumPartitions()``) is planning-only — no job — but it still
+#: forces synchronous physical planning on the driver, and operators like
+#: ``repetition_metrics`` call ``spread_small_input`` twice per invocation on
+#: semantically identical inputs. Keyed on the analyzed plan (cheap, no
+#: physical planning), so rebuilt-but-identical DataFrames hit too.
+_PARTITION_PROBE_CACHE: dict[int, int] = {}
+
+
+def _input_partitions(df: DataFrame) -> int:
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - connect-mode / exotic plans
+        key = None
+    if key is not None and key in _PARTITION_PROBE_CACHE:
+        return _PARTITION_PROBE_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        if len(_PARTITION_PROBE_CACHE) > 4096:
+            _PARTITION_PROBE_CACHE.clear()
+        _PARTITION_PROBE_CACHE[key] = n
+    return n
 
 
 def word_shingles(
@@ -247,10 +273,9 @@ def minhash_jaccard_pairs(
     # the signature table is referenced three times (bands + both pair
     # sides); Spark does not share subtrees, so materialize it once — the
     # same move a production LSH pipeline makes by checkpointing signatures.
-    # Lazy localCheckpoint, not persist(): storage is released by the
-    # ContextCleaner when the result DataFrame is dropped, so repeated calls
-    # in a long-lived session cannot accumulate cached tables.
-    sig = minhash_signatures(sh, id_col, n_hashes).localCheckpoint(eager=False)
+    # Strategy is deployment-aware (localCheckpoint locally, lineage-keeping
+    # persist on a cluster): see materialize.py.
+    sig = materialize(minhash_signatures(sh, id_col, n_hashes))
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("mhs").alias("mhs_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("mhs").alias("mhs_b"))
@@ -284,8 +309,8 @@ def ngram_jaccard_pairs(
     exclusion from per-doc set sizes. O(candidates x shared shingles), never
     all-pairs.
     """
-    # lazy localCheckpoint (not persist): auto-released when unreferenced
-    sh = word_shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+    # deployment-aware materialization (see materialize.py)
+    sh = materialize(word_shingles(df, id_col, text_col, shingle_n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sig = minhash_signatures(sh, id_col, n_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)
@@ -374,7 +399,11 @@ def chunk_dedup(
     restored after the shuffle, never assumed.
     """
     staged = spread_small_input(df).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        F.col(id_col),
+        # NULL text = empty document (kept, one empty chunk) — matches
+        # repetition_metrics' coalesce and the X28 oracle, instead of the
+        # explode silently dropping the doc from the output
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
     )
     n_chunks = F.ceil(F.size(F.col("__toks")) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
@@ -451,8 +480,14 @@ def simhash_pairs(
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     if bits % n_bands:
         raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    if bits > 63:
+        # the Hamming verify below goes through conv(sig, 2, 10)::bigint,
+        # which NULLs any signature with bit 63 set — pairs would silently
+        # vanish. Fail loudly instead (per-band Hamming or a two-long split
+        # is the widening path if >63 bits is ever needed).
+        raise ValueError(f"bits={bits} > 63 overflows the bigint Hamming verify")
     width = bits // n_bands
-    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    sig = materialize(simhash(df, id_col, text_col, bits))
     bands = sig.select(
         id_col,
         F.posexplode(

@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -120,11 +122,30 @@ def lsh_buckets(
     n_planes: int = 16,
     dim: int = 64,
 ) -> DataFrame:
-    """Sign-LSH bucket signature per vector: (id, bucket, n_in_bucket)."""
-    out = df.select(
-        F.col(id_col), bucket_signature(vec_col, n_planes, dim).alias("bucket")
+    """Sign-LSH bucket signature per vector: (id, bucket, n_in_bucket).
+
+    ``n_in_bucket`` is a ``groupBy("bucket").count()`` joined back, NOT a
+    ``count(*) OVER (PARTITION BY bucket)`` window: the window shape forces a
+    single task to buffer an entire hot bucket (degenerate inputs — e.g.
+    near-zero vectors — can put most of a 100 TB corpus in one signature),
+    and AQE's skew-join splitting does not apply to window exchanges. The
+    aggregate gets a map-side partial combine, its output is at most
+    ``min(2^n_planes, n_rows)`` rows (65,536 at the default 16 planes), and
+    the join back is broadcast when the bucket space is provably small — so
+    the big side never shuffles at all.
+    """
+    # materialized once: both the count aggregate and the join probe read the
+    # signature projection (n_planes x dim HOF folds per row) — without this
+    # the probe side recomputes every signature a second time
+    out = materialize(
+        df.select(
+            F.col(id_col), bucket_signature(vec_col, n_planes, dim).alias("bucket")
+        )
     )
-    return out.withColumn("n_in_bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+    counts = out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    if n_planes <= 20:  # <= 1M distinct buckets -> tens of MB broadcast, tops
+        counts = F.broadcast(counts)
+    return out.join(counts, "bucket").select(id_col, "bucket", "n_in_bucket")
 
 
 def lsh_ann_topk(
@@ -433,10 +454,8 @@ def embedding_neardup_pairs(
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     sig = bucket_signature(vec_col, n_planes, dim)
     # both self-join sides read the signature projection (n_planes x dim HOF
-    # work per vector) — materialize once, auto-released when unreferenced
-    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket")).localCheckpoint(
-        eager=False
-    )
+    # work per vector) — materialize once, deployment-aware (materialize.py)
+    t = materialize(df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket")))
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
@@ -535,6 +554,27 @@ def ivf_ann_topk(
     )
 
 
+#: Hard cap on the rows the numpy tier will pull to the driver. The
+#: centroid/query sides are "small by contract" (they are broadcast as a
+#: dense matrix to every task); this makes a miswired caller — e.g. passing
+#: the corpus as the query side — fail loudly instead of OOMing the driver.
+NP_TIER_MAX_COLLECT = 1_000_000
+
+
+def _collect_small_side(df: DataFrame, what: str, cap: int | None = None):
+    if cap is None:
+        cap = NP_TIER_MAX_COLLECT  # resolved at call time: tunable/testable
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} side exceeds the numpy-tier driver-collect cap "
+            f"({cap} rows): this side is broadcast as a dense matrix and must "
+            "be small by contract — use the expression tier (cosine_topk / "
+            "lsh_ann_topk) or raise NP_TIER_MAX_COLLECT deliberately"
+        )
+    return rows
+
+
 def assign_centroids_np(
     df: DataFrame,
     centroids: DataFrame,
@@ -553,7 +593,7 @@ def assign_centroids_np(
     import numpy as np
     from pyspark.sql import types as T
 
-    cent_rows = centroids.orderBy("c_id").collect()
+    cent_rows = _collect_small_side(centroids.orderBy("c_id"), "centroid")
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, m)
@@ -601,7 +641,7 @@ def cosine_topk_np(
     import numpy as np
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # (dim, nq)

@@ -278,6 +278,13 @@ def repetition_metrics(
     """
     from .dedup import word_shingles
 
+    # NULL text counts as the empty document, not a dropped/sentinel row:
+    # legacy size(split(NULL)) is -1, the DuckDB oracle would yield NULL, and
+    # chunk_dedup would drop the doc — three different answers. Coalescing
+    # here (mirrored in the X29 oracle) keeps whole-corpus coverage like
+    # contamination_report's contract.
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+
     def dup_frac(n: int, out: str):
         g = word_shingles(df, id_col, text_col, n=n, distinct=False)
         return (

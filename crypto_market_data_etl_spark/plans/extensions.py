@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..operators.clustering import dup_groups
 from ..operators.contamination import (
     bloom_contamination_report,
@@ -773,11 +774,12 @@ WHERE rnk <= 100
 def x21_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiset shingles: MinHash is distinct-invariant (no set-dedup shuffle)
     sh = word_shingles(_docs(spark, sf_dir), distinct=False)
-    # lazily checkpointed: both pair-join sides read the signature table —
-    # one minhash computation, not two — and the storage is auto-released by
-    # the ContextCleaner once the result is dropped (persist() here leaked a
-    # cached table per call across a long-lived session)
-    sig = minhash_signatures(sh, n_hashes=N_HASHES).localCheckpoint(eager=False)
+    # materialized once: both pair-join sides read the signature table —
+    # one minhash computation, not two. Deployment-aware strategy
+    # (materialize.py): localCheckpoint locally (ContextCleaner-released;
+    # persist() here leaked a cached table per call across a long-lived
+    # session), lineage-keeping persist on a cluster.
+    sig = materialize(minhash_signatures(sh, n_hashes=N_HASHES))
     cand = lsh_candidate_pairs(
         lsh_bands(sig, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND)
     )
@@ -1155,7 +1157,7 @@ def x28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 X28_SQL = f"""
-WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+WITH toks AS (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS tk FROM documents),
 ch AS (
   SELECT doc_id,
          unnest([{{'idx': i, 'chunk': array_to_string(tk[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' ')}}
@@ -1191,7 +1193,7 @@ def x29_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 X29_SQL = """
-WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+WITH toks AS (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS tk FROM documents),
 g AS (
   SELECT doc_id, len(tk) AS n_tokens,
          [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS g2,
@@ -1210,7 +1212,7 @@ base AS (
 ),
 tc AS (
   SELECT doc_id, t, count(*) AS c
-  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+  FROM (SELECT doc_id, unnest(str_split(coalesce(text, ''), ' ')) AS t FROM documents)
   WHERE t <> '' GROUP BY doc_id, t
 ),
 top AS (

@@ -364,3 +364,87 @@ def test_leakage_safe_splits_never_straddle_clusters(spark):
         for r in leakage_safe_splits(docs.repartition(13), pairs).collect()
     }
     assert s2 == s
+
+
+# --------------------------------------------------------------------------
+# round-5 guards: numpy-tier collect cap, simhash bit width, NULL text,
+# materialize strategy knob, partition-probe memoization
+# --------------------------------------------------------------------------
+
+
+def test_np_tier_collect_cap_raises_on_oversized_side(spark, embs):
+    from crypto_market_data_etl_spark.operators import similarity as sim
+    from crypto_market_data_etl_spark.operators.similarity import cosine_topk_np
+
+    qs = embs.limit(8)
+    orig = sim.NP_TIER_MAX_COLLECT
+    sim.NP_TIER_MAX_COLLECT = 4  # force the miswired-caller path
+    try:
+        with pytest.raises(ValueError, match="driver-collect cap"):
+            cosine_topk_np(embs, qs, k=2)
+    finally:
+        sim.NP_TIER_MAX_COLLECT = orig
+    # under the cap the tier works unchanged
+    assert cosine_topk_np(embs, qs.limit(2), k=2).count() > 0
+
+
+def test_simhash_pairs_rejects_bits_over_63(spark):
+    """conv(sig,2,10)::bigint NULLs signatures with bit 63 set, which would
+    silently drop pairs — widths past the bigint range must fail loudly."""
+    from crypto_market_data_etl_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="63"):
+        simhash_pairs(docs, bits=64, n_bands=4)
+
+
+def test_null_text_counts_as_empty_document(spark):
+    """NULL text rows stay in the output of every corpus-hygiene operator
+    (whole-corpus coverage, like contamination_report) instead of surfacing
+    as legacy size(null) = -1 token counts or vanishing from the explode."""
+    from crypto_market_data_etl_spark.operators.dedup import chunk_dedup
+    from crypto_market_data_etl_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, None), (3, "x y z")], ["doc_id", "text"]
+    )
+    rep = {r.doc_id: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert set(rep) == {1, 2, 3}
+    assert rep[2]["n_tokens"] == 1  # split('') == [''], same as the oracle
+    assert rep[2]["dup_2gram_frac"] == 0.0
+    assert rep[2]["top_token_frac"] == 0.0
+
+    cd = {r.doc_id: r for r in chunk_dedup(docs, chunk_words=2).collect()}
+    assert set(cd) == {1, 2, 3}
+    assert cd[2].n_dropped == 0
+
+
+def test_materialize_mode_knob(spark, monkeypatch):
+    from pyspark import StorageLevel
+
+    from crypto_market_data_etl_spark.materialize import materialize
+
+    df = spark.range(10)
+    # local master default: localCheckpoint (a checkpointed plan, not persist)
+    out = materialize(df)
+    assert out.storageLevel == StorageLevel.NONE
+    # explicit persist mode: lineage kept, storage level set
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+    out = materialize(df)
+    try:
+        assert out.storageLevel != StorageLevel.NONE
+    finally:
+        out.unpersist()
+
+
+def test_partition_probe_memoizes_semantically_equal_plans(spark):
+    from crypto_market_data_etl_spark.operators import dedup
+
+    dedup._PARTITION_PROBE_CACHE.clear()
+    df1 = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    df2 = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    n1 = dedup._input_partitions(df1)
+    assert len(dedup._PARTITION_PROBE_CACHE) == 1
+    # a REBUILT but semantically identical DataFrame hits the cache
+    n2 = dedup._input_partitions(df2)
+    assert n2 == n1 and len(dedup._PARTITION_PROBE_CACHE) == 1

@@ -3,6 +3,7 @@ round-trip, Kafka option builders (no broker — S1/S2/S7 configs only)."""
 
 import json
 
+import pytest
 
 from crypto_market_data_etl_spark.schemas import TRADE_SCHEMA, wrapped
 from crypto_market_data_etl_spark.sources.files import (
@@ -99,3 +100,102 @@ def test_kafka_source_options_operational_envelope():
     )
     assert json.loads(ts["startingOffsetsByTimestamp"]) == {"t": {"0": 1704067200000}}
     assert ts["failOnDataLoss"] == "true"
+
+
+# --------------------------------------------------------------------------
+# Kafka option-surface completeness vs the reference (no live broker will
+# ever validate these here, so the cross-check is an enumerated test):
+# every option the reference passes at each call-site must be producible —
+# with the same key and value shape — by our builders.
+# --------------------------------------------------------------------------
+
+#: (reference call-site, options the reference sets there)
+REFERENCE_KAFKA_CALLSITES = [
+    (
+        # S1 streaming source: kafka_upbit_realtime_processing.py:79-83
+        # (and its twin at :149-152 for the trade topic)
+        "kafka_upbit_realtime_processing.py:79-83 readStream",
+        {
+            "kafka.bootstrap.servers": "b1:9092,b2:9092",
+            "subscribe": "upbit_orderbook",
+        },
+    ),
+    (
+        # S2 offset-bounded batch source: kafka_to_gcs_by_spark_batch.py:81-87
+        # (per-partition [start, end) offsets as JSON literals)
+        "kafka_to_gcs_by_spark_batch.py:81-87 read",
+        {
+            "kafka.bootstrap.servers": "b1:9092,b2:9092",
+            "subscribe": "upbit_trade",
+            "startingOffsets": '{"upbit_trade": {"0": 1000}}',
+            "endingOffsets": '{"upbit_trade": {"0": 2000}}',
+        },
+    ),
+]
+
+
+@pytest.mark.parametrize("site,expected", REFERENCE_KAFKA_CALLSITES,
+                         ids=[s for s, _ in REFERENCE_KAFKA_CALLSITES])
+def test_reference_kafka_source_surface_is_producible(site, expected):
+    from crypto_market_data_etl_spark.sources.kafka import kafka_source_options
+
+    kwargs = {}
+    if "startingOffsets" in expected:
+        kwargs["starting_offsets"] = kafka_offsets_json("upbit_trade", {0: 1000})
+        kwargs["ending_offsets"] = kafka_offsets_json("upbit_trade", {0: 2000})
+    opts = kafka_source_options(
+        "b1:9092,b2:9092", expected["subscribe"], **kwargs
+    )
+    for k, v in expected.items():
+        assert k in opts, f"{site}: builder cannot produce option {k!r}"
+        assert json.loads(opts[k]) == json.loads(v) if v.startswith("{") else opts[k] == v, (
+            f"{site}: option {k!r} value mismatch: {opts[k]!r} != {v!r}"
+        )
+
+
+def test_reference_kafka_sink_surface_is_producible(spark):
+    """S7 streaming sink call-site kafka_upbit_realtime_processing.py:137-143:
+    kafka.bootstrap.servers + topic + checkpointLocation, processing-time
+    trigger — all producible by kafka_stream_writer (options are verified on
+    the writer's JVM-side config, since DataStreamWriter has no public
+    getter)."""
+    from crypto_market_data_etl_spark.sources.kafka import kafka_stream_writer
+
+    df = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    w = kafka_stream_writer(
+        df, "b1:9092", "upbit_orderbook_processed", "/tmp/ckpt_ref_surface",
+        trigger_seconds=15,
+    )
+    jopts = {}
+    it = w._jwrite.extraOptions().iterator()  # scala Map (keys lowercased)
+    while it.hasNext():
+        kv = it.next()
+        jopts[kv._1().lower()] = kv._2()
+    assert jopts["kafka.bootstrap.servers"] == "b1:9092"
+    assert jopts["topic"] == "upbit_orderbook_processed"
+    assert jopts["checkpointlocation"] == "/tmp/ckpt_ref_surface"
+
+
+def test_operational_envelope_covers_restart_and_skew_knobs():
+    """Options the reference NEEDS operationally even though its scripts
+    hard-default them (backlog backpressure, retention races, partition
+    fan-out) are first-class builder knobs — enumerated so a rename in the
+    builder surfaces here."""
+    from crypto_market_data_etl_spark.sources.kafka import kafka_source_options
+
+    opts = kafka_source_options(
+        "b:9092", "t",
+        starting_ts=kafka_timestamps_json("t", {0: 1_700_000_000_000}),
+        ending_ts=kafka_timestamps_json("t", {0: 1_700_000_900_000}),
+        max_offsets_per_trigger=100_000,
+        min_partitions=64,
+        fail_on_data_loss=False,
+    )
+    assert set(opts) == {
+        "kafka.bootstrap.servers", "subscribe",
+        "startingOffsetsByTimestamp", "endingOffsetsByTimestamp",
+        "maxOffsetsPerTrigger", "minPartitions", "failOnDataLoss",
+    }

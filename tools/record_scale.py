@@ -1,0 +1,111 @@
+"""Record the scale-evidence artifact (SCALE_r{N}.json).
+
+The 100x-design claims in the operator docstrings (blocked window forms,
+adaptive as-of tiering, capped LSH) were previously backed only by one-off
+numbers quoted in docstrings. This runs the two scale harnesses at a ladder
+of sizes and writes one committed JSON artifact:
+
+- market ladder (tools/gen_market_fixture.py + tools/scale_market_run.py):
+  plain vs blocked market stats and plain vs tuned (blocked + adaptive
+  as-of) preprocess at each size — the crossover where the skew-proof forms
+  overtake the single-window forms is visible in the walls.
+- corpus ladder (tools/scale_corpus_run.py): the dedup/hygiene family at
+  1x/4x/20x sf0.1 — linearity evidence (no quadratic blow-up from pair
+  generation).
+
+Usage: python tools/record_scale.py [out.json]
+Runs are sequential in fresh processes (one Spark session each) so walls
+are not cross-polluted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: (label, n_trades, n_orderbooks) — hot-key skew at the default --hot-frac
+MARKET_LADDER = [
+    ("2M", 2_000_000, 1_000_000),
+    ("8M", 8_000_000, 4_000_000),
+    ("20M", 20_000_000, 10_000_000),
+]
+
+#: documents-table replication factors (sf0.1 = 5k docs)
+CORPUS_LADDER = [4, 20, 40]
+
+MARKET_JOBS = "candles,stats_plain,stats_blocked,preprocess,preprocess_tuned"
+
+
+def run(cmd: list[str]) -> str:
+    print("$", " ".join(cmd), file=sys.stderr, flush=True)
+    p = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+    )
+    if p.returncode != 0:
+        print(p.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"{cmd} failed rc={p.returncode}")
+    return p.stdout
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r05.json")
+    artifact: dict = {"host": "local[32]", "market": [], "corpus": []}
+
+    for label, n_tr, n_ob in MARKET_LADDER:
+        fixture = f"/tmp/market_fixture_{label}"
+        if not os.path.exists(os.path.join(fixture, "trades.parquet")):
+            run([
+                sys.executable, "tools/gen_market_fixture.py", fixture,
+                "--trades", str(n_tr), "--orderbooks", str(n_ob),
+            ])
+        stdout = run([
+            sys.executable, "tools/scale_market_run.py", fixture,
+            "--jobs", MARKET_JOBS,
+        ])
+        entry = {"label": label, "trades": n_tr, "orderbooks": n_ob, "jobs": {}}
+        for line in stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                d = json.loads(line)
+                if "job" in d:
+                    entry["jobs"][d["job"]] = {"sec": d["sec"], "rows": d["rows"]}
+        artifact["market"].append(entry)
+
+    for reps in CORPUS_LADDER:
+        stdout = run([sys.executable, "tools/scale_corpus_run.py", str(reps)])
+        entry = {"reps": reps, "jobs": {}}
+        for line in stdout.splitlines():
+            m = re.match(r"corpus: (\d+) docs", line)
+            if m:
+                entry["docs"] = int(m.group(1))
+            m = re.match(r"(\w+): ([0-9.]+)s rows=(\d+)", line)
+            if m:
+                entry["jobs"][m.group(1)] = {
+                    "sec": float(m.group(2)), "rows": int(m.group(3))
+                }
+        artifact["corpus"].append(entry)
+
+    # crossover summary: where the skew-proof/tiered forms overtake
+    for e in artifact["market"]:
+        j = e["jobs"]
+        if "market_stats_plain" in j and "market_stats_blocked" in j:
+            e["blocked_speedup"] = round(
+                j["market_stats_plain"]["sec"] / j["market_stats_blocked"]["sec"], 2
+            )
+        if "preprocess_job" in j and "preprocess_job_tuned" in j:
+            e["tuned_speedup"] = round(
+                j["preprocess_job"]["sec"] / j["preprocess_job_tuned"]["sec"], 2
+            )
+
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
