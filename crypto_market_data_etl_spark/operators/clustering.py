@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,3 +179,54 @@ def dup_groups(
     cc = connected_components(pairs, id_a, id_b)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
     return cc.join(sizes, "comp").select("node", "comp", "group_size")
+
+
+def canonical_docs(
+    scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster.
+
+    ``dup_groups`` keeps the MIN-ID member of each near-dup cluster — fine
+    for counting, wrong for corpus quality: the survivor should be the BEST
+    copy (highest quality score; e.g. the non-truncated, non-boilerplate
+    variant of a templated page). This picks, per cluster of ``pairs``
+    (any generator: MinHash, SimHash, embedding near-dup), the member with
+    the highest ``score_col`` (ties → lowest id); documents in no pair are
+    their own singleton cluster and survive trivially.
+
+    ``scored`` = ``(id_col, score_col)`` rows for the whole corpus (compose
+    with ``text.quality_scores``). Output, one row per input doc:
+    ``(id_col, anchor, keep_id, n_members, is_canonical)`` — filter
+    ``is_canonical`` to materialize the deduped corpus, or keep all rows as
+    the audit trail of what was dropped in favor of what.
+
+    Scale: components run over the PAIR list (edges ≪ corpus), one left
+    join back on id, then one window over ``anchor`` — partitions are dup
+    clusters, bounded by the pair generator's bucket caps (``operators.
+    skew``), never the corpus.
+    """
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "node", id_col
+    )
+    anchored = scored.select(id_col, score_col).join(cc, id_col, "left")
+    anchor = F.coalesce(F.col("comp"), F.col(id_col))
+    a = anchored.select(
+        F.col(id_col), F.col(score_col), anchor.alias("anchor")
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wp = Window.partitionBy("anchor")
+    keep_id = F.first(id_col).over(w)
+    return a.select(
+        F.col(id_col),
+        "anchor",
+        keep_id.alias("keep_id"),
+        F.count(F.lit(1)).over(wp).alias("n_members"),
+        (F.col(id_col) == keep_id).alias("is_canonical"),
+    )

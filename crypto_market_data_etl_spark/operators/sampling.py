@@ -112,6 +112,72 @@ def pack_shards(
     )
 
 
+def domain_mixture_rates(
+    df: DataFrame, domain_col: str = "lang", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-flattened mixture rates per domain (the multilingual-LM
+    alpha-sampling rule: target share ∝ n_d^alpha, realized by subsampling
+    only — no upsampling, so every rate is a valid keep probability).
+
+    Solving ``q_d ∝ n_d^alpha`` under "keep the biggest corpus the rates
+    allow" gives the closed form ``rate_d = (min_e n_e / n_d)^(1-alpha)``:
+    the smallest domain is kept whole, larger domains are downsampled toward
+    it. ``alpha=1`` keeps everything (no flattening); ``alpha=0`` equalizes
+    all domains to the smallest.
+
+    Output: ``(domain_col, n_docs, rate)`` — one row per domain, rates
+    rounded to 6dp (engine-stable). One groupBy over the corpus; the result
+    is a broadcast-sized dim.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    m = counts.agg(F.min("n_docs").alias("__mn"))
+    return counts.crossJoin(F.broadcast(m)).select(
+        domain_col,
+        "n_docs",
+        F.round(
+            F.pow(F.col("__mn") / F.col("n_docs"), F.lit(1.0 - alpha)), 6
+        ).alias("rate"),
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature resampling of a multi-domain corpus: keep
+    each doc with its domain's :func:`domain_mixture_rates` rate, decided by
+    the same content-hash threshold as :func:`hash_sample` (stable across
+    partitionings, engines, reruns).
+
+    The data-dependent rates become in-plan hex thresholds
+    (``lower(hex(floor(rate·16^8)))`` — byte-identical to what
+    ``rate_threshold`` computes for literal rates), broadcast-joined on the
+    domain, so the membership filter is map-side over the corpus: the only
+    shuffle is the tiny counts agg inside the rates dim.
+
+    Output: kept rows as ``(id_col, domain_col, rate)``.
+    """
+    rates = domain_mixture_rates(df, domain_col, alpha)
+    thr = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("rate") * F.lit(float(16**8))))),
+            8,
+            "0",
+        )
+    )
+    dim = F.broadcast(rates.select(domain_col, "rate", thr.alias("__thr")))
+    return (
+        df.join(dim, domain_col)
+        .filter(_keep(id_col, F.col("__thr"), salt))
+        .select(id_col, domain_col, "rate")
+    )
+
+
 def leakage_safe_splits(
     df: DataFrame,
     pairs: DataFrame,

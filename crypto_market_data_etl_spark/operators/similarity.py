@@ -777,3 +777,116 @@ def kmeans_step(
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroid_filter=None,
+    max_reps: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then inside each cluster drop any
+    member whose cosine similarity to a lower-id cluster-mate reaches
+    ``threshold`` — the deterministic form of keep-one-per-epsilon-ball.
+
+    Pipeline (all declarative, no driver loops):
+
+    1. **Assignment** — broadcast the centroid set (``centroid_filter``
+       selects deterministic seeds; production feeds :func:`kmeans_step`
+       output), argmax cosine per vector. Map-side O(n·k): the corpus never
+       shuffles for this step.
+    2. **Representatives** — the ``max_reps`` smallest-id members of each
+       cluster. Every member is compared ONLY against lower-id
+       representatives, so per-cluster work is |cluster|·max_reps, never
+       |cluster|² — a degenerate mega-cluster stays linear. (SemDeDup keeps
+       one doc per epsilon-ball; comparing against a bounded prefix of the
+       cluster is the same greedy rule with a bounded ball census.)
+    3. **Verdict** — drop iff some lower-id representative is within the
+       threshold; emitted as a ``keep`` flag for every input row (callers
+       filter, or audit the drops).
+
+    Output: ``(id_col, cluster_id, keep)``. Exact cosine (expression-tier
+    fold, rounded to ``round_dp``) — oracle-reproducible; the Arrow+BLAS
+    tier (:func:`assign_centroids_np`) swaps into step 1 at corpus scale.
+
+    Scale: one broadcast (centroids), one shuffle on ``cluster_id`` for the
+    rep join, one shuffle back on id for the verdict anti-join. The rep
+    ranking is a window on ``cluster_id`` — bounded by the k-means
+    granularity the caller controls (more centroids = smaller clusters).
+    """
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 50 == 1
+    cents = F.broadcast(
+        df.filter(centroid_filter).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
+    )
+    c_sim = F.round(
+        _dot(F.col("ev"), F.col("cv"))
+        / (
+            F.sqrt(_dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        ),
+        round_dp,
+    )
+    assign = (
+        vecs.join(cents)
+        .withColumn("__c_sim", c_sim)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("__c_sim").desc(), F.col("c_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), "ev", F.col("c_id").alias("cluster_id"))
+    )
+    # both the member side and the rep side re-read the assignment (k dot
+    # products per vector) — materialize once (deployment-aware)
+    assign = materialize(assign)
+    reps = (
+        assign.withColumn(
+            "__rep_rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("__rep_rn") <= max_reps)
+        .select(
+            F.col(id_col).alias("__rep_id"),
+            F.col("ev").alias("rv"),
+            "cluster_id",
+        )
+    )
+    pair_sim = F.round(
+        _dot(F.col("ev"), F.col("rv"))
+        / (
+            F.sqrt(_dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(_dot(F.col("rv"), F.col("rv")))
+        ),
+        round_dp,
+    )
+    dropped = (
+        assign.join(reps, "cluster_id")
+        .filter(F.col("__rep_id") < F.col(id_col))
+        .withColumn("__sim", pair_sim)
+        .filter(F.col("__sim") >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assign.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        "cluster_id",
+        F.col("__dropped").isNull().alias("keep"),
+    )

@@ -1342,6 +1342,162 @@ FROM anch
 X31_SQL = _x31_sql()
 
 
+# --------------------------------------------------------------------------
+# x32 SemDeDup semantic dedup: cluster embeddings (broadcast argmax — the
+# IVF/k-means assignment), drop members within cosine `threshold` of a
+# lower-id cluster-mate. Exact dups injected so the drop set is non-trivial
+# at every SF (an injected copy lands in its source's cluster at sim 1.0).
+# --------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.95
+SEMDEDUP_MAX_REPS = 256
+
+
+def x32_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    embs = _embs(spark, sf_dir)
+    dupes = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    # centroids from the original corpus only (an injected copy of a
+    # centroid must not itself become a centroid)
+    return semantic_dedup(
+        embs.unionByName(dupes),
+        threshold=SEMDEDUP_THRESHOLD,
+        centroid_filter=(F.col("vec_id") % 50 == 1)
+        & (F.col("vec_id") < 1_000_000),
+        max_reps=SEMDEDUP_MAX_REPS,
+    )
+
+
+X32_SQL = f"""
+WITH all_vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (
+  SELECT vec_id AS c_id, ev AS cv FROM all_vecs
+  WHERE vec_id % 50 = 1 AND vec_id < 1000000
+),
+assign AS (
+  SELECT vec_id, ev, c_id FROM all_vecs CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_dot_product(ev, cv) /
+                   (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             c_id
+  ) <= 1
+),
+reps AS (
+  SELECT vec_id AS rep_id, ev AS rv, c_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY c_id ORDER BY vec_id) <= {SEMDEDUP_MAX_REPS}
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN reps r ON r.c_id = a.c_id AND r.rep_id < a.vec_id
+  WHERE round(list_dot_product(a.ev, r.rv) /
+              (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(r.rv, r.rv))), 6)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.c_id AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# x33 quality-aware canonical selection: near-dup clusters (x02's candidate
+# pairs -> connected components) keep their HIGHEST-QUALITY member (x08's
+# composite score), not the min id — the survivor-selection stage of a
+# production dedup pipeline.
+# --------------------------------------------------------------------------
+
+def x33_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import canonical_docs
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_scores(docs).select("doc_id", "quality")
+    pairs = minhash_jaccard_pairs(
+        docs, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    return canonical_docs(scored, pairs)
+
+
+X33_SQL = _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+walk(node, seed) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.seed FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, min(seed) AS comp FROM walk GROUP BY node),
+q AS (
+  SELECT doc_id,
+         round(0.4 * round(CAST(len(list_filter(str_split(text, ' '), t -> t IN ({stop}))) AS INTEGER) * 1.0 / len(str_split(text, ' ')), 6)
+             + 0.3 * (1 - round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) * 1.0 / length(text), 6))
+             + 0.3 * (1 - round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) * 1.0 / length(text), 6)), 6) AS quality
+  FROM documents
+),
+anch AS (
+  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS anchor, q.quality
+  FROM documents d
+  LEFT JOIN cc ON cc.node = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, anchor,
+       first_value(doc_id) OVER w AS keep_id,
+       count(*) OVER (PARTITION BY anchor) AS n_members,
+       (doc_id = first_value(doc_id) OVER w) AS is_canonical
+FROM anch
+WINDOW w AS (PARTITION BY anchor ORDER BY quality DESC, doc_id)
+""".format(stop=_STOP_SQL)
+
+
+# --------------------------------------------------------------------------
+# x34 temperature-flattened domain mixture: alpha-sampling over the skewed
+# `lang` column — rate_d = (min_e n_e / n_d)^(1-alpha), smallest domain kept
+# whole, membership by the same md5-threshold rule as x23 (rates become
+# in-plan hex thresholds, so the decision is a pure function of the data).
+# --------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.5
+
+
+def x34_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_mixture_sample
+
+    return domain_mixture_sample(
+        _docs(spark, sf_dir), domain_col="lang", alpha=MIXTURE_ALPHA
+    )
+
+
+X34_SQL = f"""
+WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+m AS (SELECT min(n_docs) AS mn FROM n),
+r AS (
+  SELECT lang,
+         round(pow(CAST(mn AS DOUBLE) / n_docs, {1.0 - MIXTURE_ALPHA}), 6) AS rate
+  FROM n CROSS JOIN m
+),
+t AS (
+  SELECT lang, rate,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+         END AS thr
+  FROM r
+)
+SELECT d.doc_id, d.lang, t.rate
+FROM documents d JOIN t USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1349,6 +1505,9 @@ VARIANT_QUERIES = {
     "x29_repetition": x29_repetition,
     "x30_simhash_pairs": x30_simhash_pairs,
     "x31_leakage_safe_splits": x31_leakage_safe_splits,
+    "x32_semantic_dedup": x32_semantic_dedup,
+    "x33_canonical_docs": x33_canonical_docs,
+    "x34_domain_mixture": x34_domain_mixture,
 }
 
 VARIANT_ORACLES = {
@@ -1358,4 +1517,7 @@ VARIANT_ORACLES = {
     "x29_repetition": X29_SQL,
     "x30_simhash_pairs": X30_SQL,
     "x31_leakage_safe_splits": X31_SQL,
+    "x32_semantic_dedup": X32_SQL,
+    "x33_canonical_docs": X33_SQL,
+    "x34_domain_mixture": X34_SQL,
 }

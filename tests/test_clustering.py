@@ -223,3 +223,97 @@ def test_bloom_contamination_broadcasts_bitmap(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # bitmap probes are map-side
+
+
+# ---- round-5 additions: semantic dedup, canonical selection, mixtures ----
+
+
+def test_semantic_dedup_drops_exact_copies(spark):
+    from crypto_market_data_etl_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(40)
+    ]
+    copies = [(i + 1000, v) for i, v in base if i % 4 == 0]  # exact dups, higher id
+    df = spark.createDataFrame(base + copies, "vec_id long, embedding array<float>")
+    got = semantic_dedup(
+        df,
+        threshold=0.999,
+        centroid_filter=(F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 1000),
+    )
+    rows = {r.vec_id: r for r in got.collect()}
+    assert len(rows) == len(base) + len(copies)  # every input row has a verdict
+    for i, _ in copies:
+        assert not rows[i].keep  # a copy always sees its lower-id original
+        assert rows[i].cluster_id == rows[i - 1000].cluster_id
+
+
+def test_semantic_dedup_max_reps_bounds_comparisons(spark):
+    from crypto_market_data_etl_spark.operators.similarity import semantic_dedup
+
+    # one cluster of identical vectors; with max_reps=1 every member is
+    # still dropped (all compare against the single rep = min id)
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<float>",
+    )
+    got = semantic_dedup(
+        df, threshold=0.99, centroid_filter=F.col("vec_id") == 1, max_reps=1
+    ).collect()
+    kept = sorted(r.vec_id for r in got if r.keep)
+    assert kept == [1]
+
+
+def test_canonical_docs_picks_highest_quality(spark):
+    from crypto_market_data_etl_spark.operators.clustering import canonical_docs
+
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.1), (11, 0.1), (42, 0.0)],
+        "doc_id long, quality double",
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = {r.doc_id: r for r in canonical_docs(scored, pairs).collect()}
+    assert len(rows) == 6
+    # cluster {1,2,3}: doc 2 has the best quality
+    for d in (1, 2, 3):
+        assert rows[d].keep_id == 2 and rows[d].n_members == 3
+    assert [rows[d].is_canonical for d in (1, 2, 3)] == [False, True, False]
+    # quality tie in {10,11} -> lowest id wins
+    assert rows[10].keep_id == 10 and rows[11].keep_id == 10
+    # unpaired doc is its own canonical singleton
+    assert rows[42].is_canonical and rows[42].n_members == 1
+
+
+def test_domain_mixture_rates_closed_form(spark):
+    from crypto_market_data_etl_spark.operators.sampling import domain_mixture_rates
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    rates = {r.lang: r for r in domain_mixture_rates(df, alpha=0.5).collect()}
+    assert rates["small"].rate == 1.0  # smallest domain kept whole
+    assert rates["big"].rate == round((100 / 900) ** 0.5, 6)
+    with pytest.raises(ValueError):
+        domain_mixture_rates(df, alpha=1.5).collect()
+
+
+def test_domain_mixture_sample_deterministic_and_flattening(spark):
+    from crypto_market_data_etl_spark.operators.sampling import domain_mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    kept = domain_mixture_sample(df, alpha=0.5).groupBy("lang").count()
+    got = {r.lang: r["count"] for r in kept.collect()}
+    assert got["small"] == 100  # rate 1.0
+    # big is downsampled toward sqrt-flattened share (300 expected, hash noise)
+    assert 200 < got["big"] < 400
+    # membership is a pure function of the data: partitioning-invariant
+    a = {r.doc_id for r in domain_mixture_sample(df, alpha=0.5).collect()}
+    b = {
+        r.doc_id
+        for r in domain_mixture_sample(df.repartition(7), alpha=0.5).collect()
+    }
+    assert a == b
