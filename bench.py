@@ -49,6 +49,11 @@ HEADLINE = [
     # round-4: corpus-level chunk dedup (C4/Dolma line-dedup shape) — first
     # recorded run sets its baseline
     "x28_chunk_dedup",
+    # round-5: SemDeDup semantic dedup (broadcast-argmax clustering +
+    # bounded-rep cosine drop) and temperature domain mixture — first
+    # recorded runs set their baselines
+    "x32_semantic_dedup",
+    "x34_domain_mixture",
 ]
 
 

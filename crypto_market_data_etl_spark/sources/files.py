@@ -58,6 +58,43 @@ def read_partitioned(
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join layout.
+
+    At 100 TB the dominant cost of a repeated fact-to-fact equi-join (trades
+    x orderbooks on ``code``, corpus x signature tables on ``doc_id``) is
+    re-shuffling both sides every query. Bucketing pays that shuffle ONCE at
+    write time: rows are hash-clustered into ``n_buckets`` files per
+    partition by ``bucket_cols``, and every later join/aggregation on those
+    keys reads co-located buckets — Catalyst drops the Exchange on both
+    sides (assert: no ``Exchange`` above the scans in ``.explain``) when
+    bucket counts match. ``sort_cols`` additionally pre-sorts within
+    buckets, turning SortMergeJoin's per-query sort into a read-time no-op.
+
+    Bucketing requires the catalog (``saveAsTable``) — bucket metadata lives
+    in the table definition, not the directory layout. Reads go through
+    ``spark.table(name)``.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if path is not None:  # external table: data lives at `path`, not the warehouse
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def read_raw_archive(
     spark: SparkSession, path: str, topic: str, fmt: str = "json", **predicates: str
 ) -> DataFrame:

@@ -504,3 +504,97 @@ def stateful_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Session conf transformWithState requires (it is RocksDB-only; the default
+#: HDFSBackedStateStoreProvider is rejected at query start).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def stateful_ewma_tws(
+    df: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    alpha: float = 0.8,
+    out: str = "ewma",
+) -> DataFrame:
+    """:func:`stateful_ewma` on the Spark 4 ``transformWithStateInPandas``
+    API — identical semantics and output schema, equality-tested against the
+    ``applyInPandasWithState`` form.
+
+    Why a second tier: ``transformWithState`` is where Structured Streaming's
+    custom-state surface is headed — typed state handles (value/list/map),
+    state TTL, timers, and initial-state bootstrap, none of which the legacy
+    API offers. A production deployment that needs, e.g., key expiry for
+    delisted instruments (TTL) or emit-on-silence bars (timers) builds on
+    this form; the recurrence itself is the same state-seeded vectorized
+    ``ewm`` per Arrow batch.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    :data:`ROCKSDB_PROVIDER`) — set it on the session before starting the
+    query; ``transformWithState`` rejects the default HDFS-backed provider.
+    Also requires ``google.protobuf`` (the state-server wire protocol;
+    ships with any real PySpark deployment, absent from this sandbox — the
+    equality test skips with the runtime's own error when missing).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, _dtype(df, key_col)),
+            T.StructField(ts_col, _dtype(df, ts_col)),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+
+    class _EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("last_ewma", "last_ewma double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (k,) = key
+            got = self._state.get() if self._state.exists() else None
+            last = got[0] if got is not None else None
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                n = len(pdf)
+                if n == 0:
+                    continue
+                values = pdf[value_col].to_numpy(dtype="float64")
+                if last is None:
+                    seeded = pd.Series(values)
+                    ewmas = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+                else:
+                    seeded = pd.Series(np.concatenate(([last], values)))
+                    ewmas = (
+                        seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+                    )
+                last = float(ewmas[-1])
+                yield pd.DataFrame(
+                    {
+                        key_col: [k] * n,
+                        ts_col: pdf[ts_col].to_numpy(),
+                        value_col: values,
+                        out: ewmas,
+                    }
+                )
+            if last is not None:
+                self._state.update((last,))
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_EwmaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

@@ -199,3 +199,41 @@ def test_operational_envelope_covers_restart_and_skew_knobs():
         "startingOffsetsByTimestamp", "endingOffsetsByTimestamp",
         "maxOffsetsPerTrigger", "minPartitions", "failOnDataLoss",
     }
+
+
+def test_bucketed_write_gives_shuffle_free_join(spark, tmp_path):
+    """write_bucketed on both join sides with equal bucket counts -> the
+    equi-join plan has no Exchange above either scan (the shuffle was paid
+    once at write time), and results match the plain join."""
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.sources.files import write_bucketed
+
+    trades = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("code"), F.col("id").alias("t_id")
+    )
+    books = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("code"), F.col("id").alias("b_id")
+    )
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(trades, "bt_trades", ["code"], 4, sort_cols=["code"],
+                       path=str(tmp_path / "t"))
+        write_bucketed(books, "bt_books", ["code"], 4, sort_cols=["code"],
+                       path=str(tmp_path / "b"))
+        # tiny test tables would otherwise broadcast (which bypasses bucket
+        # layout entirely); force the SMJ path a fact-to-fact join takes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_trades").join(spark.table("bt_books"), "code")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == trades.join(books, "code").count()
+        # bucket pruning composes: an equality filter keeps the layout usable
+        assert (
+            spark.table("bt_trades").filter("code = 3").count()
+            == sum(1 for i in range(1000) if i % 7 == 3)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS bt_trades")
+        spark.sql("DROP TABLE IF EXISTS bt_books")

@@ -828,3 +828,46 @@ def test_stateful_asof_enrich_array_payload_across_batches(spark, tmp_path):
         4 * US: (1 * US, [99.0, 98.5, 98.0]),  # list-valued state carry
         6 * US: (5 * US, [97.0, 96.5]),
     }
+
+
+def test_stateful_ewma_tws_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas tier == applyInPandasWithState tier ==
+    pandas ewm, with state carried across micro-batches. Needs RocksDB
+    (transformWithState rejects the HDFS-backed provider)."""
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        stateful_ewma_tws,
+    )
+
+    path = str(tmp_path / "in")
+    series = [(k, i * US, float(v)) for k in (1, 2)
+              for i, v in enumerate([10, 20, 15, 40, 5])]
+    _write_batch(spark, path, series[:6])
+    _write_batch(spark, path, series[6:])
+    stream = _stream(spark, path).select("code", "ts_us", "value")
+    out = stateful_ewma_tws(stream, key_col="code", ts_col="ts_us", value_col="value")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        try:
+            q = run_to_memory(out, "ewma_tws_out", output_mode="append")
+        except Exception as exc:  # pragma: no cover — env-dependent: needs
+            # RocksDB JNI + google.protobuf (absent in this sandbox)
+            pytest.skip(f"transformWithState runtime unavailable: {exc}")
+        try:
+            got = spark.sql(
+                "SELECT * FROM ewma_tws_out ORDER BY code, ts_us"
+            ).toPandas()
+            expected = (
+                pd.Series([10.0, 20.0, 15.0, 40.0, 5.0])
+                .ewm(alpha=0.8, adjust=False).mean().tolist()
+            )
+            assert got["ewma"].tolist() == pytest.approx(expected * 2, rel=1e-12)
+            assert list(got.columns) == ["code", "ts_us", "value", "ewma"]
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
