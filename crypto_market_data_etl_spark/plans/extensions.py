@@ -1498,6 +1498,122 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
 """
 
 
+# --------------------------------------------------------------------------
+# x35 end-to-end curation pipeline: quality gate -> minhash canonical dedup
+# -> strict decontamination vs the bench source -> temperature mixture ->
+# cluster-anchored splits. Every stage is individually gated (x08, x02/x21/
+# x33, x22, x34, x31); this gates their COMPOSITION — the dedup over the
+# gated subset, mixture rates over the decontaminated set, splits keyed on
+# stage-2 anchors.
+# --------------------------------------------------------------------------
+
+CURATION_QUALITY_MIN = 0.64
+
+
+def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    return curate_corpus(
+        docs.filter(F.col("source") != _BENCH_SRC),
+        docs.filter(F.col("source") == _BENCH_SRC),
+        quality_min=CURATION_QUALITY_MIN,
+        n_hashes=N_HASHES,
+        rows_per_band=ROWS_PER_BAND,
+        alpha=MIXTURE_ALPHA,
+    )
+
+
+def _x35_sql() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t80, t90 = rate_threshold(0.8), rate_threshold(0.9)
+    # the x02 minhash CTE chain, re-rooted on the quality-gated corpus
+    shingles = _SHINGLES_CTE.replace("WITH ", "", 1).replace(
+        "FROM documents)", "FROM fdocs)", 1
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text, lang FROM documents WHERE source <> '{_BENCH_SRC}'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = '{_BENCH_SRC}'),
+q AS (
+  SELECT doc_id,
+         round(0.4 * round(CAST(len(list_filter(str_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER) * 1.0 / len(str_split(text, ' ')), 6)
+             + 0.3 * (1 - round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) * 1.0 / length(text), 6))
+             + 0.3 * (1 - round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) * 1.0 / length(text), 6)), 6) AS quality
+  FROM corpus
+),
+fdocs AS (
+  SELECT c.doc_id, c.text, c.lang, q.quality
+  FROM corpus c JOIN q USING (doc_id)
+  WHERE q.quality >= {CURATION_QUALITY_MIN}
+),
+{shingles},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+walk(node, seed) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.seed FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, min(seed) AS comp FROM walk GROUP BY node),
+anch AS (
+  SELECT f.doc_id, coalesce(cc.comp, f.doc_id) AS anchor, f.quality, f.lang, f.text
+  FROM fdocs f LEFT JOIN cc ON cc.node = f.doc_id
+),
+canon AS (
+  SELECT doc_id, anchor, quality, lang, text,
+         first_value(doc_id) OVER (PARTITION BY anchor ORDER BY quality DESC, doc_id) AS keep_id,
+         count(*) OVER (PARTITION BY anchor) AS n_members
+  FROM anch
+),
+surv AS (SELECT * FROM canon WHERE doc_id = keep_id),
+st AS (SELECT doc_id, str_split(text, ' ') AS tk2 FROM surv),
+sg AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2] FOR i IN range(1, len(tk2) - 1)]) AS g
+  FROM st
+),
+bt AS (SELECT str_split(text, ' ') AS tk3 FROM bench),
+bg AS (
+  SELECT DISTINCT
+         unnest([tk3[i] || ' ' || tk3[i+1] || ' ' || tk3[i+2] FOR i IN range(1, len(tk3) - 1)]) AS g
+  FROM bt
+),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM sg JOIN bg USING (g) GROUP BY doc_id),
+clean AS (
+  SELECT s.* FROM surv s LEFT JOIN hits h USING (doc_id)
+  WHERE coalesce(h.n_hit, 0) = 0
+),
+n AS (SELECT lang, count(*) AS n_docs FROM clean GROUP BY lang),
+m AS (SELECT min(n_docs) AS mn FROM n),
+r AS (
+  SELECT lang,
+         round(pow(CAST(mn AS DOUBLE) / n_docs, {1.0 - MIXTURE_ALPHA}), 6) AS rate
+  FROM n CROSS JOIN m
+),
+t AS (
+  SELECT lang, rate,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+         END AS thr
+  FROM r
+)
+SELECT c.doc_id, c.lang, c.quality, c.anchor, c.n_members, t.rate,
+       CASE WHEN substr(md5(CAST(c.anchor AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
+            WHEN substr(md5(CAST(c.anchor AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
+            ELSE 'test' END AS split
+FROM clean c JOIN t USING (lang)
+WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) < t.thr
+"""
+
+
+X35_SQL = _x35_sql()
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1508,6 +1624,7 @@ VARIANT_QUERIES = {
     "x32_semantic_dedup": x32_semantic_dedup,
     "x33_canonical_docs": x33_canonical_docs,
     "x34_domain_mixture": x34_domain_mixture,
+    "x35_curation_pipeline": x35_curation_pipeline,
 }
 
 VARIANT_ORACLES = {
@@ -1520,4 +1637,5 @@ VARIANT_ORACLES = {
     "x32_semantic_dedup": X32_SQL,
     "x33_canonical_docs": X33_SQL,
     "x34_domain_mixture": X34_SQL,
+    "x35_curation_pipeline": X35_SQL,
 }

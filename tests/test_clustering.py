@@ -317,3 +317,40 @@ def test_domain_mixture_sample_deterministic_and_flattening(spark):
         for r in domain_mixture_sample(df.repartition(7), alpha=0.5).collect()
     }
     assert a == b
+
+
+def test_semantic_dedup_numpy_assign_equivalent(spark):
+    from crypto_market_data_etl_spark.operators.similarity import semantic_dedup
+    from crypto_market_data_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    expr = semantic_dedup(embs).orderBy("vec_id").collect()
+    blas = semantic_dedup(embs, numpy_assign=True).orderBy("vec_id").collect()
+    assert [(r.vec_id, r.cluster_id, r.keep) for r in expr] == [
+        (r.vec_id, r.cluster_id, r.keep) for r in blas
+    ]
+
+
+def test_curate_corpus_stage_contracts(spark):
+    """Every output row survives each gate; dropped docs are explainable."""
+    from crypto_market_data_etl_spark.operators.curation import curate_corpus
+    from crypto_market_data_etl_spark.operators.text import quality_scores
+    from crypto_market_data_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    out = curate_corpus(corpus, bench, quality_min=0.64).toPandas()
+    assert len(out) > 0
+    assert (out["quality"] >= 0.64).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # canonical uniqueness: one survivor per dup-cluster anchor
+    assert out["anchor"].is_unique
+    # split is a pure function of the anchor
+    assert out.groupby("anchor")["split"].nunique().max() == 1
+    # mixture rates are per-domain constants in (0, 1]
+    rates = out.groupby("lang")["rate"].nunique()
+    assert (rates == 1).all()
+    assert ((out["rate"] > 0) & (out["rate"] <= 1.0)).all()
