@@ -260,6 +260,60 @@ def vocabulary(
     return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring (the CCNet perplexity-filter
+    shape: reference `spark_src/` has no text ops — extension surface).
+
+    Trains add-k-smoothed bigram statistics on the corpus itself and scores
+    every document by the mean negative log2-probability of its word
+    bigrams: ``avg_nll`` = bits per bigram, the perplexity proxy CCNet
+    buckets corpora into head/middle/tail by. Far above the corpus norm →
+    gibberish/boilerplate; far below → templated repetition. Production
+    swaps the self-trained count tables for a held-out LM's (e.g. trained
+    on Wikipedia) — the scoring join is identical.
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k · V),   V = |vocabulary|
+
+    Shape at 100 TB: shingle explode (linear in tokens), two count
+    aggregations keyed on gram/history (map-side partials; the tables are
+    vocabulary-sized — orders smaller than the corpus), a scoring join back
+    on the same keys (AQE splits the stop-word-history skew), one per-doc
+    mean. The vocab scalar V stays in-plan as a broadcast cross join — no
+    driver collect. Docs with < 2 tokens have no bigram and are omitted
+    (oracle-mirrored). Output: (id, n_bigrams, avg_nll).
+    """
+    from .dedup import word_shingles
+
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    grams = word_shingles(df, id_col, text_col, n=2, distinct=False).withColumn(
+        "w1", F.substring_index(F.col("s"), " ", 1)
+    )
+    c2 = grams.groupBy("s").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    nll = -F.log2(
+        (F.col("c2") + F.lit(k_smooth))
+        / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+    )
+    return (
+        grams.join(c2, "s")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

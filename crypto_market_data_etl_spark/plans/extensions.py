@@ -1614,6 +1614,42 @@ WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) < t.thr
 X35_SQL = _x35_sql()
 
 
+# --------------------------------------------------------------------------
+# x36 bigram-LM fluency scoring (CCNet perplexity-filter shape): add-k
+# smoothed bigram model trained on the corpus itself, every doc scored by
+# mean -log2 P(w2|w1) — bits per bigram.
+# --------------------------------------------------------------------------
+
+NGRAM_LM_K = 0.5
+
+
+def x36_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_lm_scores
+
+    return ngram_lm_scores(_docs(spark, sf_dir), k_smooth=NGRAM_LM_K)
+
+
+X36_SQL = f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs),
+grams AS (
+  SELECT doc_id, g['w1'] AS w1, g['s'] AS s FROM (
+    SELECT doc_id,
+           unnest([{{'w1': tk[i], 's': tk[i] || ' ' || tk[i+1]}} FOR i IN range(1, len(tk))]) AS g
+    FROM toks
+  )
+),
+c2 AS (SELECT s, count(*) AS c2 FROM grams GROUP BY s),
+c1 AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(str_split(text, ' ')) AS w FROM docs))
+SELECT g.doc_id, count(*) AS n_bigrams,
+       round(avg(-log2((c2.c2 + {NGRAM_LM_K}) / (c1.c1 + {NGRAM_LM_K} * v.v))), 6) AS avg_nll
+FROM grams g JOIN c2 USING (s) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY g.doc_id
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1625,6 +1661,7 @@ VARIANT_QUERIES = {
     "x33_canonical_docs": x33_canonical_docs,
     "x34_domain_mixture": x34_domain_mixture,
     "x35_curation_pipeline": x35_curation_pipeline,
+    "x36_ngram_lm": x36_ngram_lm,
 }
 
 VARIANT_ORACLES = {
@@ -1638,4 +1675,5 @@ VARIANT_ORACLES = {
     "x33_canonical_docs": X33_SQL,
     "x34_domain_mixture": X34_SQL,
     "x35_curation_pipeline": X35_SQL,
+    "x36_ngram_lm": X36_SQL,
 }

@@ -301,6 +301,32 @@ def test_repetition_metrics_hand_case(spark):
     assert r2["top_token_frac"] == 0.25
 
 
+def test_ngram_lm_scores_hand_case(spark):
+    """Bigram-LM scoring vs a hand-computed add-k model: counts, vocab (the
+    NULL doc coalesces to '' and contributes the empty token), smoothing
+    denominator, and the per-doc mean in bits."""
+    import math
+
+    from crypto_market_data_etl_spark.operators.text import ngram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in ngram_lm_scores(docs).collect()}
+    # corpus bigrams: doc1 -> "a b","b a","a b"; doc2 -> "a b","b c";
+    # c2: {"a b":3, "b a":1, "b c":1}; c1: {a:3, b:2}; V = |{a,b,c,z,""}| = 5
+    k = 0.5
+    nll_ab = -math.log2((3 + k) / (3 + k * 5))
+    nll_ba = -math.log2((1 + k) / (2 + k * 5))
+    nll_bc = -math.log2((1 + k) / (2 + k * 5))
+    assert set(got) == {1, 2}  # <2-token docs have no bigram
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_nll"] == round((2 * nll_ab + nll_ba) / 3, 6)
+    assert got[2]["n_bigrams"] == 2
+    assert got[2]["avg_nll"] == round((nll_ab + nll_bc) / 2, 6)
+
+
 def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
     """With a doc-frequency threshold no chunk exceeds, the chunk split +
     shuffled reassembly must reproduce every document byte-for-byte —
