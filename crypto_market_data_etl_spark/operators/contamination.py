@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from ..materialize import materialize
+from .dedup import lsh_bands, minhash_signatures, word_shingles
 
 
 def contamination_report(
@@ -79,6 +80,84 @@ def contamination_report(
             .otherwise(F.lit(0.0))
             .alias("frac_hit"),
         )
+    )
+
+
+def cross_corpus_neardup(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    n_hashes: int = 15,
+    rows_per_band: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """FUZZY decontamination: flag corpus docs that are MinHash near-dups of
+    any benchmark doc — catches paraphrased/reformatted benchmark leaks that
+    the exact n-gram filters (:func:`contamination_report`) miss (the fuzzy
+    tier of the GPT-3/Llama decontamination recipes).
+
+    Same signature/band machinery as ``dedup.minhash_jaccard_pairs``, but the
+    band join is CROSS-corpus: corpus bands against bench bands, never
+    corpus-self. That changes the blow-up math — a degenerate bucket costs
+    O(corpus_occupancy x bench_occupancy) with the bench side small by
+    contract (an eval suite), so candidates stay linear in the corpus-side
+    bucket and no pair cap is needed where the self-join required one.
+    Docs with fewer than ``shingle_n`` tokens have no signature and can't
+    collide; they report (0, 0.0, keep=true) like the whole-corpus coverage
+    contract of the exact tier.
+
+    Output per corpus doc: ``(id, n_candidates, max_jaccard, keep)`` with
+    ``keep = max_jaccard < threshold``.
+    """
+    sh_c = word_shingles(corpus, id_col, text_col, shingle_n, distinct=False)
+    # bench side stays tiny by contract — skip the small-input spread
+    sh_b = word_shingles(
+        bench, id_col, text_col, shingle_n, distinct=False, spread=False
+    )
+    # each signature table feeds its band explode AND the estimate join;
+    # deployment-aware materialization (see materialize.py)
+    sig_c = materialize(minhash_signatures(sh_c, id_col, n_hashes))
+    sig_b = materialize(minhash_signatures(sh_b, id_col, n_hashes))
+    bands_c = lsh_bands(sig_c, id_col, n_hashes, rows_per_band).select(
+        F.col(id_col).alias("c_id"), "band_idx", "band_sig"
+    )
+    bands_b = lsh_bands(sig_b, id_col, n_hashes, rows_per_band).select(
+        F.col(id_col).alias("b_id"), "band_idx", "band_sig"
+    )
+    cand = (
+        bands_c.join(bands_b, ["band_idx", "band_sig"])
+        .select("c_id", "b_id")
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("mhs_c", "mhs_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(
+            sig_c.select(F.col(id_col).alias("c_id"), F.col("mhs").alias("mhs_c")),
+            "c_id",
+        )
+        .join(
+            sig_b.select(F.col(id_col).alias("b_id"), F.col("mhs").alias("mhs_b")),
+            "b_id",
+        )
+        # raw IEEE division (int count / n_hashes) — bit-identical across
+        # engines, same reasoning as frac_hit above; never rounded
+        .select("c_id", (matches / F.lit(float(n_hashes))).alias("j"))
+    )
+    hits = est.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("j").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits.withColumnRenamed("c_id", id_col), id_col, "left")
+        .na.fill({"n_candidates": 0, "max_jaccard": 0.0})
+        .withColumn("keep", F.col("max_jaccard") < F.lit(threshold))
     )
 
 

@@ -226,3 +226,91 @@ def leakage_safe_splits(
     return anchored.select(
         F.col(id_col), anchor.alias("anchor"), expr.alias("split")
     )
+
+
+def dsir_logratios(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much more
+    likely its hashed-n-gram features are under the TARGET distribution
+    (rows matching ``target_filter``, e.g. a trusted high-quality slice)
+    than under the raw corpus. Downstream either resamples by the weight or
+    keeps the top slice — the "make the crawl look like Wikipedia" selection
+    step of published LLM data pipelines.
+
+    Features are unigrams + word bigrams hashed into ``n_buckets`` buckets
+    (md5 → 60-bit int → mod, engine-portable); both bag-of-buckets models
+    get add-k smoothing:
+
+        log_ratio(doc) = sum_f [ ln p_target(bkt(f)) - ln p_raw(bkt(f)) ]
+
+    Shape at 100 TB: one explode over tokens+bigrams, two bucket-count
+    aggregations (map-side partials into ≤ ``n_buckets`` rows), totals as a
+    1-row in-plan broadcast, then a BROADCAST join of the ≤ ``n_buckets``
+    weight table back to the feature stream and one per-doc sum — the big
+    side shuffles once (the per-doc groupBy), everything else is map-side.
+    NULL text coalesces to '' (whole-corpus coverage; the empty doc still
+    carries its one empty-string unigram). Output: (id, n_feats, log_ratio).
+    """
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(F.col(text_col), " ")
+    # sequence(1, 0) is DESCENDING in Spark — short docs short-circuit to []
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    feats = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_target"),
+        F.explode(F.concat(toks, bigrams)).alias("f"),
+    )
+    fb = feats.select(
+        id_col,
+        "__is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("bigint")
+            % n_buckets
+        ).alias("bkt"),
+    )
+    raw_counts = fb.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = (
+        fb.filter(F.col("__is_target"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = fb.agg(
+        F.count(F.lit(1)).alias("tot_raw"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("tot_tgt"),
+    )
+    kb = F.lit(k_smooth) * F.lit(n_buckets)
+    weights = (
+        raw_counts.join(tgt_counts, "bkt", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                F.log((F.col("c_tgt") + F.lit(k_smooth)) / (F.col("tot_tgt") + kb))
+                - F.log((F.col("c_raw") + F.lit(k_smooth)) / (F.col("tot_raw") + kb))
+            ).alias("w"),
+        )
+    )
+    # every feature bucket exists in raw_counts by construction — inner join
+    return (
+        fb.join(F.broadcast(weights), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("w"), 6).alias("log_ratio"),
+        )
+    )

@@ -1650,6 +1650,188 @@ GROUP BY g.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# x37 BM25 lexical retrieval: top-k docs per query (queries = the first 6
+# tokens of every 97th document — deterministic, self-relevant so the
+# ranking is non-trivial: each query's source doc should surface).
+# --------------------------------------------------------------------------
+
+BM25_K1, BM25_B, BM25_K = 1.2, 0.75, 10
+BM25_QUERY_MOD = 97
+BM25_QUERY_TOKENS = 6
+
+
+def x37_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, BM25_QUERY_TOKENS)
+        ).alias("q_text"),
+    )
+    return bm25_topk(docs, queries, k1=BM25_K1, b=BM25_B, k=BM25_K)
+
+
+X37_SQL = f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+qdocs AS (
+  SELECT doc_id AS q_id,
+         array_to_string((str_split(text, ' '))[1:{BM25_QUERY_TOKENS}], ' ') AS q_text
+  FROM docs WHERE doc_id % {BM25_QUERY_MOD} = 3
+),
+toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs),
+postings AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+dfreq AS (SELECT t, count(*) AS df FROM postings GROUP BY t),
+qt AS (
+  SELECT DISTINCT q_id, t FROM (
+    SELECT q_id, unnest(str_split(q_text, ' ')) AS t FROM qdocs
+  )
+),
+qidf AS (
+  SELECT qt.q_id, qt.t,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) AS idf,
+         stats.avgdl
+  FROM qt JOIN dfreq USING (t) CROSS JOIN stats
+),
+scored AS (
+  SELECT q.q_id, p.doc_id,
+         round(sum(q.idf * (p.tf * {BM25_K1 + 1.0})
+                   / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * d.dl / q.avgdl))), 6) AS score
+  FROM postings p JOIN doclen d USING (doc_id) JOIN qidf q USING (t)
+  GROUP BY q.q_id, p.doc_id
+)
+SELECT q_id, doc_id,
+       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk,
+       score
+FROM scored
+QUALIFY rnk <= {BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# x38 fuzzy cross-corpus decontamination: MinHash band join of corpus docs
+# against the benchmark corpus — catches paraphrased benchmark leaks the
+# exact n-gram tiers (x22/x26) miss. Near-dup leaks injected (benchmark docs
+# re-id'd into the corpus with a 3-token suffix) so the flag set is
+# non-trivial at every SF.
+# --------------------------------------------------------------------------
+
+XCND_THRESHOLD = 0.8
+
+
+def x38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import cross_corpus_neardup
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("source") == _BENCH_SRC)
+    leaked = (
+        bench.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" leaked benchmark copy")))
+    )
+    corpus = docs.filter(F.col("source") != _BENCH_SRC).unionByName(leaked)
+    return cross_corpus_neardup(
+        corpus, bench, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND,
+        threshold=XCND_THRESHOLD,
+    )
+
+
+X38_SQL = f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE source = '{_BENCH_SRC}'),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE source <> '{_BENCH_SRC}'
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' leaked benchmark copy' AS text
+  FROM documents WHERE source = '{_BENCH_SRC}' AND doc_id % 3 = 0
+),
+ctk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM corpus),
+csh AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS s FROM ctk),
+chs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS a,
+               ('0x' || substr(md5(s), 9, 8))::BIGINT % 2147483646 + 1 AS b FROM csh),
+seeds AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i),
+csig AS (SELECT doc_id, i, min((a + i * b) % 2147483647) AS mh FROM chs CROSS JOIN seeds GROUP BY doc_id, i),
+cbands AS (SELECT doc_id, i // {ROWS_PER_BAND} AS band_idx, string_agg(mh, '|' ORDER BY i) AS band_sig
+           FROM csig GROUP BY doc_id, i // {ROWS_PER_BAND}),
+btk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM bench),
+bsh AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS s FROM btk),
+bhs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS a,
+               ('0x' || substr(md5(s), 9, 8))::BIGINT % 2147483646 + 1 AS b FROM bsh),
+bsig AS (SELECT doc_id, i, min((a + i * b) % 2147483647) AS mh FROM bhs CROSS JOIN seeds GROUP BY doc_id, i),
+bbands AS (SELECT doc_id, i // {ROWS_PER_BAND} AS band_idx, string_agg(mh, '|' ORDER BY i) AS band_sig
+           FROM bsig GROUP BY doc_id, i // {ROWS_PER_BAND}),
+cand AS (SELECT DISTINCT c.doc_id AS c_id, b.doc_id AS b_id
+         FROM cbands c JOIN bbands b USING (band_idx, band_sig)),
+est AS (
+  SELECT cand.c_id, cand.b_id,
+         CAST(sum(CASE WHEN cs.mh = bs.mh THEN 1 ELSE 0 END) AS BIGINT) / {float(N_HASHES)} AS j
+  FROM cand
+  JOIN csig cs ON cs.doc_id = cand.c_id
+  JOIN bsig bs ON bs.doc_id = cand.b_id AND bs.i = cs.i
+  GROUP BY 1, 2
+),
+hits AS (SELECT c_id, count(*) AS n_candidates, max(j) AS max_jaccard FROM est GROUP BY c_id)
+SELECT c.doc_id,
+       coalesce(h.n_candidates, 0) AS n_candidates,
+       coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+       coalesce(h.max_jaccard, 0.0) < {XCND_THRESHOLD} AS keep
+FROM corpus c LEFT JOIN hits h ON h.c_id = c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# x39 DSIR importance weights: hashed-n-gram importance resampling scores —
+# how much more likely each doc's features are under the target slice
+# (lang='en') than under the raw corpus.
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_K = 0.5
+DSIR_TARGET_LANG = "en"
+
+
+def x39_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import dsir_logratios
+
+    docs = _docs(spark, sf_dir)
+    return dsir_logratios(
+        docs,
+        F.col("lang") == DSIR_TARGET_LANG,
+        n_buckets=DSIR_BUCKETS,
+        k_smooth=DSIR_K,
+    )
+
+
+X39_SQL = f"""
+WITH docs AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_t, str_split(text, ' ') AS tk FROM docs),
+feats AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(tk, [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])) AS f
+  FROM tk
+),
+fb AS (SELECT doc_id, is_t,
+              ('0x' || substr(md5(f), 1, 15))::BIGINT % {DSIR_BUCKETS} AS bkt
+       FROM feats),
+rc AS (SELECT bkt, count(*) AS c_raw FROM fb GROUP BY bkt),
+tc AS (SELECT bkt, count(*) AS c_tgt FROM fb WHERE is_t GROUP BY bkt),
+tot AS (SELECT count(*) AS tot_raw,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tot_tgt FROM fb),
+w AS (
+  SELECT rc.bkt,
+         ln((coalesce(tc.c_tgt, 0) + {DSIR_K}) / (tot.tot_tgt + {DSIR_K} * {DSIR_BUCKETS}))
+       - ln((rc.c_raw + {DSIR_K}) / (tot.tot_raw + {DSIR_K} * {DSIR_BUCKETS})) AS w
+  FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tot
+)
+SELECT fb.doc_id, count(*) AS n_feats, round(sum(w.w), 6) AS log_ratio
+FROM fb JOIN w USING (bkt)
+GROUP BY fb.doc_id
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1662,6 +1844,9 @@ VARIANT_QUERIES = {
     "x34_domain_mixture": x34_domain_mixture,
     "x35_curation_pipeline": x35_curation_pipeline,
     "x36_ngram_lm": x36_ngram_lm,
+    "x37_bm25_topk": x37_bm25_topk,
+    "x38_cross_corpus_neardup": x38_cross_corpus_neardup,
+    "x39_dsir_weights": x39_dsir_weights,
 }
 
 VARIANT_ORACLES = {
@@ -1676,4 +1861,7 @@ VARIANT_ORACLES = {
     "x34_domain_mixture": X34_SQL,
     "x35_curation_pipeline": X35_SQL,
     "x36_ngram_lm": X36_SQL,
+    "x37_bm25_topk": X37_SQL,
+    "x38_cross_corpus_neardup": X38_SQL,
+    "x39_dsir_weights": X39_SQL,
 }

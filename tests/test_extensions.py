@@ -327,6 +327,70 @@ def test_ngram_lm_scores_hand_case(spark):
     assert got[2]["avg_nll"] == round((nll_ab + nll_bc) / 2, 6)
 
 
+def test_bm25_topk_hand_case(spark):
+    """BM25 vs a hand-computed score: Lucene idf, length normalization
+    against avgdl, rounded-then-ranked contract."""
+    import math
+
+    from crypto_market_data_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(10, "apple")], "q_id long, q_text string")
+    out = bm25_topk(docs, queries, k=3).collect()
+    # df(apple)=1 of N=3 docs; avgdl=(3+2+3)/3; tf=2 in doc 1 (dl=3)
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    tf, dl, avgdl = 2, 3, 8 / 3
+    expect = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert len(out) == 1  # only doc 1 contains the query term
+    r = out[0]
+    assert (r.q_id, r.doc_id, r.rnk) == (10, 1, 1)
+    assert r.score == round(expect, 6)
+
+
+def test_cross_corpus_neardup_flags_copies_keeps_unrelated(spark):
+    from crypto_market_data_etl_spark.operators.contamination import (
+        cross_corpus_neardup,
+    )
+
+    t = " ".join(f"tok{i}" for i in range(30))
+    u = " ".join(f"zzz{i}" for i in range(30))
+    bench = spark.createDataFrame([(100, t)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, t), (2, u)], "doc_id long, text string")
+    out = {r.doc_id: r for r in cross_corpus_neardup(corpus, bench).collect()}
+    # exact copy: identical signature in every band -> candidate, est 1.0
+    assert out[1].keep is False and out[1].max_jaccard == 1.0
+    # disjoint vocabulary: no shared band, full-coverage row says keep
+    assert out[2].keep is True and out[2].n_candidates == 0
+
+
+def test_dsir_logratios_prefers_target_like_docs(spark):
+    """A doc written in the target slice's vocabulary must outscore a doc in
+    the raw-only vocabulary, regardless of its own domain label."""
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.operators.sampling import dsir_logratios
+
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(5)]
+    rows += [(10 + i, "omega sigma theta kappa", "xx") for i in range(5)]
+    rows += [
+        (100, "alpha beta gamma delta", "xx"),
+        (101, "omega sigma theta kappa", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r
+        for r in dsir_logratios(docs, F.col("lang") == "en").collect()
+    }
+    assert len(got) == 12  # whole-corpus coverage
+    # absolute sign depends on the smoothing mass (k * n_buckets dominates at
+    # toy scale); the selection contract is the ORDERING of the weights
+    assert got[100].log_ratio > got[101].log_ratio + 10
+    assert got[100].n_feats == 7  # 4 unigrams + 3 bigrams
+
+
 def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
     """With a doc-frequency threshold no chunk exceeds, the chunk split +
     shuffled reassembly must reproduce every document byte-for-byte —
