@@ -126,8 +126,12 @@ def cross_corpus_neardup(
     bands_b = lsh_bands(sig_b, id_col, n_hashes, rows_per_band).select(
         F.col(id_col).alias("b_id"), "band_idx", "band_sig"
     )
+    # bench side is broadcast EXPLICITLY (both its band table and its
+    # signature table): the corpus side then never shuffles for either join —
+    # without the hint the static planner picks a sort-merge join and only
+    # AQE might rescue it at runtime
     cand = (
-        bands_c.join(bands_b, ["band_idx", "band_sig"])
+        bands_c.join(F.broadcast(bands_b), ["band_idx", "band_sig"])
         .select("c_id", "b_id")
         .distinct()
     )
@@ -142,7 +146,9 @@ def cross_corpus_neardup(
             "c_id",
         )
         .join(
-            sig_b.select(F.col(id_col).alias("b_id"), F.col("mhs").alias("mhs_b")),
+            F.broadcast(
+                sig_b.select(F.col(id_col).alias("b_id"), F.col("mhs").alias("mhs_b"))
+            ),
             "b_id",
         )
         # raw IEEE division (int count / n_hashes) — bit-identical across
