@@ -294,7 +294,13 @@ def ngram_lm_scores(
         "w1", F.substring_index(F.col("s"), " ", 1)
     )
     c2 = grams.groupBy("s").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # history counts re-aggregate the DISTINCT-bigram table (vocabulary²-
+    # bounded), not the corpus-scale gram stream — same value, one fewer
+    # corpus pass: c(w1 ·) = sum over s of c(w1 w2)
+    c1 = (
+        c2.groupBy(F.substring_index(F.col("s"), " ", 1).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
     vocab = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).agg(F.countDistinct("w").alias("v"))

@@ -40,6 +40,7 @@ from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark(app_name="scale_corpus")
     docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
         "doc_id", "text"
@@ -65,11 +66,44 @@ def main() -> None:
         ]
         return df.agg(F.count(F.lit(1)), *agg).collect()[0][0]
 
-    for label, fn in [
+    # round-5 additions exercised on the same replicated corpus: BM25 against
+    # a fixed query set, bigram-LM scoring, fuzzy cross-corpus decon against a
+    # 1/50 "benchmark" slice, DSIR weights against a 1/5 target slice
+    from crypto_market_data_etl_spark.operators.contamination import (
+        cross_corpus_neardup,
+    )
+    from crypto_market_data_etl_spark.operators.retrieval import bm25_topk
+    from crypto_market_data_etl_spark.operators.sampling import dsir_logratios
+    from crypto_market_data_etl_spark.operators.text import ngram_lm_scores
+
+    # query/bench sides pinned to the FIRST replica (fixed size), so the
+    # ladder isolates corpus-side scaling — these operators' contract is a
+    # small fixed query set / eval suite against a growing corpus
+    first = F.col("doc_id") < 1_000_000
+    queries = big.filter(first & (F.col("doc_id") % 29 == 3)).select(
+        F.col("doc_id").alias("q_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)).alias("q_text"),
+    )
+    bench = big.filter(first & (F.col("doc_id") % 50 == 0))
+
+    jobs = [
         ("minhash_jaccard_pairs", lambda: run_all(minhash_jaccard_pairs(big))),
         ("chunk_dedup", lambda: run_all(chunk_dedup(big))),
         ("repetition_metrics", lambda: run_all(repetition_metrics(big))),
-    ]:
+        ("ngram_lm_scores", lambda: run_all(ngram_lm_scores(big))),
+        ("bm25_topk", lambda: run_all(bm25_topk(big, queries))),
+        (
+            "cross_corpus_neardup",
+            lambda: run_all(cross_corpus_neardup(big, bench)),
+        ),
+        (
+            "dsir_logratios",
+            lambda: run_all(dsir_logratios(big, F.col("doc_id") % 5 == 0)),
+        ),
+    ]
+    for label, fn in jobs:
+        if only is not None and label not in only:
+            continue
         t0 = time.time()
         rows = fn()
         print(f"{label}: {time.time() - t0:.1f}s rows={rows}")
