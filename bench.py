@@ -54,6 +54,13 @@ HEADLINE = [
     # recorded runs set their baselines
     "x32_semantic_dedup",
     "x34_domain_mixture",
+    # round-5 additions: bigram-LM fluency, BM25 lexical retrieval, fuzzy
+    # cross-corpus decontamination, DSIR importance weights — first recorded
+    # runs set their baselines
+    "x36_ngram_lm",
+    "x37_bm25_topk",
+    "x38_cross_corpus_neardup",
+    "x39_dsir_weights",
 ]
 
 

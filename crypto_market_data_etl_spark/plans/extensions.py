@@ -1832,6 +1832,41 @@ GROUP BY fb.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# x40 BPE tokenizer-training statistics: count-weighted adjacent character
+# pairs over the word-frequency table — the top-1 row is the next BPE merge
+# (the k-round loop itself is verified by pytest vs a pure-Python BPE).
+# --------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def x40_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import pair_counts, with_symbols, word_counts
+
+    return pair_counts(with_symbols(word_counts(_docs(spark, sf_dir))), k=BPE_TOPK)
+
+
+X40_SQL = f"""
+WITH wc AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(str_split(coalesce(text, ''), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+pc AS (
+  SELECT g['l'] AS sym_l, g['r'] AS sym_r, wc FROM (
+    SELECT wc, unnest([{{'l': w[i], 'r': w[i+1]}} FOR i IN range(1, length(w))]) AS g
+    FROM wc
+  )
+),
+agg AS (SELECT sym_l, sym_r, CAST(sum(wc) AS BIGINT) AS cnt FROM pc GROUP BY sym_l, sym_r)
+SELECT sym_l, sym_r, cnt,
+       row_number() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS rnk
+FROM agg
+QUALIFY rnk <= {BPE_TOPK}
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1847,6 +1882,7 @@ VARIANT_QUERIES = {
     "x37_bm25_topk": x37_bm25_topk,
     "x38_cross_corpus_neardup": x38_cross_corpus_neardup,
     "x39_dsir_weights": x39_dsir_weights,
+    "x40_bpe_pairs": x40_bpe_pairs,
 }
 
 VARIANT_ORACLES = {
@@ -1864,4 +1900,5 @@ VARIANT_ORACLES = {
     "x37_bm25_topk": X37_SQL,
     "x38_cross_corpus_neardup": X38_SQL,
     "x39_dsir_weights": X39_SQL,
+    "x40_bpe_pairs": X40_SQL,
 }

@@ -391,6 +391,66 @@ def test_dsir_logratios_prefers_target_like_docs(spark):
     assert got[100].n_feats == 7  # 4 unigrams + 3 bigrams
 
 
+def _python_bpe(word_freqs, n_merges):
+    """Reference BPE trainer (Sennrich-style, greedy left-to-right apply,
+    ties cnt-desc-then-pair-asc)."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, freq in word_freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(pair)
+        la, rb = pair
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == la and s[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from crypto_market_data_etl_spark.operators.bpe import bpe_learn
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    freqs = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    exp_merges, exp_syms = _python_bpe(freqs, 6)
+    merges, syms = bpe_learn(docs, 6)
+    assert merges == exp_merges
+    got = {r["w"]: list(r["syms"]) for r in syms.collect()}
+    assert got == exp_syms
+
+
+def test_bpe_apply_merge_is_greedy_left_to_right(spark):
+    """"aaaa" under merge (a,a) -> ["aa","aa"]; "aaa" -> ["aa","a"]."""
+    from crypto_market_data_etl_spark.operators.bpe import apply_merge
+
+    df = spark.createDataFrame(
+        [("aaa", 1, ["a", "a", "a"]), ("aaaa", 1, ["a", "a", "a", "a"])],
+        "w string, wc long, syms array<string>",
+    )
+    got = {r["w"]: r["syms"] for r in apply_merge(df, "a", "a").collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+
+
 def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
     """With a doc-frequency threshold no chunk exceeds, the chunk split +
     shuffled reassembly must reproduce every document byte-for-byte —
