@@ -111,6 +111,59 @@ def apply_merge(symbols: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    trained: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE table: every word broadcast-joins
+    its learned symbol sequence; out-of-vocabulary words fall back to the
+    character alphabet (the base-vocab fallback every real BPE has).
+
+    This is the production insight that makes distributed BPE encoding
+    cheap: applying k merges per corpus token would chain k folds over
+    every word occurrence, but the (word → symbols) result is already
+    materialized in the vocabulary-sized training table — so encoding is
+    explode + ONE broadcast join + re-assembly, linear in the corpus with
+    no per-merge work at all. Output: (id, n_words, n_tokens, tokens) with
+    tokens flattened in document order.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = F.broadcast(trained.select("w", "syms"))
+    joined = staged.join(vocab, "w", "left").select(
+        id_col,
+        "pos",
+        # OOV fallback: the character alphabet
+        F.coalesce(F.col("syms"), F.split(F.col("w"), "")).alias("syms"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s.getField("syms"),
+                )
+            ).alias("tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
 def bpe_learn(
     df: DataFrame, n_merges: int, text_col: str = "text"
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -451,6 +451,27 @@ def test_bpe_apply_merge_is_greedy_left_to_right(spark):
     assert got["aaaa"] == ["aa", "aa"]
 
 
+def test_bpe_encode_joins_trained_vocab_with_oov_fallback(spark):
+    """Encoding = broadcast join on the trained word table; OOV words fall
+    back to characters; token order follows document order."""
+    from crypto_market_data_etl_spark.operators.bpe import bpe_encode, bpe_learn
+
+    train = spark.createDataFrame(
+        [(0, "low low lower new newer")], "doc_id long, text string"
+    )
+    _, syms = bpe_learn(train, 4)
+    corpus = spark.createDataFrame(
+        [(1, "low newer"), (2, "low oov")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bpe_encode(corpus, syms).collect()}
+    vocab = {r["w"]: list(r["syms"]) for r in syms.collect()}
+    assert got[1].n_words == 2
+    assert list(got[1].tokens) == vocab["low"] + vocab["newer"]
+    # "oov" never seen in training -> character fallback, in order
+    assert list(got[2].tokens) == vocab["low"] + ["o", "o", "v"]
+    assert got[2].n_tokens == len(vocab["low"]) + 3
+
+
 def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
     """With a doc-frequency threshold no chunk exceeds, the chunk split +
     shuffled reassembly must reproduce every document byte-for-byte —
