@@ -32,4 +32,19 @@ from .similarity import (  # noqa: F401
     lsh_buckets,
 )
 from .sketches import approx_quantiles, heavy_hitters, hll_distinct, hll_merge  # noqa: F401
-from .text import fingerprints, lang_scores, quality_scores, token_stats  # noqa: F401
+from .text import (  # noqa: F401
+    fingerprints,
+    lang_scores,
+    ngram_lm_scores,
+    quality_scores,
+    token_stats,
+)
+from .bpe import bpe_encode, bpe_learn  # noqa: F401
+from .contamination import (  # noqa: F401
+    bloom_contamination_report,
+    contamination_report,
+    cross_corpus_neardup,
+)
+from .retrieval import bm25_topk  # noqa: F401
+from .sampling import dsir_logratios, hash_sample, stratified_sample  # noqa: F401
+from .curation import curate_corpus  # noqa: F401
