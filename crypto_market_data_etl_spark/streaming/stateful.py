@@ -474,11 +474,16 @@ def stateful_ewma(
         (k,) = key
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
             n = len(pdf)
             if n == 0:
                 continue
+            # argsort the two needed columns instead of sort_values on the
+            # whole frame — skips copying/reordering the unused key column
+            ts = pdf[ts_col].to_numpy()
             values = pdf[value_col].to_numpy(dtype="float64")
+            order = np.argsort(ts, kind="stable")
+            ts = ts[order]
+            values = values[order]
             if last is None:
                 series = pd.Series(values)
                 ewmas = series.ewm(alpha=alpha, adjust=False).mean().to_numpy()
@@ -488,8 +493,8 @@ def stateful_ewma(
             last = float(ewmas[-1])
             yield pd.DataFrame(
                 {
-                    key_col: [k] * n,
-                    ts_col: pdf[ts_col].to_numpy(),
+                    key_col: np.full(n, k),
+                    ts_col: ts,
                     value_col: values,
                     out: ewmas,
                 }
