@@ -83,14 +83,18 @@ def stateful_ofi(
         (k,) = key
         prev = tuple(state.get) if state.exists else None
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
             n = len(pdf)
             if n == 0:
                 continue
-            bp = pdf[bid_price].to_numpy(dtype="float64")
-            bs = pdf[bid_size].to_numpy(dtype="float64")
-            ap = pdf[ask_price].to_numpy(dtype="float64")
-            asz = pdf[ask_size].to_numpy(dtype="float64")
+            # argsort + gather only the needed columns (no whole-frame sort,
+            # no key-column copy) — same move as stateful_ewma
+            ts = pdf[ts_col].to_numpy()
+            order = np.argsort(ts, kind="stable")
+            ts = ts[order]
+            bp = pdf[bid_price].to_numpy(dtype="float64")[order]
+            bs = pdf[bid_size].to_numpy(dtype="float64")[order]
+            ap = pdf[ask_price].to_numpy(dtype="float64")[order]
+            asz = pdf[ask_size].to_numpy(dtype="float64")[order]
             # previous-row book: in-batch shift, row 0 seeded from state
             seed = prev if prev is not None else (np.nan,) * 4
             pbp = np.concatenate(([seed[0]], bp[:-1]))
@@ -103,9 +107,7 @@ def stateful_ofi(
             if prev is None:
                 ofi[0] = np.nan  # NaN → null through Arrow (no prior book)
             prev = (float(bp[-1]), float(bs[-1]), float(ap[-1]), float(asz[-1]))
-            yield pd.DataFrame(
-                {key_col: [k] * n, ts_col: pdf[ts_col].to_numpy(), out: ofi}
-            )
+            yield pd.DataFrame({key_col: np.full(n, k), ts_col: ts, out: ofi})
         if prev is not None:
             state.update(prev)
 
@@ -158,20 +160,22 @@ def stateful_dollar_bars(
         (k,) = key
         cum = state.get[0] if state.exists else 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
             n = len(pdf)
             if n == 0:
                 continue
-            cents = pdf[notional_cents_col].to_numpy(dtype="int64")
+            ts = pdf[ts_col].to_numpy()
+            order = np.argsort(ts, kind="stable")
+            ts = ts[order]
+            cents = pdf[notional_cents_col].to_numpy(dtype="int64")[order]
             cums = np.cumsum(cents) + cum
             cum = int(cums[-1])
             out = {
-                key_col: [k] * n,
-                ts_col: pdf[ts_col].to_numpy(),
+                key_col: np.full(n, k),
+                ts_col: ts,
                 notional_cents_col: cents,
             }
             for c in passthrough_cols:
-                out[c] = pdf[c].to_numpy()
+                out[c] = pdf[c].to_numpy()[order]
             out["cum_cents"] = cums
             out["bar_num"] = (cums - 1) // bar_cents
             yield pd.DataFrame(out)
