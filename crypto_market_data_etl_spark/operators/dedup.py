@@ -372,6 +372,94 @@ def simhash(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """Exact repeated-SPAN removal: excise every token position covered by a
+    ``span_words``-token window whose text occurs more than once in the
+    corpus (within or across documents), and reassemble what survives — the
+    token-granular form of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022), which
+    C4-style disjoint-chunk dedup (:func:`chunk_dedup`) under-counts because
+    a shared passage that straddles a chunk boundary never matches.
+
+    Sliding windows make the alignment-free guarantee: ANY duplicated run of
+    ``>= span_words`` tokens contains at least one duplicated window at
+    every offset, so the whole run is covered regardless of how it is
+    positioned in each document.
+
+    Output per doc: ``(id, n_tokens, n_removed, clean_md5)`` — whole-corpus
+    coverage (a doc with nothing removed reports ``n_removed = 0``; a doc
+    that is ALL duplicate text reports ``clean_md5 = md5('')``).
+
+    Shape at 100 TB: windows explode to one row per position carrying a
+    16-hex md5 PREFIX of the window text (fixed-width shuffle key — the
+    raw ~span_words-token string would multiply shuffle bytes by the window
+    length), occurrence counts via one map-side-combined agg, join back on
+    the same key, a bounded ``<= span_words``-per-hit coverage explode, and
+    one per-doc reassembly agg ordered by position — every stage linear in
+    tokens; nothing is quadratic in document or corpus size.
+    """
+    staged = spread_small_input(df).select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
+    )
+    tk = F.col("__toks")
+    n_tok = F.size(tk)
+    n_win = n_tok - (span_words - 1)
+    windows = F.when(n_win < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(tk, i, span_words))), 1, 16
+            ),
+        )
+    )
+    grams = staged.select(F.col(id_col), F.posexplode(windows).alias("p", "h"))
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") > 1
+    )
+    covered = (
+        grams.join(dup.select("h"), "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (span_words - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = staged.select(F.col(id_col), F.posexplode(tk).alias("tpos", "tok"))
+    kept = (
+        toks.join(covered, [id_col, "tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("__clean"),
+        )
+    )
+    spine = staged.select(F.col(id_col), n_tok.alias("n_tokens"))
+    return (
+        spine.join(kept, id_col, "left")
+        .na.fill({"n_kept": 0})
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

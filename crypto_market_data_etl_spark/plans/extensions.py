@@ -1867,6 +1867,82 @@ QUALIFY rnk <= {BPE_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# x41 exact repeated-span removal (token-granular suffix-array dedup shape):
+# sliding-window duplicate detection + positional excision + reassembly. A
+# 9-token boilerplate passage is appended to every 25th doc so duplicated
+# spans exist at every SF (plus whatever the corpus shares naturally).
+# --------------------------------------------------------------------------
+
+SPAN_WORDS = 8
+_SPAN_PASSAGE = (
+    "shared boilerplate sentence tokens appear across documents here verbatim"
+)
+
+
+def x41_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import span_dedup
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 25 == 0, F.lit(" " + _SPAN_PASSAGE)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return span_dedup(docs, span_words=SPAN_WORDS)
+
+
+X41_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 25 = 0 THEN ' {_SPAN_PASSAGE}' ELSE '' END AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs),
+grams AS (
+  SELECT doc_id, g['p'] AS p, g['h'] AS h FROM (
+    SELECT doc_id,
+           unnest([{{'p': i - 1,
+                     'h': substr(md5(array_to_string(tk[i:i+{SPAN_WORDS - 1}], ' ')), 1, 16)}}
+                   FOR i IN range(1, len(tk) - {SPAN_WORDS} + 2)]) AS g
+    FROM tk
+  )
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+covered AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT g.doc_id, unnest(range(g.p, g.p + {SPAN_WORDS})) AS tpos
+    FROM grams g JOIN dup USING (h)
+  )
+),
+toks AS (
+  SELECT doc_id, g['p'] AS tpos, g['t'] AS tok FROM (
+    SELECT doc_id,
+           unnest([{{'p': i - 1, 't': tk[i]}} FOR i IN range(1, len(tk) + 1)]) AS g
+    FROM tk
+  )
+),
+kept AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.tpos) AS clean
+  FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+  WHERE c.tpos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(k.clean, '')) AS clean_md5
+FROM docs d
+JOIN tk ON tk.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1883,6 +1959,7 @@ VARIANT_QUERIES = {
     "x38_cross_corpus_neardup": x38_cross_corpus_neardup,
     "x39_dsir_weights": x39_dsir_weights,
     "x40_bpe_pairs": x40_bpe_pairs,
+    "x41_span_dedup": x41_span_dedup,
 }
 
 VARIANT_ORACLES = {
@@ -1901,4 +1978,5 @@ VARIANT_ORACLES = {
     "x38_cross_corpus_neardup": X38_SQL,
     "x39_dsir_weights": X39_SQL,
     "x40_bpe_pairs": X40_SQL,
+    "x41_span_dedup": X41_SQL,
 }

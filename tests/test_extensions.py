@@ -472,6 +472,27 @@ def test_bpe_encode_joins_trained_vocab_with_oov_fallback(spark):
     assert got[2].n_tokens == len(vocab["low"]) + 3
 
 
+def test_span_dedup_excises_shared_span_at_any_offset(spark):
+    """A duplicated 8-token passage is removed from BOTH docs even though it
+    sits at different offsets in each (the alignment case disjoint-chunk
+    dedup misses); unique docs pass through untouched with n_removed = 0."""
+    import hashlib
+
+    from crypto_market_data_etl_spark.operators.dedup import span_dedup
+
+    shared = "one two three four five six seven eight"
+    t3 = "totally unique text right here now ok fine yes"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {shared} beta"), (2, f"gamma delta {shared}"), (3, t3)],
+        "doc_id long, text string",
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = {r.doc_id: r.asDict() for r in span_dedup(docs, span_words=8).collect()}
+    assert got[1]["n_removed"] == 8 and got[1]["clean_md5"] == md5("alpha beta")
+    assert got[2]["n_removed"] == 8 and got[2]["clean_md5"] == md5("gamma delta")
+    assert got[3]["n_removed"] == 0 and got[3]["clean_md5"] == md5(t3)
+
+
 def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
     """With a doc-frequency threshold no chunk exceeds, the chunk split +
     shuffled reassembly must reproduce every document byte-for-byte —
