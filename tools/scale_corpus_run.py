@@ -72,6 +72,7 @@ def main() -> None:
     from crypto_market_data_etl_spark.operators.contamination import (
         cross_corpus_neardup,
     )
+    from crypto_market_data_etl_spark.operators.dedup import span_dedup
     from crypto_market_data_etl_spark.operators.retrieval import bm25_topk
     from crypto_market_data_etl_spark.operators.sampling import dsir_logratios
     from crypto_market_data_etl_spark.operators.text import ngram_lm_scores
@@ -100,6 +101,7 @@ def main() -> None:
             "dsir_logratios",
             lambda: run_all(dsir_logratios(big, F.col("doc_id") % 5 == 0)),
         ),
+        ("span_dedup", lambda: run_all(span_dedup(big))),
     ]
     for label, fn in jobs:
         if only is not None and label not in only:
