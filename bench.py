@@ -61,6 +61,9 @@ HEADLINE = [
     "x37_bm25_topk",
     "x38_cross_corpus_neardup",
     "x39_dsir_weights",
+    # round-5 late addition: exact repeated-span removal — first recorded
+    # run sets its baseline
+    "x41_span_dedup",
 ]
 
 
