@@ -493,6 +493,62 @@ def test_span_dedup_excises_shared_span_at_any_offset(spark):
     assert got[3]["n_removed"] == 0 and got[3]["clean_md5"] == md5(t3)
 
 
+def test_span_dedup_invariants(spark):
+    """All-unique corpus -> nothing removed and clean text == original;
+    fully-duplicated corpus -> everything removed; counts stay bounded."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.operators.dedup import span_dedup
+
+    # synthetic corpus with globally unique tokens: no window can repeat
+    # (the real testdata corpus contains naturally duplicated passages —
+    # x38/x41 surface them — so it cannot serve as the "all unique" case)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(20)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    ).cache()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    clean = {r.doc_id: r.asDict() for r in span_dedup(docs).collect()}
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert all(v["n_removed"] == 0 for v in clean.values())
+    assert all(clean[k]["clean_md5"] == md5(orig[k]) for k in orig)
+
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    wiped = span_dedup(doubled).collect()
+    # every doc >= 8 tokens is fully duplicated -> fully removed
+    assert all(
+        r.n_removed == r.n_tokens for r in wiped if r.n_tokens >= 8
+    )
+    assert all(r.clean_md5 == md5("") for r in wiped if r.n_tokens >= 8)
+
+
+def test_cross_corpus_neardup_whole_corpus_coverage(spark):
+    """Every corpus doc appears exactly once in the report, even docs too
+    short to shingle (no signature -> no candidates -> keep)."""
+    from crypto_market_data_etl_spark.operators.contamination import (
+        cross_corpus_neardup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, " ".join(f"t{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, " ".join(f"b{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    rows = cross_corpus_neardup(corpus, bench).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+    assert all(r.keep for r in rows)
+    assert all(r.n_candidates == 0 for r in rows)
+
+
 def test_chunk_dedup_roundtrips_text_when_nothing_dropped(spark):
     """With a doc-frequency threshold no chunk exceeds, the chunk split +
     shuffled reassembly must reproduce every document byte-for-byte —
