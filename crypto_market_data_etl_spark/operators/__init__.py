@@ -4,10 +4,12 @@ from .asof import asof_join, asof_join_adaptive, merge_asof_grouped  # noqa: F40
 from .bars import blocked_cumsum, dollar_bars, with_cents  # noqa: F401
 from .candles import ohlcv_aggs, sliding_stats, tumbling_candles  # noqa: F401
 from .dedup import (  # noqa: F401
+    chunk_dedup,
     exact_dedup,
     minhash_jaccard_pairs,
     ngram_jaccard_pairs,
     simhash,
+    span_dedup,
 )
 from .blocked import auto_block_span, blocked_lag  # noqa: F401
 from .ewma import (  # noqa: F401

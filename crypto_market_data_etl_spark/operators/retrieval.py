@@ -23,6 +23,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-``k`` documents per query: (q_id, doc_id, rnk, score).
 
@@ -39,6 +40,13 @@ def bm25_topk(
     round to 6dp BEFORE ranking so rank order is a pure function of the
     rounded value + doc id (cross-engine deterministic); the final rank
     window partitions per query over only that query's candidate docs.
+
+    ``max_df_frac`` is the scale lever for stop-word-dominated queries: a
+    query term matching more than that fraction of all documents joins
+    (and scores) nearly the whole corpus while its idf contributes almost
+    nothing — pruning it bounds the scored-candidate set the way Lucene's
+    stop filter / max-score pruning does. ``None`` (default) scores every
+    term exactly.
     """
     base = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     toks = base.select(
@@ -54,9 +62,13 @@ def bm25_topk(
         F.col(q_id_col),
         F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("t"),
     )
+    qidf = qt.join(dfreq, "t").crossJoin(F.broadcast(stats))
+    if max_df_frac is not None:
+        qidf = qidf.filter(
+            F.col("df") <= F.lit(max_df_frac) * F.col("n_docs")
+        )
     qidf = (
-        qt.join(dfreq, "t")
-        .crossJoin(F.broadcast(stats))
+        qidf
         .select(
             q_id_col,
             "t",

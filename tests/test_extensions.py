@@ -350,6 +350,27 @@ def test_bm25_topk_hand_case(spark):
     assert r.score == round(expect, 6)
 
 
+def test_bm25_max_df_pruning_drops_ubiquitous_terms(spark):
+    """A term in every document is pruned under max_df_frac, bounding the
+    candidate set; rare-term scoring is unchanged."""
+    from crypto_market_data_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana"), (3, "the cherry")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "the apple")], "q_id long, q_text string"
+    )
+    full = bm25_topk(docs, queries, k=3).collect()
+    assert len(full) == 3  # "the" matches every doc
+    pruned = bm25_topk(docs, queries, k=3, max_df_frac=0.5).collect()
+    assert len(pruned) == 1 and pruned[0].doc_id == 1  # only "apple" scores
+    full_apple = {r.doc_id: r.score for r in full}[1]
+    # doc 1's rare-term contribution is part of its unpruned score
+    assert pruned[0].score <= full_apple
+
+
 def test_cross_corpus_neardup_flags_copies_keeps_unrelated(spark):
     from crypto_market_data_etl_spark.operators.contamination import (
         cross_corpus_neardup,
