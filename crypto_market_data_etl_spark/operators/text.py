@@ -65,12 +65,8 @@ def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality metrics + composite score per document.
-
-    n_tokens, avg token length, stopword ratio, punctuation ratio, digit
-    ratio; score = 0.4*stopword + 0.3*(1-punct) + 0.3*(1-digit), rounded.
-    """
+def _quality_parts(text_col: str):
+    """The shared quality expressions (pure projections — streaming-safe)."""
     text = F.col(text_col)
     n_chars = F.length(text)
     toks = F.split(text, " ")
@@ -83,6 +79,25 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     digit_ratio = F.round(n_digit * 1.0 / n_chars, 6)
     score = F.round(
         0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * (1 - digit_ratio), 6
+    )
+    return n_chars, toks, n_tokens, stop_ratio, punct_ratio, digit_ratio, score
+
+
+def quality_expr(text_col: str = "text"):
+    """The composite quality score as ONE column expression — usable in any
+    projection, including on a streaming DataFrame (same formula the x08
+    oracle checks via :func:`quality_scores`)."""
+    return _quality_parts(text_col)[-1]
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality metrics + composite score per document.
+
+    n_tokens, avg token length, stopword ratio, punctuation ratio, digit
+    ratio; score = 0.4*stopword + 0.3*(1-punct) + 0.3*(1-digit), rounded.
+    """
+    n_chars, toks, n_tokens, stop_ratio, punct_ratio, digit_ratio, score = (
+        _quality_parts(text_col)
     )
     return df.select(
         F.col(id_col),

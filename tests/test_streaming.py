@@ -871,3 +871,55 @@ def test_stateful_ewma_tws_matches_legacy_api(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_curate_gates_dedups_and_flags(spark, tmp_path):
+    """Streaming corpus ingestion: quality gate drops the digit-heavy doc,
+    a replayed identical doc is deduped within the watermark, benchmark
+    n-gram overlap is flagged, and docs finalize in append mode once the
+    watermark passes their event time."""
+    import time as _t
+
+    from crypto_market_data_etl_spark.streaming.corpus import stream_curate
+
+    path = str(tmp_path / "docs")
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts_s long, text string"
+        ).withColumn(
+            "ingest_ts", F.timestamp_seconds(F.col("ts_s"))
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+        _t.sleep(1.1)
+
+    write_docs(
+        [
+            (1, 1, "plain clean words here today"),
+            (2, 2, "hello world alpha beta gamma delta again"),  # leaked
+            (3, 3, "111 222 333"),  # digit-heavy -> quality-gated
+        ]
+    )
+    write_docs(
+        [
+            (1, 4, "plain clean words here today"),  # re-crawl -> deduped
+            (9, 100, "late watermark pusher words"),  # finalizes the rest
+        ]
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_curate(stream, bench, quality_min=0.5, watermark="10 seconds")
+    q = run_to_memory(out, "curated_stream", output_mode="append")
+    try:
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM curated_stream").collect()}
+        # doc 3 quality-gated; doc 9's event time hasn't expired; doc 1 once
+        assert sorted(rows) == [1, 2]
+        assert rows[1].clean and rows[1].n_hit == 0 and rows[1].n_grams == 3
+        assert not rows[2].clean and rows[2].n_hit >= 1
+    finally:
+        q.stop()
