@@ -418,7 +418,13 @@ def span_dedup(
             ),
         )
     )
-    grams = staged.select(F.col(id_col), F.posexplode(windows).alias("p", "h"))
+    # MATERIALIZED: the window table feeds both the occurrence count and the
+    # coverage join — unmaterialized, each reference replays the corpus-scale
+    # explode (the standard move: production substring dedup materializes its
+    # suffix/window table once)
+    grams = materialize(
+        staged.select(F.col(id_col), F.posexplode(windows).alias("p", "h"))
+    )
     dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
         F.col("occ") > 1
     )

@@ -48,12 +48,20 @@ def bm25_topk(
     stop filter / max-score pruning does. ``None`` (default) scores every
     term exactly.
     """
+    from ..materialize import materialize
+
     base = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     toks = base.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     )
-    postings = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # the inverted index is built ONCE (materialized — Spark shares no
+    # subtrees, and postings feeds doc lengths, document frequencies, AND
+    # the scoring join); doc length = sum of term frequencies, so no second
+    # corpus pass exists anywhere in the plan
+    postings = materialize(
+        toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

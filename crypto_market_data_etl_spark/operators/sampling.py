@@ -289,9 +289,17 @@ def dsir_logratios(
             % n_buckets
         ).alias("bkt"),
     )
-    counts = fb.groupBy("bkt").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_tgt"),
+    # MATERIALIZED: counts is referenced twice (totals + weights) and Spark
+    # does not share subtrees — without this, each reference replays the
+    # corpus-scale explode+count, turning the documented 2 passes into 3
+    # (deployment-aware: localCheckpoint locally, persist on a cluster)
+    from ..materialize import materialize
+
+    counts = materialize(
+        fb.groupBy("bkt").agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_tgt"),
+        )
     )
     totals = counts.agg(
         F.sum("c_raw").alias("tot_raw"), F.sum("c_tgt").alias("tot_tgt")

@@ -308,7 +308,12 @@ def ngram_lm_scores(
     grams = word_shingles(df, id_col, text_col, n=2, distinct=False).withColumn(
         "w1", F.substring_index(F.col("s"), " ", 1)
     )
-    c2 = grams.groupBy("s").agg(F.count(F.lit(1)).alias("c2"))
+    from ..materialize import materialize
+
+    # MATERIALIZED: c2 feeds both the history rollup below and the scoring
+    # join — Spark shares no subtrees, so an unmaterialized c2 would replay
+    # the corpus-scale gram count once per reference
+    c2 = materialize(grams.groupBy("s").agg(F.count(F.lit(1)).alias("c2")))
     # history counts re-aggregate the DISTINCT-bigram table (vocabulary²-
     # bounded), not the corpus-scale gram stream — same value, one fewer
     # corpus pass: c(w1 ·) = sum over s of c(w1 w2)

@@ -10,4 +10,5 @@ from .continuous_agg import (  # noqa: F401
     read_continuous_aggregate,
     stream_candle_partials,
 )
+from .corpus import stream_curate  # noqa: F401
 from .stateful import stateful_ewma  # noqa: F401
