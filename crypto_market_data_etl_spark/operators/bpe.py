@@ -127,7 +127,10 @@ def bpe_encode(
     materialized in the vocabulary-sized training table — so encoding is
     explode + ONE broadcast join + re-assembly, linear in the corpus with
     no per-merge work at all. Output: (id, n_words, n_tokens, tokens) with
-    tokens flattened in document order.
+    tokens flattened in document order; empty/NULL-text documents stay in
+    the output as (0, 0, []) — the whole-corpus-coverage contract the
+    sibling operators keep, so a downstream token-count join never loses
+    documents.
     """
     staged = df.select(
         F.col(id_col),
@@ -142,24 +145,28 @@ def bpe_encode(
         # OOV fallback: the character alphabet
         F.coalesce(F.col("syms"), F.split(F.col("w"), "")).alias("syms"),
     )
+    encoded = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                lambda s: s.getField("syms"),
+            )
+        ).alias("tokens"),
+    )
+    spine = df.select(F.col(id_col)).distinct()
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "syms"))
-                    ),
-                    lambda s: s.getField("syms"),
-                )
-            ).alias("tokens"),
-        )
+        spine.join(encoded, id_col, "left")
+        .na.fill({"n_words": 0})
         .select(
             id_col,
-            "n_words",
-            F.size("tokens").cast("long").alias("n_tokens"),
-            "tokens",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce(
+                F.size("tokens"), F.lit(0)
+            ).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
         )
     )
 
@@ -175,16 +182,30 @@ def bpe_learn(
     locally, persist on a cluster) so round k never replays rounds 1..k-1,
     and collects exactly ONE row (the argmax pair) to the driver — a
     scalar control decision, the same class as the skew/stat probes.
+
+    Superseded round tables are unpersisted one round LATE: round k's
+    ``collect`` is the action that forces table k into storage, and only
+    then is table k-1 (its lineage parent) safe to release — freeing it
+    earlier would strand a lazily-materialized child; never freeing it
+    would accumulate one persisted table per merge round (real
+    vocabularies run tens of thousands of merges).
     """
     syms = materialize(with_symbols(word_counts(df, text_col)))
+    prev: DataFrame | None = None
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = pair_counts(syms).orderBy(
             F.col("cnt").desc(), F.col("sym_l"), F.col("sym_r")
         ).limit(1).collect()
+        # the collect above forced `syms` into storage; its superseded
+        # lineage parent can now be released
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         left, right = top[0]["sym_l"], top[0]["sym_r"]
         merges.append((left, right))
+        prev = syms
         syms = materialize(apply_merge(syms, left, right))
     return merges, syms

@@ -403,9 +403,14 @@ def span_dedup(
     one per-doc reassembly agg ordered by position — every stage linear in
     tokens; nothing is quadratic in document or corpus size.
     """
-    staged = spread_small_input(df).select(
-        F.col(id_col),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
+    # MATERIALIZED: the tokenized corpus feeds the window table, the token
+    # table, AND the coverage spine — unmaterialized, the corpus-scale split
+    # would replay once per reference
+    staged = materialize(
+        spread_small_input(df).select(
+            F.col(id_col),
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
+        )
     )
     tk = F.col("__toks")
     n_tok = F.size(tk)

@@ -51,9 +51,12 @@ def bm25_topk(
     from ..materialize import materialize
 
     base = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    # drop empty-string tokens (double/leading/trailing spaces, empty docs):
+    # they would otherwise become real postings — an empty document could
+    # rank in top-k and every '' inflates dl/avgdl/df
     toks = base.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
-    )
+    ).filter(F.col("t") != "")
     # the inverted index is built ONCE (materialized — Spark shares no
     # subtrees, and postings feeds doc lengths, document frequencies, AND
     # the scoring join); doc length = sum of term frequencies, so no second
@@ -69,7 +72,7 @@ def bm25_topk(
     qt = queries.select(
         F.col(q_id_col),
         F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("t"),
-    )
+    ).filter(F.col("t") != "")
     qidf = qt.join(dfreq, "t").crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
         qidf = qidf.filter(

@@ -1681,15 +1681,19 @@ qdocs AS (
          array_to_string((str_split(text, ' '))[1:{BM25_QUERY_TOKENS}], ' ') AS q_text
   FROM docs WHERE doc_id % {BM25_QUERY_MOD} = 3
 ),
-toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs),
+toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs
+  ) WHERE t <> ''
+),
 postings AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
 dfreq AS (SELECT t, count(*) AS df FROM postings GROUP BY t),
 qt AS (
   SELECT DISTINCT q_id, t FROM (
     SELECT q_id, unnest(str_split(q_text, ' ')) AS t FROM qdocs
-  )
+  ) WHERE t <> ''
 ),
 qidf AS (
   SELECT qt.q_id, qt.t,

@@ -350,6 +350,39 @@ def test_bm25_topk_hand_case(spark):
     assert r.score == round(expect, 6)
 
 
+def test_bm25_ignores_empty_tokens_and_empty_docs(spark):
+    """Double/leading spaces and empty documents must not create postings:
+    an empty doc never ranks, and a padded query scores like a clean one."""
+    from crypto_market_data_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple  banana"), (2, ""), (3, None), (4, "banana cherry")],
+        "doc_id long, text string",
+    )
+    padded = spark.createDataFrame([(10, " apple")], "q_id long, q_text string")
+    out = bm25_topk(docs, padded, k=5).collect()
+    assert [r.doc_id for r in out] == [1]  # empty docs never surface
+    clean = spark.createDataFrame([(10, "apple")], "q_id long, q_text string")
+    assert out[0].score == bm25_topk(docs, clean, k=5).collect()[0].score
+
+
+def test_bpe_encode_keeps_empty_docs(spark):
+    """Whole-corpus coverage: empty/NULL-text docs emit (0, 0, []) instead
+    of vanishing — a downstream token-count join must not lose them."""
+    from crypto_market_data_etl_spark.operators.bpe import bpe_encode, bpe_learn
+
+    train = spark.createDataFrame([(0, "low low new")], "doc_id long, text string")
+    _, syms = bpe_learn(train, 2)
+    corpus = spark.createDataFrame(
+        [(1, "low"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bpe_encode(corpus, syms).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[2].n_words == 0 and got[2].n_tokens == 0 and list(got[2].tokens) == []
+    assert got[3].n_words == 0 and list(got[3].tokens) == []
+    assert got[1].n_words == 1 and got[1].n_tokens >= 1
+
+
 def test_bm25_max_df_pruning_drops_ubiquitous_terms(spark):
     """A term in every document is pruned under max_df_frac, bounding the
     candidate set; rare-term scoring is unchanged."""
