@@ -403,14 +403,14 @@ def span_dedup(
     one per-doc reassembly agg ordered by position — every stage linear in
     tokens; nothing is quadratic in document or corpus size.
     """
-    # MATERIALIZED: the tokenized corpus feeds the window table, the token
-    # table, AND the coverage spine — unmaterialized, the corpus-scale split
-    # would replay once per reference
-    staged = materialize(
-        spread_small_input(df).select(
-            F.col(id_col),
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
-        )
+    # NOT materialized, deliberately: staged feeds three consumers, but its
+    # content is the full token-array corpus — storing it costs more than
+    # replaying the cheap split over the (OS-cached) scan. Measured at 200k
+    # docs: materializing staged 28.6 s vs 17.3 s replayed. The expensive
+    # derived table (the md5 window stream) IS materialized below.
+    staged = spread_small_input(df).select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
     )
     tk = F.col("__toks")
     n_tok = F.size(tk)
