@@ -321,3 +321,47 @@ def dsir_logratios(
             F.round(F.sum("w"), 6).alias("log_ratio"),
         )
     )
+
+
+def domain_quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "lang",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-domain RELATIVE quality gate: keep the top ``keep_frac`` fraction
+    of each domain ranked by the composite quality score (FineWeb-style
+    selection). An absolute threshold drifts across domains — a punctuation
+    ratio that is mid-pack for one language is an outlier for another; a
+    relative gate adapts per domain with no tuning.
+
+    Deterministic: rank = (quality desc NULLS LAST, id asc), cutoff =
+    ``ceil(keep_frac * n_domain)``. Output: (id, domain, quality, rnk) for
+    the kept rows.
+
+    Shape at 100 TB: one projection pass for scores, per-domain counts via
+    groupBy + broadcast join (never count-over-window — a hot domain would
+    become one unsplittable window partition; see the x06 history), and a
+    rank window per domain. The exact rank needs a per-domain sort; the
+    scale relaxation is to pre-compute each domain's quality cutoff with
+    ``percentile_approx`` and gate map-side — same selection up to
+    boundary ties, no sort.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_expr
+
+    scored = df.select(
+        F.col(id_col), F.col(domain_col), quality_expr(text_col).alias("quality")
+    )
+    counts = scored.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("quality").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        scored.join(F.broadcast(counts), domain_col)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= F.ceil(F.lit(keep_frac) * F.col("__n")))
+        .select(id_col, domain_col, "quality", "rnk")
+    )

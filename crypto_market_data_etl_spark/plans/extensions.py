@@ -1947,6 +1947,39 @@ LEFT JOIN kept k ON k.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# x42 per-domain relative quality gate (FineWeb-style selection): keep the
+# top keep_frac of each domain ranked by the x08 composite quality score —
+# absolute thresholds drift across languages; a relative gate self-adapts.
+# --------------------------------------------------------------------------
+
+QGATE_FRAC = 0.5
+
+
+def x42_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_quality_gate
+
+    return domain_quality_gate(_docs(spark, sf_dir), keep_frac=QGATE_FRAC)
+
+
+X42_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         round(0.4 * round(CAST(len(list_filter(str_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER) * 1.0 / len(str_split(text, ' ')), 6)
+             + 0.3 * (1 - round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) * 1.0 / length(text), 6))
+             + 0.3 * (1 - round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) * 1.0 / length(text), 6)), 6) AS quality
+  FROM documents
+),
+n AS (SELECT lang, count(*) AS n FROM q GROUP BY lang)
+SELECT q.doc_id, q.lang, q.quality,
+       row_number() OVER (
+         PARTITION BY q.lang ORDER BY q.quality DESC NULLS LAST, q.doc_id
+       ) AS rnk
+FROM q JOIN n USING (lang)
+QUALIFY rnk <= ceil({QGATE_FRAC} * n.n)
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1964,6 +1997,7 @@ VARIANT_QUERIES = {
     "x39_dsir_weights": x39_dsir_weights,
     "x40_bpe_pairs": x40_bpe_pairs,
     "x41_span_dedup": x41_span_dedup,
+    "x42_domain_quality_gate": x42_domain_quality_gate,
 }
 
 VARIANT_ORACLES = {
@@ -1983,4 +2017,5 @@ VARIANT_ORACLES = {
     "x39_dsir_weights": X39_SQL,
     "x40_bpe_pairs": X40_SQL,
     "x41_span_dedup": X41_SQL,
+    "x42_domain_quality_gate": X42_SQL,
 }

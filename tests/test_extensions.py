@@ -420,6 +420,37 @@ def test_cross_corpus_neardup_flags_copies_keeps_unrelated(spark):
     assert out[2].keep is True and out[2].n_candidates == 0
 
 
+def test_domain_quality_gate_is_relative_per_domain(spark):
+    """Each domain keeps its own top fraction: a mediocre doc in a weak
+    domain survives while an absolutely-better doc in a strong domain is
+    cut — the gate is relative, not a global threshold."""
+    from crypto_market_data_etl_spark.operators.sampling import (
+        domain_quality_gate,
+    )
+
+    # domain A: progressively more stopwords (higher quality); domain B:
+    # progressively more digits (all lower quality than every A doc)
+    rows = [
+        (i, " ".join(["the"] * i + ["word"] * (8 - i)), "aa") for i in range(1, 5)
+    ] + [
+        (10 + i, " ".join(["9" * i] * 4 + ["word"] * 4), "bb") for i in range(1, 5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = domain_quality_gate(docs, keep_frac=0.5).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.lang, []).append(r)
+    assert len(by_dom["aa"]) == 2 and len(by_dom["bb"]) == 2  # ceil(0.5*4)
+    # relativity: the weakest KEPT bb doc scores below the strongest CUT aa
+    all_q = {
+        r.doc_id: r.quality
+        for r in domain_quality_gate(docs, keep_frac=1.0).collect()
+    }
+    cut_aa_best = max(all_q[i] for i in range(1, 5) if i not in
+                      {r.doc_id for r in by_dom["aa"]})
+    assert min(r.quality for r in by_dom["bb"]) < cut_aa_best
+
+
 def test_dsir_logratios_prefers_target_like_docs(spark):
     """A doc written in the target slice's vocabulary must outscore a doc in
     the raw-only vocabulary, regardless of its own domain label."""
