@@ -365,3 +365,58 @@ def domain_quality_gate(
         .filter(F.col("rnk") <= F.ceil(F.lit(keep_frac) * F.col("__n")))
         .select(id_col, domain_col, "quality", "rnk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    block_span: int | str | None = None,
+) -> DataFrame:
+    """Fixed-length training-sequence packing: concatenate documents in
+    ``id_col`` order and split the token stream every ``seq_len`` tokens —
+    the causal-LM data-loader layout where documents CROSS sequence
+    boundaries (what :func:`pack_shards` budgets at shard granularity, this
+    resolves to exact per-sequence spans).
+
+    One output row per (sequence, document) overlap:
+    ``(seq_id, id, off_start, n_span)`` — read ``n_span`` tokens starting at
+    token ``off_start`` of the document into sequence ``seq_id``. A document
+    spanning k boundaries emits k+1 rows (fan-out bounded by
+    ``n_tok/seq_len + 1``); the loader reassembles each sequence by
+    ``(seq_id, id)`` order.
+
+    Scale: the only global structure is the token cumsum, delegated to the
+    keyless two-phase :func:`..bars.blocked_cumsum` (``block_span``) — the
+    same skew-proof shape pack_shards uses; everything after is a bounded
+    per-row explode. Exact integer arithmetic end to end.
+    """
+    from .bars import blocked_cumsum
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    cum = blocked_cumsum(
+        toks, [], id_col, "n_tok", out="cum_tok", block_span=block_span
+    )
+    start = F.col("cum_tok") - F.col("n_tok")  # global token span [start, cum)
+    first_seq = F.floor(start / seq_len)
+    last_seq = F.floor((F.col("cum_tok") - 1) / seq_len)
+    spans = cum.select(
+        F.col(id_col),
+        start.alias("__start"),
+        F.col("cum_tok"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    span_start = F.greatest(F.col("__start"), F.col("seq_id") * seq_len)
+    span_end = F.least(F.col("cum_tok"), (F.col("seq_id") + 1) * seq_len)
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(id_col),
+        (span_start - F.col("__start")).cast("long").alias("off_start"),
+        (span_end - span_start).cast("long").alias("n_span"),
+    )

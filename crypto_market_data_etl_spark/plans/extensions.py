@@ -1980,6 +1980,44 @@ QUALIFY rnk <= ceil({QGATE_FRAC} * n.n)
 """
 
 
+# --------------------------------------------------------------------------
+# x43 fixed-length sequence packing: docs concatenate in id order and split
+# every SEQ_LEN tokens; one row per (sequence, document) overlap with exact
+# in-document offsets — the causal-LM loader layout.
+# --------------------------------------------------------------------------
+
+SEQ_LEN = 512
+
+
+def x43_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=SEQ_LEN)
+
+
+X43_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM t
+),
+s AS (
+  SELECT doc_id, cum_tok - n_tok AS st, cum_tok,
+         unnest(range((cum_tok - n_tok) // {SEQ_LEN}, (cum_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
+  FROM c
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(st, seq_id * {SEQ_LEN}) - st AS BIGINT) AS off_start,
+       CAST(least(cum_tok, (seq_id + 1) * {SEQ_LEN}) - greatest(st, seq_id * {SEQ_LEN}) AS BIGINT) AS n_span
+FROM s
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -1998,6 +2036,7 @@ VARIANT_QUERIES = {
     "x40_bpe_pairs": x40_bpe_pairs,
     "x41_span_dedup": x41_span_dedup,
     "x42_domain_quality_gate": x42_domain_quality_gate,
+    "x43_pack_sequences": x43_pack_sequences,
 }
 
 VARIANT_ORACLES = {
@@ -2018,4 +2057,5 @@ VARIANT_ORACLES = {
     "x40_bpe_pairs": X40_SQL,
     "x41_span_dedup": X41_SQL,
     "x42_domain_quality_gate": X42_SQL,
+    "x43_pack_sequences": X43_SQL,
 }

@@ -451,6 +451,39 @@ def test_domain_quality_gate_is_relative_per_domain(spark):
     assert min(r.quality for r in by_dom["bb"]) < cut_aa_best
 
 
+def test_pack_sequences_hand_case_and_conservation(spark):
+    """Docs of 3/2/5 tokens at seq_len=4: doc 1 fills [0,3), doc 2 crosses
+    the first boundary (spans in seq 0 and seq 1), doc 3 crosses the second.
+    Every token lands in exactly one span (conservation) and every sequence
+    except the last is exactly full."""
+    from crypto_market_data_etl_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i j")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        ((r.seq_id, r.doc_id, r.off_start, r.n_span)
+         for r in pack_sequences(docs, seq_len=4).collect())
+    )
+    assert rows == [
+        (0, 1, 0, 3),  # tokens 0-2
+        (0, 2, 0, 1),  # token 3 completes sequence 0
+        (1, 2, 1, 1),  # doc 2's second token opens sequence 1
+        (1, 3, 0, 3),  # doc 3 fills the rest of sequence 1
+        (2, 3, 3, 2),  # doc 3's tail
+    ]
+    # conservation: spans per doc sum to its token count, offsets contiguous
+    per_doc = {}
+    for seq, d, off, n in rows:
+        per_doc.setdefault(d, []).append((off, n))
+    assert {d: sum(n for _, n in v) for d, v in per_doc.items()} == {1: 3, 2: 2, 3: 5}
+    for v in per_doc.values():
+        v.sort()
+        for (o1, n1), (o2, _) in zip(v, v[1:]):
+            assert o1 + n1 == o2
+
+
 def test_dsir_logratios_prefers_target_like_docs(spark):
     """A doc written in the target slice's vocabulary must outscore a doc in
     the raw-only vocabulary, regardless of its own domain label."""
