@@ -611,6 +611,30 @@ def test_span_dedup_excises_shared_span_at_any_offset(spark):
     assert got[3]["n_removed"] == 0 and got[3]["clean_md5"] == md5(t3)
 
 
+def test_span_dedup_conservation_on_mixed_corpus(spark):
+    """On a corpus mixing unique docs, partial overlaps, and exact copies:
+    0 <= n_removed <= n_tokens for every doc, exact copies are fully
+    removed, and partial overlaps lose exactly the shared run."""
+    from crypto_market_data_etl_spark.operators.dedup import span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    rows = [(i, " ".join(f"u{i}_{j}" for j in range(12))) for i in range(8)]
+    rows += [(100, f"{shared} tail100 x y z"), (101, f"head101 {shared}")]
+    rows += [(200, "c p y one two three four five six seven"),
+             (201, "c p y one two three four five six seven")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in span_dedup(docs, span_words=8).collect()}
+    assert len(got) == len(rows)
+    assert all(0 <= v["n_removed"] <= v["n_tokens"] for v in got.values())
+    for i in range(8):  # unique docs untouched
+        assert got[i]["n_removed"] == 0
+    # partial overlap: exactly the 10 shared tokens go, the rest survives
+    assert got[100]["n_removed"] == 10 and got[101]["n_removed"] == 10
+    # exact copies: everything goes
+    assert got[200]["n_removed"] == got[200]["n_tokens"] == 10
+    assert got[201]["n_removed"] == 10
+
+
 def test_span_dedup_invariants(spark):
     """All-unique corpus -> nothing removed and clean text == original;
     fully-duplicated corpus -> everything removed; counts stay bounded."""
