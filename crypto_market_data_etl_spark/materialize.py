@@ -19,14 +19,27 @@ strategies, each right in a different deployment:
 :func:`materialize` picks by master (``local[*]`` -> localCheckpoint, else
 persist) and exposes an override knob ``SPARK_GRAFT_MATERIALIZE`` in
 {``localCheckpoint``, ``persist``} for benchmarking either path.
+
+Lifecycle on the persist path: the persisted DataFrames are internal to the
+operators, so callers have no handle to ``unpersist()``. Every persist is
+therefore tracked in a module registry, and a long-lived cluster session
+calls :func:`release_all` between pipeline runs (a job-scoped session makes
+even that unnecessary — storage dies with the session). The
+localCheckpoint path needs neither: the ContextCleaner frees blocks when
+the DataFrames become unreferenced.
 """
 
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+#: persist-mode DataFrames awaiting release (weakly referenced: a DataFrame
+#: the caller dropped AND the cleaner collected should not be pinned here)
+_PERSISTED: list[weakref.ref] = []
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -40,5 +53,25 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
             pass
         mode = "localCheckpoint" if master.startswith("local") else "persist"
     if mode == "persist":
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(weakref.ref(out))
+        return out
     return df.localCheckpoint(eager=eager)
+
+
+def release_all() -> int:
+    """Unpersist every DataFrame :func:`materialize` persisted (persist
+    mode only — localCheckpoint blocks are ContextCleaner-managed). Call
+    between pipeline runs in a long-lived cluster session; returns the
+    number of tables released."""
+    n = 0
+    while _PERSISTED:
+        ref = _PERSISTED.pop()
+        df = ref()
+        if df is not None:
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:  # pragma: no cover - session already stopped
+                pass
+    return n

@@ -34,10 +34,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from .clustering import canonical_docs
 from .contamination import contamination_report
 from .dedup import minhash_jaccard_pairs
-from .sampling import domain_mixture_sample, rate_threshold
+from .sampling import domain_mixture_sample, split_expr
 from .text import quality_scores
 
 
@@ -63,48 +64,53 @@ def curate_corpus(
     columns say WHY each survivor is here (its quality, its dup-cluster
     anchor and size, its domain's keep rate) and where it trains.
     """
-    if len(labels) != len(boundaries) + 1:
-        raise ValueError("need len(labels) == len(boundaries) + 1")
+    # stage outputs are each consumed by 2-3 downstream references, and
+    # Spark shares no subtrees — without materialize() one run would replay
+    # quality scoring, MinHash/LSH, components, and the contamination scan
+    # roughly 3x (deployment-aware: localCheckpoint locally, persist on a
+    # cluster; see materialize.py)
 
     # 1. quality gate (keeps the score as an audit column)
     scored = quality_scores(docs, id_col, text_col).select(id_col, "quality")
-    good = docs.join(
-        scored.filter(F.col("quality") >= quality_min), id_col
+    good = materialize(
+        docs.join(scored.filter(F.col("quality") >= quality_min), id_col)
     )
 
     # 2. near-dup canonicalization over the gated subset
     pairs = minhash_jaccard_pairs(
-        good, n_hashes=n_hashes, rows_per_band=rows_per_band
+        good, id_col, text_col, n_hashes=n_hashes, rows_per_band=rows_per_band
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     canon = canonical_docs(
         good.select(id_col, "quality"), pairs, id_col, "quality"
     )
-    surv = good.join(
-        canon.filter(F.col("is_canonical")).select(id_col, "anchor", "n_members"),
-        id_col,
+    surv = materialize(
+        good.join(
+            canon.filter(F.col("is_canonical")).select(
+                id_col, "anchor", "n_members"
+            ),
+            id_col,
+        )
     )
 
     # 3. strict decontamination: any bench n-gram overlap drops the doc
     contam = contamination_report(surv, bench, id_col, text_col, gram_n)
-    clean = surv.join(
-        contam.filter(F.col("n_hit") == 0).select(id_col), id_col
+    clean = materialize(
+        surv.join(contam.filter(F.col("n_hit") == 0).select(id_col), id_col)
     )
 
     # 4. temperature-flattened domain mixture over the clean set
     mixed = domain_mixture_sample(clean, id_col, domain_col, alpha, salt)
 
-    # 5. split on the dup-cluster anchor (stage-2's components, not a rehash)
+    # 5. split on the dup-cluster anchor (stage-2's components, not a
+    # rehash) via the SHARED split rule — sampling.split_expr namespaces
+    # the digest away from stage 4's membership digest (for singleton
+    # clusters anchor == id; an un-namespaced split digest is then
+    # byte-identical to the membership digest, and every mixture-kept
+    # singleton in a downsampled domain would land in 'train')
     out = mixed.join(
         clean.select(id_col, "quality", "anchor", "n_members"), id_col
     )
-    digest = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col("anchor").cast("string"))), 1, 8
-    )
-    split = None
-    for b, lab in zip(boundaries, labels[:-1]):
-        cond = digest < F.lit(rate_threshold(b))
-        split = F.when(cond, lab) if split is None else split.when(cond, lab)
-    split = split.otherwise(labels[-1])
+    split = split_expr(F.col("anchor"), boundaries, labels, salt)
     return out.select(
         F.col(id_col),
         F.col(domain_col),

@@ -70,7 +70,18 @@ def spread_small_input(df: DataFrame, min_ratio: int = 1) -> DataFrame:
 #: ``repetition_metrics`` call ``spread_small_input`` twice per invocation on
 #: semantically identical inputs. Keyed on the analyzed plan (cheap, no
 #: physical planning), so rebuilt-but-identical DataFrames hit too.
+#: STALENESS CAVEAT: the key is the plan, not the data — if a path is
+#: rewritten/compacted under the same plan in a long-lived session, the
+#: cached split count survives and the spread decision can be wrong until
+#: :func:`clear_partition_probe_cache` is called (the consequence is a
+#: suboptimal repartition decision, never wrong results).
 _PARTITION_PROBE_CACHE: dict[int, int] = {}
+
+
+def clear_partition_probe_cache() -> None:
+    """Drop cached partition-probe results (call after compacting or
+    rewriting data a long-lived session has already probed)."""
+    _PARTITION_PROBE_CACHE.clear()
 
 
 def _input_partitions(df: DataFrame) -> int:

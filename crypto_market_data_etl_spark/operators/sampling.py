@@ -131,7 +131,13 @@ def domain_mixture_rates(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0,1], got {alpha}")
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from ..materialize import materialize
+
+    # MATERIALIZED: counts feeds both the min() aggregate and the crossJoin
+    # side — unmaterialized, the corpus groupBy would run twice per call
+    counts = materialize(
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     m = counts.agg(F.min("n_docs").alias("__mn"))
     return counts.crossJoin(F.broadcast(m)).select(
         domain_col,
@@ -178,6 +184,37 @@ def domain_mixture_sample(
     )
 
 
+#: Namespace prefix for split-assignment digests. Membership sampling
+#: (:func:`hash_sample`, :func:`domain_mixture_sample`) hashes
+#: ``md5(salt || id)``; a split digest over the SAME ids and salt must not
+#: reuse that value — for singleton clusters anchor == id, and an
+#: un-namespaced split digest is then byte-identical to the membership
+#: digest, so every mixture-kept singleton in a downsampled domain would
+#: satisfy ``digest < rate_thr <= train_thr`` and land in the first split
+#: (val/test starved). The prefix decorrelates the two hash families.
+SPLIT_NS = "split|"
+
+
+def split_expr(anchor_col, boundaries, labels, salt: str = ""):
+    """Shared split-assignment expression (used by
+    :func:`leakage_safe_splits` and ``curation.curate_corpus`` so the rule
+    and its validation cannot drift): digest on ``SPLIT_NS``-namespaced
+    anchor, ascending cumulative ``boundaries``, one more label than
+    boundary."""
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError("need len(labels) == len(boundaries) + 1")
+    if list(boundaries) != sorted(boundaries):
+        raise ValueError("boundaries must ascend")
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt + SPLIT_NS), anchor_col.cast("string"))), 1, 8
+    )
+    expr = None
+    for b, lab in zip(boundaries, labels[:-1]):
+        cond = digest < F.lit(rate_threshold(b))
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    return expr.otherwise(labels[-1])
+
+
 def leakage_safe_splits(
     df: DataFrame,
     pairs: DataFrame,
@@ -204,10 +241,6 @@ def leakage_safe_splits(
     Scale: components over the PAIR list (edges ≪ corpus), one broadcast-
     free left join back on id, then a map-only hash projection.
     """
-    if len(labels) != len(boundaries) + 1:
-        raise ValueError("need len(labels) == len(boundaries) + 1")
-    if list(boundaries) != sorted(boundaries):
-        raise ValueError("boundaries must ascend")
     from .clustering import connected_components
 
     cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
@@ -215,14 +248,7 @@ def leakage_safe_splits(
     )
     anchored = df.select(id_col).join(cc, id_col, "left")
     anchor = F.coalesce(F.col("comp"), F.col(id_col))
-    digest = F.substring(
-        F.md5(F.concat(F.lit(salt), anchor.cast("string"))), 1, 8
-    )
-    expr = None
-    for b, lab in zip(boundaries, labels[:-1]):
-        cond = digest < F.lit(rate_threshold(b))
-        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
-    expr = expr.otherwise(labels[-1])
+    expr = split_expr(anchor, boundaries, labels, salt)
     return anchored.select(
         F.col(id_col), anchor.alias("anchor"), expr.alias("split")
     )

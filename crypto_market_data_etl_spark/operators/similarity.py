@@ -830,6 +830,16 @@ def semantic_dedup(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
     )
+    # scalar guard probe (first-row short-circuit, not a full scan): an
+    # empty centroid set would otherwise return ZERO rows from the inner
+    # assignment join — a caller filtering on `keep` would silently drop
+    # the whole corpus instead of learning its filter matched nothing
+    if df.filter(centroid_filter).isEmpty():
+        raise ValueError(
+            "semantic_dedup: centroid_filter selected no rows — every input "
+            "row needs a cluster; pass a filter that matches this corpus's "
+            "ids (or feed kmeans_step output)"
+        )
     if numpy_assign:
         cent_df = df.filter(centroid_filter).select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")

@@ -1332,8 +1332,8 @@ anch AS (
   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 )
 SELECT doc_id, anchor,
-       CASE WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
-            WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
+       CASE WHEN substr(md5('split|' || CAST(anchor AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
+            WHEN substr(md5('split|' || CAST(anchor AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
             ELSE 'test' END AS split
 FROM anch
 """
@@ -1603,8 +1603,8 @@ t AS (
   FROM r
 )
 SELECT c.doc_id, c.lang, c.quality, c.anchor, c.n_members, t.rate,
-       CASE WHEN substr(md5(CAST(c.anchor AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
-            WHEN substr(md5(CAST(c.anchor AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
+       CASE WHEN substr(md5('split|' || CAST(c.anchor AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
+            WHEN substr(md5('split|' || CAST(c.anchor AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
             ELSE 'test' END AS split
 FROM clean c JOIN t USING (lang)
 WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) < t.thr

@@ -327,9 +327,30 @@ def test_semantic_dedup_numpy_assign_equivalent(spark):
     embs = load_table(spark, SF_SMOKE, "embeddings")
     expr = semantic_dedup(embs).orderBy("vec_id").collect()
     blas = semantic_dedup(embs, numpy_assign=True).orderBy("vec_id").collect()
-    assert [(r.vec_id, r.cluster_id, r.keep) for r in expr] == [
-        (r.vec_id, r.cluster_id, r.keep) for r in blas
+    # the operator's contract (docstring): keep verdicts agree; cluster_id
+    # MAY drift on a near-tie between the rounded expression argmax and the
+    # unrounded BLAS argmax, so strict cluster equality would flake across
+    # BLAS builds. Assert the verdict, and that boundary drift stays rare.
+    assert [(r.vec_id, r.keep) for r in expr] == [
+        (r.vec_id, r.keep) for r in blas
     ]
+    drift = sum(
+        1 for a, b in zip(expr, blas) if a.cluster_id != b.cluster_id
+    )
+    assert drift <= len(expr) * 0.01
+
+
+def test_semantic_dedup_rejects_empty_centroid_set(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.operators.similarity import semantic_dedup
+    from crypto_market_data_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="no rows"):
+        semantic_dedup(embs, centroid_filter=F.lit(False))
 
 
 def test_curate_corpus_stage_contracts(spark):
