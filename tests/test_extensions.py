@@ -827,6 +827,37 @@ def test_materialize_mode_knob(spark, monkeypatch):
         out.unpersist()
 
 
+def test_materialize_release_all_frees_persist_mode_tables(spark, monkeypatch):
+    """Cluster-mode lifecycle hook: persisted tables are tracked and
+    release_all() unpersists them; the localCheckpoint path registers
+    nothing (ContextCleaner-managed)."""
+    from pyspark import StorageLevel
+
+    from crypto_market_data_etl_spark import materialize as m
+
+    m.release_all()  # drain any leftovers from other tests
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+    a, b = m.materialize(spark.range(5)), m.materialize(spark.range(7))
+    assert a.storageLevel != StorageLevel.NONE
+    assert m.release_all() == 2
+    assert a.storageLevel == StorageLevel.NONE
+    assert b.storageLevel == StorageLevel.NONE
+    assert m.release_all() == 0  # registry drained
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "localCheckpoint")
+    m.materialize(spark.range(3)).count()
+    assert m.release_all() == 0  # localCheckpoint path never registers
+
+
+def test_partition_probe_cache_clear(spark):
+    from crypto_market_data_etl_spark.operators import dedup
+
+    dedup._PARTITION_PROBE_CACHE.clear()
+    dedup._input_partitions(load_table(spark, SF_SMOKE, "documents"))
+    assert len(dedup._PARTITION_PROBE_CACHE) == 1
+    dedup.clear_partition_probe_cache()
+    assert len(dedup._PARTITION_PROBE_CACHE) == 0
+
+
 def test_partition_probe_memoizes_semantically_equal_plans(spark):
     from crypto_market_data_etl_spark.operators import dedup
 
