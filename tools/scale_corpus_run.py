@@ -102,6 +102,23 @@ def main() -> None:
             lambda: run_all(dsir_logratios(big, F.col("doc_id") % 5 == 0)),
         ),
         ("span_dedup", lambda: run_all(span_dedup(big))),
+        # end-to-end curation (quality gate -> canonical dedup -> decon ->
+        # mixture -> splits) with a synthesized domain column; counts the
+        # string-typed audit columns too (sum-agg skips them)
+        (
+            "curate_corpus",
+            lambda: (lambda out: out.agg(F.count(F.lit(1))).collect()[0][0])(
+                __import__(
+                    "crypto_market_data_etl_spark.operators.curation",
+                    fromlist=["curate_corpus"],
+                ).curate_corpus(
+                    big.withColumn(
+                        "lang", F.concat(F.lit("l"), F.col("doc_id") % 5)
+                    ),
+                    bench,
+                )
+            ),
+        ),
     ]
     for label, fn in jobs:
         if only is not None and label not in only:
