@@ -2018,6 +2018,59 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# x44 Gopher/MassiveText document rules: the named doc-level filter battery
+# (word-count and mean-word-length bounds, symbol ratio, bullet/ellipsis
+# line fractions, alphabetic-word fraction, stop-word presence) with every
+# signal emitted for auditability.
+# --------------------------------------------------------------------------
+
+def x44_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import STOPWORDS, gopher_rules
+
+    # the stop set is a corpus parameter: the synthetic vocabulary lacks
+    # Gopher's English function words (only 'the' appears), so the presence
+    # rule uses the corpus's own stop list — same rule, non-degenerate gate
+    return gopher_rules(_docs(spark, sf_dir), stops=STOPWORDS)
+
+
+_GSTOPS = _STOP_SQL
+
+X44_SQL = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         round((length(text) - (len(str_split(text, ' ')) - 1)) * 1.0
+               / len(str_split(text, ' ')), 6) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (len(str_split(text, '...')) - 1)) * 1.0
+               / len(str_split(text, ' ')), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(str_split(text, chr(10)),
+                    ln -> starts_with(ln, '•') OR starts_with(ln, '- '))) AS INTEGER) * 1.0
+               / len(str_split(text, chr(10))), 6) AS bullet_frac,
+         round(CAST(len(list_filter(str_split(text, chr(10)),
+                    ln -> ends_with(ln, '...'))) AS INTEGER) * 1.0
+               / len(str_split(text, chr(10))), 6) AS ellipsis_frac,
+         round(CAST(len(list_filter(str_split(text, ' '),
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS INTEGER) * 1.0
+               / len(str_split(text, ' ')), 6) AS alpha_frac,
+         CAST(len(list_filter([{_GSTOPS}],
+                    s -> list_contains(str_split(text, ' '), s))) AS BIGINT) AS stop_hits
+  FROM d
+)
+SELECT m.*,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND symbol_ratio <= 0.1
+       AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3
+       AND alpha_frac >= 0.8
+       AND stop_hits >= 2 AS "pass"
+FROM m
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2037,6 +2090,7 @@ VARIANT_QUERIES = {
     "x41_span_dedup": x41_span_dedup,
     "x42_domain_quality_gate": x42_domain_quality_gate,
     "x43_pack_sequences": x43_pack_sequences,
+    "x44_gopher_rules": x44_gopher_rules,
 }
 
 VARIANT_ORACLES = {
@@ -2058,4 +2112,5 @@ VARIANT_ORACLES = {
     "x41_span_dedup": X41_SQL,
     "x42_domain_quality_gate": X42_SQL,
     "x43_pack_sequences": X43_SQL,
+    "x44_gopher_rules": X44_SQL,
 }

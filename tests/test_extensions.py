@@ -327,6 +327,24 @@ def test_ngram_lm_scores_hand_case(spark):
     assert got[2]["avg_nll"] == round((nll_ab + nll_bc) / 2, 6)
 
 
+def test_gopher_rules_hand_cases(spark):
+    from crypto_market_data_etl_spark.operators.text import gopher_rules
+
+    good = ("the and of " + "alpha beta gamma " * 19).strip()  # 60 words
+    short = "the and tiny doc here"
+    symbols = good + " #" * 20
+    bullets = "- item one two\n- item three four"
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, bullets)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[1]["pass"] and got[1]["stop_hits"] == 3
+    assert not got[2]["pass"] and got[2]["n_words"] == 5  # length rule
+    assert not got[3]["pass"] and got[3]["symbol_ratio"] == 0.25  # 20/#80
+    assert not got[4]["pass"] and got[4]["bullet_frac"] == 1.0
+
+
 def test_bm25_topk_hand_case(spark):
     """BM25 vs a hand-computed score: Lucene idf, length normalization
     against avgdl, rounded-then-ranked contract."""
