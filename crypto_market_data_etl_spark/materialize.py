@@ -32,14 +32,19 @@ the DataFrames become unreferenced.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-#: persist-mode DataFrames awaiting release (weakly referenced: a DataFrame
-#: the caller dropped AND the cleaner collected should not be pinned here)
-_PERSISTED: list[weakref.ref] = []
+#: persist-mode DataFrames awaiting release. STRONG references on purpose:
+#: the registry exists precisely for DataFrames that are operator-LOCAL —
+#: Python collects the wrapper the moment the operator returns, but the JVM
+#: CacheManager keeps the MEMORY_AND_DISK blocks until an explicit
+#: unpersist, which Python GC never issues. A weakref here would be dead by
+#: the time release_all() ran (measured: it released 0 of the operator-
+#: internal tables). The handles are tiny (plan wrappers), and
+#: :func:`release_all` drains the list.
+_PERSISTED: list[DataFrame] = []
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -54,7 +59,7 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
         mode = "localCheckpoint" if master.startswith("local") else "persist"
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED.append(weakref.ref(out))
+        _PERSISTED.append(out)
         return out
     return df.localCheckpoint(eager=eager)
 
@@ -66,12 +71,10 @@ def release_all() -> int:
     number of tables released."""
     n = 0
     while _PERSISTED:
-        ref = _PERSISTED.pop()
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist()
-                n += 1
-            except Exception:  # pragma: no cover - session already stopped
-                pass
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     return n

@@ -127,19 +127,28 @@ def word_shingles(
     staged = (spread_small_input(df) if spread else df).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
-    toks = F.col("__toks")
+    out = staged.select(
+        F.col(id_col), F.explode(gram_array_expr(F.col("__toks"), n)).alias("s")
+    )
+    return out.distinct() if distinct else out
+
+
+def gram_array_expr(toks, n: int):
+    """Word n-gram ARRAY over a staged token-array column — the one shared
+    gram rule (batch shingles and the streaming contamination probe both use
+    it, so their gram semantics cannot drift).
+
+    sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs shorter
+    than n tokens must short-circuit to an empty gram array (explode drops
+    them) instead of reaching slice() with a 0 index.
+    """
     n_grams = F.size(toks) - (n - 1)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs shorter
-    # than n tokens must short-circuit to an empty gram array (explode drops
-    # them) instead of reaching slice() with a 0 index
-    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+    return F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
-    out = staged.select(F.col(id_col), F.explode(grams).alias("s"))
-    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

@@ -420,9 +420,19 @@ def pack_sequences(
     """
     from .bars import blocked_cumsum
 
+    # NON-EMPTY token count: split('') is [''] and runs of spaces emit ''
+    # tokens — counting those would hand the loader phantom spans (a 1-token
+    # read from an empty document) and shift every later doc's offsets; the
+    # token-array contract here must match bpe_encode's (0 tokens -> no
+    # spans), since its arrays are what the spans index into
     toks = df.select(
         F.col(id_col),
-        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda t: t != "",
+            )
+        )
         .cast("long")
         .alias("n_tok"),
     )
@@ -432,7 +442,9 @@ def pack_sequences(
     start = F.col("cum_tok") - F.col("n_tok")  # global token span [start, cum)
     first_seq = F.floor(start / seq_len)
     last_seq = F.floor((F.col("cum_tok") - 1) / seq_len)
-    spans = cum.select(
+    # 0-token docs emit no span — and must not reach the explode: their
+    # degenerate range can run DESCENDING (sequence(1, 0) is [1, 0])
+    spans = cum.filter(F.col("n_tok") > 0).select(
         F.col(id_col),
         start.alias("__start"),
         F.col("cum_tok"),

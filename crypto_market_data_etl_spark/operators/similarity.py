@@ -830,28 +830,31 @@ def semantic_dedup(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
     )
-    # scalar guard probe (first-row short-circuit, not a full scan): an
-    # empty centroid set would otherwise return ZERO rows from the inner
-    # assignment join — a caller filtering on `keep` would silently drop
-    # the whole corpus instead of learning its filter matched nothing
-    if df.filter(centroid_filter).isEmpty():
+    # the centroid side must be resolved for the assignment anyway (it is
+    # broadcast / driver-collected), so the empty-set guard rides ONE
+    # materialization of it — no separate probe scan, no rebuilt subtree.
+    # Without the guard an empty centroid set returns ZERO rows from the
+    # inner assignment join and a keep-filter caller silently drops the
+    # whole corpus instead of learning its filter matched nothing.
+    cent_side = materialize(
+        df.filter(centroid_filter).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    if cent_side.isEmpty():
         raise ValueError(
             "semantic_dedup: centroid_filter selected no rows — every input "
             "row needs a cluster; pass a filter that matches this corpus's "
             "ids (or feed kmeans_step output)"
         )
     if numpy_assign:
-        cent_df = df.filter(centroid_filter).select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-        )
-        assign = assign_centroids_np(vecs, cent_df, id_col, "ev", n=1).select(
+        assign = assign_centroids_np(vecs, cent_side, id_col, "ev", n=1).select(
             F.col(id_col), "ev", F.col("c_id").alias("cluster_id")
         )
     else:
         cents = F.broadcast(
-            df.filter(centroid_filter).select(
-                F.col(id_col).alias("c_id"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
+            cent_side.select(
+                "c_id", F.col("c_vec").cast("array<double>").alias("cv")
             )
         )
         c_sim = F.round(

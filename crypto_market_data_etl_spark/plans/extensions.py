@@ -1998,7 +1998,7 @@ def x43_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 X43_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+         CAST(len(list_filter(str_split(coalesce(text, ''), ' '), x -> x <> '')) AS BIGINT) AS n_tok
   FROM documents
 ),
 c AS (
@@ -2009,7 +2009,7 @@ c AS (
 s AS (
   SELECT doc_id, cum_tok - n_tok AS st, cum_tok,
          unnest(range((cum_tok - n_tok) // {SEQ_LEN}, (cum_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
-  FROM c
+  FROM c WHERE n_tok > 0
 )
 SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
        CAST(greatest(st, seq_id * {SEQ_LEN}) - st AS BIGINT) AS off_start,

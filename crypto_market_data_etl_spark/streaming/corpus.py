@@ -53,7 +53,8 @@ def stream_curate(
     watermark. ``clean`` is the strict n_hit == 0 policy of the batch
     pipeline (stage 3 of ``curate_corpus``).
     """
-    from ..operators.dedup import word_shingles
+    from ..materialize import materialize
+    from ..operators.dedup import gram_array_expr, word_shingles
 
     gated = (
         stream_docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
@@ -66,30 +67,30 @@ def stream_curate(
         .withColumn("__h", F.md5(F.col(text_col)))
         .dropDuplicatesWithinWatermark(["__h"])
     )
-    # per-doc gram array via the same staged-token device as word_shingles
-    # (explode_outer keeps gram-less docs in the output with zero counts)
+    # per-doc gram array via the SHARED gram rule (dedup.gram_array_expr) —
+    # the streaming probe and the batch contamination_report cannot drift;
+    # explode_outer keeps gram-less docs in the output with zero counts
     staged = gated.select(
         F.col(id_col),
         F.col(ts_col),
         "quality",
         F.split(F.col(text_col), " ").alias("__toks"),
+    ).select(
+        id_col,
+        ts_col,
+        "quality",
+        F.explode_outer(gram_array_expr(F.col("__toks"), gram_n)).alias("s"),
     )
-    tk = F.col("__toks")
-    n_g = F.size(tk) - (gram_n - 1)
-    grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, gram_n)),
-        )
-    )
-    staged = staged.select(
-        id_col, ts_col, "quality", F.explode_outer(grams).alias("s")
-    )
+    # MATERIALIZED: a stream-static join re-evaluates the static side every
+    # micro-batch — without this, each trigger re-runs the bench shingle
+    # explode + distinct shuffle before broadcasting
     bench_grams = F.broadcast(
-        word_shingles(bench, id_col, text_col, gram_n, spread=False)
-        .select("s")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+        materialize(
+            word_shingles(bench, id_col, text_col, gram_n, spread=False)
+            .select("s")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
     )
     probed = staged.join(bench_grams, "s", "left")
     return (

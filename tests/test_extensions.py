@@ -857,9 +857,16 @@ def test_materialize_release_all_frees_persist_mode_tables(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
     a, b = m.materialize(spark.range(5)), m.materialize(spark.range(7))
     assert a.storageLevel != StorageLevel.NONE
+    # the registry must hold STRONG refs: operator-internal persists lose
+    # their Python wrapper the moment the operator returns, but the JVM
+    # CacheManager keeps the blocks — simulate by dropping our refs first
+    import gc
+
+    probe = a  # keep one handle just to observe the level reset
+    del a, b
+    gc.collect()
     assert m.release_all() == 2
-    assert a.storageLevel == StorageLevel.NONE
-    assert b.storageLevel == StorageLevel.NONE
+    assert probe.storageLevel == StorageLevel.NONE
     assert m.release_all() == 0  # registry drained
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "localCheckpoint")
     m.materialize(spark.range(3)).count()

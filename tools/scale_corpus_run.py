@@ -103,11 +103,18 @@ def main() -> None:
         ),
         ("span_dedup", lambda: run_all(span_dedup(big))),
         # end-to-end curation (quality gate -> canonical dedup -> decon ->
-        # mixture -> splits) with a synthesized domain column; counts the
-        # string-typed audit columns too (sum-agg skips them)
+        # mixture -> splits) with a synthesized domain column; the digest
+        # over EVERY column defeats count(1) pruning — a bare count lets
+        # Catalyst skip the whole final projection (split md5 CASE, rates)
         (
             "curate_corpus",
-            lambda: (lambda out: out.agg(F.count(F.lit(1))).collect()[0][0])(
+            lambda: (
+                lambda out: out.select(
+                    F.md5(F.concat_ws("|", *out.columns)).alias("h")
+                )
+                .agg(F.count("h"))
+                .collect()[0][0]
+            )(
                 __import__(
                     "crypto_market_data_etl_spark.operators.curation",
                     fromlist=["curate_corpus"],
