@@ -36,8 +36,10 @@ from .similarity import (  # noqa: F401
 from .sketches import approx_quantiles, heavy_hitters, hll_distinct, hll_merge  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
+    gopher_rules,
     lang_scores,
     ngram_lm_scores,
+    quality_expr,
     quality_scores,
     token_stats,
 )
@@ -48,5 +50,13 @@ from .contamination import (  # noqa: F401
     cross_corpus_neardup,
 )
 from .retrieval import bm25_topk  # noqa: F401
-from .sampling import dsir_logratios, hash_sample, stratified_sample  # noqa: F401
+from .sampling import (  # noqa: F401
+    domain_quality_gate,
+    dsir_logratios,
+    hash_sample,
+    leakage_safe_splits,
+    pack_sequences,
+    pack_shards,
+    stratified_sample,
+)
 from .curation import curate_corpus  # noqa: F401

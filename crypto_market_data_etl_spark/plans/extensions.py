@@ -2071,6 +2071,56 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# x45 dedup provenance report: near-dup pair counts per (unordered) source
+# pair — the mirror-site/shared-boilerplate diagnostic a pipeline runs to
+# decide WHICH feeds to drop, built by joining x02's pairs back to sources.
+# --------------------------------------------------------------------------
+
+def x45_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_jaccard_pairs(
+        docs, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "jaccard_est",
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard_est"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+X45_SQL = _SHINGLES_CTE + f"""
+, est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {float(N_HASHES)} AS j
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY 1, 2
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS src_lo,
+       greatest(a.source, b.source) AS src_hi,
+       count(*) AS n_pairs,
+       round(avg(j), 6) AS avg_jaccard
+FROM est
+JOIN src a ON a.doc_id = est.id_a
+JOIN src b ON b.doc_id = est.id_b
+GROUP BY 1, 2
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2091,6 +2141,7 @@ VARIANT_QUERIES = {
     "x42_domain_quality_gate": x42_domain_quality_gate,
     "x43_pack_sequences": x43_pack_sequences,
     "x44_gopher_rules": x44_gopher_rules,
+    "x45_dedup_provenance": x45_dedup_provenance,
 }
 
 VARIANT_ORACLES = {
@@ -2113,4 +2164,5 @@ VARIANT_ORACLES = {
     "x42_domain_quality_gate": X42_SQL,
     "x43_pack_sequences": X43_SQL,
     "x44_gopher_rules": X44_SQL,
+    "x45_dedup_provenance": X45_SQL,
 }
