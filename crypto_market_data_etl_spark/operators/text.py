@@ -497,3 +497,50 @@ def gopher_rules(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("pass", passed)
+
+
+def token_kl_divergence(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group token-distribution drift: KL(P_group || P_corpus) over the
+    unigram distributions — the monitoring signal a pipeline tracks per
+    feed/shard/ingest batch to catch a source going off-distribution
+    (spam floods, encoding breakage, template takeover) before it trains.
+
+    KL = sum_t p_g(t) · ln(p_g(t) / p_c(t)); zero iff the group matches the
+    corpus mix exactly, and always finite here because every group token is
+    by construction part of the corpus distribution.
+
+    Shape at 100 TB: ONE corpus-scale explode into a materialized
+    (group, token) count table; the corpus distribution, group totals, and
+    the final join all derive from that vocabulary-sized table — no second
+    corpus pass. Output: (group, n_tokens, kl), kl rounded to 6dp.
+    """
+    from ..materialize import materialize
+
+    toks = df.select(
+        F.col(group_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    # MATERIALIZED: feeds the corpus rollup, the group totals, AND the
+    # final join — Spark shares no subtrees
+    gcounts = materialize(
+        toks.groupBy(group_col, "t").agg(F.count(F.lit(1)).alias("c_g"))
+    )
+    ccounts = gcounts.groupBy("t").agg(F.sum("c_g").alias("c_c"))
+    gtotals = gcounts.groupBy(group_col).agg(F.sum("c_g").alias("n_g"))
+    ctotal = ccounts.agg(F.sum("c_c").alias("n_c"))
+    p_g = F.col("c_g") / F.col("n_g")
+    p_c = F.col("c_c") / F.col("n_c")
+    return (
+        gcounts.join(ccounts, "t")
+        .join(F.broadcast(gtotals), group_col)
+        .crossJoin(F.broadcast(ctotal))
+        .groupBy(group_col)
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_g * F.log(p_g / p_c)), 6).alias("kl"),
+        )
+    )

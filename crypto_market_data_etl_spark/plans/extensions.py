@@ -2121,6 +2121,40 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# x46 per-source token-distribution drift: KL(P_source || P_corpus) over
+# unigrams — the per-feed monitoring signal that catches a source going
+# off-distribution before it trains.
+# --------------------------------------------------------------------------
+
+def x46_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_kl_divergence
+
+    return token_kl_divergence(_docs(spark, sf_dir))
+
+
+X46_SQL = """
+WITH toks AS (
+  SELECT source, t FROM (
+    SELECT source, unnest(str_split(coalesce(text, ''), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+g AS (SELECT source, t, count(*) AS c_g FROM toks GROUP BY source, t),
+c AS (SELECT t, CAST(sum(c_g) AS BIGINT) AS c_c FROM g GROUP BY t),
+gt AS (SELECT source, CAST(sum(c_g) AS BIGINT) AS n_g FROM g GROUP BY source),
+ct AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c FROM c)
+SELECT g.source,
+       max(gt.n_g) AS n_tokens,
+       round(sum((g.c_g * 1.0 / gt.n_g)
+                 * ln((g.c_g * 1.0 / gt.n_g) / (c.c_c * 1.0 / ct.n_c))), 6) AS kl
+FROM g
+JOIN c USING (t)
+JOIN gt USING (source)
+CROSS JOIN ct
+GROUP BY g.source
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2142,6 +2176,7 @@ VARIANT_QUERIES = {
     "x43_pack_sequences": x43_pack_sequences,
     "x44_gopher_rules": x44_gopher_rules,
     "x45_dedup_provenance": x45_dedup_provenance,
+    "x46_token_kl": x46_token_kl,
 }
 
 VARIANT_ORACLES = {
@@ -2165,4 +2200,5 @@ VARIANT_ORACLES = {
     "x43_pack_sequences": X43_SQL,
     "x44_gopher_rules": X44_SQL,
     "x45_dedup_provenance": X45_SQL,
+    "x46_token_kl": X46_SQL,
 }

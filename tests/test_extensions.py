@@ -327,6 +327,24 @@ def test_ngram_lm_scores_hand_case(spark):
     assert got[2]["avg_nll"] == round((nll_ab + nll_bc) / 2, 6)
 
 
+def test_token_kl_divergence_hand_case(spark):
+    """Two groups vs hand-computed KL: corpus = {x:3, y:1}; group A (x y)
+    diverges less than group B (x x); both non-negative."""
+    import math
+
+    from crypto_market_data_etl_spark.operators.text import token_kl_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x x", "B")], "doc_id long, text string, source string"
+    )
+    got = {r.source: r.asDict() for r in token_kl_divergence(docs).collect()}
+    kl_a = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    kl_b = math.log(1.0 / 0.75)
+    assert got["A"]["n_tokens"] == 2 and got["A"]["kl"] == round(kl_a, 6)
+    assert got["B"]["n_tokens"] == 2 and got["B"]["kl"] == round(kl_b, 6)
+    assert 0 <= got["A"]["kl"] < got["B"]["kl"]
+
+
 def test_gopher_rules_hand_cases(spark):
     from crypto_market_data_etl_spark.operators.text import gopher_rules
 
