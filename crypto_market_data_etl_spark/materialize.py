@@ -64,6 +64,26 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def release(df: DataFrame) -> bool:
+    """Unpersist ONE materialized DataFrame and drop it from the persist
+    registry. For iterative operators (e.g. ``bpe_learn``) that supersede a
+    materialized table every round: a bare ``unpersist()`` would free the
+    blocks but leave the dead plan wrapper in :data:`_PERSISTED` — tens of
+    thousands of stale entries for a real BPE vocabulary — until
+    :func:`release_all`. Returns True when the DataFrame was registered
+    (persist mode); False on the localCheckpoint path (still unpersisted —
+    harmless no-op there, the ContextCleaner owns those blocks)."""
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - session already stopped
+        pass
+    try:
+        _PERSISTED.remove(df)
+        return True
+    except ValueError:
+        return False
+
+
 def release_all() -> int:
     """Unpersist every DataFrame :func:`materialize` persisted (persist
     mode only — localCheckpoint blocks are ContextCleaner-managed). Call

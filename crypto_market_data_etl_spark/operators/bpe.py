@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, release
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -171,41 +171,97 @@ def bpe_encode(
     )
 
 
+def select_disjoint_merges(
+    candidates: list[tuple[str, str]], m: int
+) -> list[tuple[str, str]]:
+    """Greedy top-``m`` SYMBOL-DISJOINT selection from rank-ordered merge
+    candidates — the batching rule of distributed BPE trainers.
+
+    A candidate is taken only when neither of its symbols has appeared in an
+    earlier selection of this pass (as left, right, OR the merged output
+    symbol). Why this is safe to batch: merging (a,b) can never CREATE an
+    adjacency between two other pre-existing symbols (it replaces two
+    symbols with one — anything adjacent to the pair is now adjacent to the
+    fused symbol, a NEW symbol), so the only in-pass interactions are
+    through shared symbols — exactly what the disjointness filter forbids.
+    Selected merges therefore keep their pass-start counts when applied
+    sequentially in rank order, and the batch is order-insensitive.
+
+    The residual divergence from one-at-a-time BPE is SELECTION staleness
+    only: a pair born mid-pass (involving a freshly fused symbol) cannot be
+    picked until the next pass, even if its count would have out-ranked a
+    later selection — the standard distributed-BPE trade, bounded by the
+    pass width ``m``. ``m=1`` is exact Sennrich.
+    """
+    used: set[str] = set()
+    picked: list[tuple[str, str]] = []
+    for left, right in candidates:
+        if len(picked) >= m:
+            break
+        if left in used or right in used or left + right in used:
+            continue
+        picked.append((left, right))
+        used.update((left, right, left + right))
+    return picked
+
+
 def bpe_learn(
-    df: DataFrame, n_merges: int, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    merges_per_pass: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges; returns (merges, final symbol table).
 
     Ties break deterministically (cnt desc, pair asc — the same order
-    every engine and rerun produces). Each round materializes the
+    every engine and rerun produces). Each pass materializes the
     vocabulary-sized symbol table (deployment-aware: localCheckpoint
-    locally, persist on a cluster) so round k never replays rounds 1..k-1,
-    and collects exactly ONE row (the argmax pair) to the driver — a
-    scalar control decision, the same class as the skew/stat probes.
+    locally, persist on a cluster) so pass k never replays passes 1..k-1,
+    and collects one SMALL candidate list (≤ ``4*merges_per_pass`` rows) to
+    the driver — a scalar control decision, the same class as the
+    skew/stat probes.
 
-    Superseded round tables are unpersisted one round LATE: round k's
-    ``collect`` is the action that forces table k into storage, and only
-    then is table k-1 (its lineage parent) safe to release — freeing it
-    earlier would strand a lazily-materialized child; never freeing it
-    would accumulate one persisted table per merge round (real
-    vocabularies run tens of thousands of merges).
+    ``merges_per_pass`` batches the driver loop: a real vocabulary is tens
+    of thousands of merges, and one synchronous Spark job per merge makes
+    scheduling overhead the bottleneck (30k sequential round-trips). Each
+    pass instead collects the top ``4*m`` candidate pairs once, selects up
+    to ``m`` symbol-disjoint merges driver-side
+    (:func:`select_disjoint_merges` — provably count-stable within the
+    pass), and applies them as ``m`` chained columnar folds in ONE job —
+    pass count drops ~``m``×. ``merges_per_pass=1`` is exactly classic
+    sequential BPE (equality-tested against a pure-Python reference).
+
+    Superseded pass tables are released one pass LATE: pass k's ``collect``
+    is the action that forces table k into storage, and only then is table
+    k-1 (its lineage parent) safe to release — freeing it earlier would
+    strand a lazily-materialized child; never freeing it (or leaving it in
+    the persist registry — see ``materialize.release``) would accumulate
+    one persisted table per pass.
     """
+    if merges_per_pass < 1:
+        raise ValueError(f"merges_per_pass must be >= 1, got {merges_per_pass}")
     syms = materialize(with_symbols(word_counts(df, text_col)))
     prev: DataFrame | None = None
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        m = min(merges_per_pass, n_merges - len(merges))
         top = pair_counts(syms).orderBy(
             F.col("cnt").desc(), F.col("sym_l"), F.col("sym_r")
-        ).limit(1).collect()
+        ).limit(max(4 * m, 8)).collect()
         # the collect above forced `syms` into storage; its superseded
         # lineage parent can now be released
         if prev is not None:
-            prev.unpersist()
+            release(prev)
             prev = None
-        if not top:
+        picked = select_disjoint_merges(
+            [(r["sym_l"], r["sym_r"]) for r in top], m
+        )
+        if not picked:
             break
-        left, right = top[0]["sym_l"], top[0]["sym_r"]
-        merges.append((left, right))
+        merges.extend(picked)
         prev = syms
-        syms = materialize(apply_merge(syms, left, right))
+        out = syms
+        for left, right in picked:  # rank order == sequential application
+            out = apply_merge(out, left, right)
+        syms = materialize(out)
     return merges, syms

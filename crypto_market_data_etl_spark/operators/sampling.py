@@ -364,7 +364,11 @@ def domain_quality_gate(
 
     Deterministic: rank = (quality desc NULLS LAST, id asc), cutoff =
     ``ceil(keep_frac * n_domain)``. Output: (id, domain, quality, rnk) for
-    the kept rows.
+    the kept rows. NULL domains form their own domain (rows with no
+    language tag are still gated and kept at the same fraction) — the
+    whole-corpus-coverage contract the sibling operators keep; the internal
+    group/join key is null-safe (a (string-cast, is-null) composite, no
+    sentinel value that could collide with a real domain).
 
     Shape at 100 TB: one projection pass for scores, per-domain counts via
     groupBy + broadcast join (never count-over-window — a hot domain would
@@ -380,13 +384,19 @@ def domain_quality_gate(
 
     scored = df.select(
         F.col(id_col), F.col(domain_col), quality_expr(text_col).alias("quality")
+    ).withColumn(
+        # null-safe composite key: an inner equi-join on the raw domain
+        # would silently drop NULL-domain rows (NULL never equals NULL)
+        "__dom", F.coalesce(F.col(domain_col).cast("string"), F.lit(""))
+    ).withColumn("__dom_null", F.col(domain_col).isNull())
+    counts = scored.groupBy("__dom", "__dom_null").agg(
+        F.count(F.lit(1)).alias("__n")
     )
-    counts = scored.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy(domain_col).orderBy(
+    w = Window.partitionBy("__dom", "__dom_null").orderBy(
         F.col("quality").desc_nulls_last(), F.col(id_col)
     )
     return (
-        scored.join(F.broadcast(counts), domain_col)
+        scored.join(F.broadcast(counts), ["__dom", "__dom_null"])
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= F.ceil(F.lit(keep_frac) * F.col("__n")))
         .select(id_col, domain_col, "quality", "rnk")
@@ -440,8 +450,12 @@ def pack_sequences(
         toks, [], id_col, "n_tok", out="cum_tok", block_span=block_span
     )
     start = F.col("cum_tok") - F.col("n_tok")  # global token span [start, cum)
-    first_seq = F.floor(start / seq_len)
-    last_seq = F.floor((F.col("cum_tok") - 1) / seq_len)
+    # `div` (not float `/` + floor): seq ids stay exact LONG arithmetic at
+    # any cumulative token count — float64 division loses integer precision
+    # past 2^53 tokens, silently diverging from the oracle's integer `//`
+    # (both operands are non-negative here, so div == floor-division)
+    first_seq = F.expr(f"(cum_tok - n_tok) div {int(seq_len)}")
+    last_seq = F.expr(f"(cum_tok - 1) div {int(seq_len)}")
     # 0-token docs emit no span — and must not reach the explode: their
     # degenerate range can run DESCENDING (sequence(1, 0) is [1, 0])
     spans = cum.filter(F.col("n_tok") > 0).select(

@@ -37,3 +37,18 @@ def variant_oracles():
     o = dict(core.VARIANT_ORACLES)
     o.update(extensions.VARIANT_ORACLES)
     return o
+
+
+def query_counts() -> dict[str, int]:
+    """Registry-derived query counts — the single source for every
+    "N oracle queries" claim in docs/commit summaries (round-5 verdict:
+    hand-counted claims drifted off by one). ``total`` = gate + variants;
+    ``entry()`` is q09 and is not an extra query."""
+    gate, variants = len(all_queries()), len(variant_queries())
+    return {
+        "gate": gate,
+        "variants": variants,
+        "total": gate + variants,
+        "gate_oracles": len(all_oracles()),
+        "variant_oracles": len(variant_oracles()),
+    }

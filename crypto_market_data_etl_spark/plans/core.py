@@ -822,6 +822,27 @@ def q21_salted_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS_BOUNDS: dict[tuple[str, int, int], tuple[int, int]] = {}
 
 
+def clear_ts_bounds_cache(sf_dir: str | None = None) -> int:
+    """Invalidate the event-time-bounds memo; returns entries dropped.
+
+    Needed on the NON-LOCAL fallback path: when ``os.stat`` fails (object
+    stores have no cheap stat), :func:`_events_ts_bounds` keys on the path
+    alone under an immutable-dir contract — so a pipeline that OVERWRITES
+    an object-store path must call this (optionally scoped to that
+    ``sf_dir``) or it is served stale bounds, the same contract
+    ``operators.dedup.clear_partition_probe_cache`` exposes for the
+    partition probe. Local paths self-invalidate via (mtime_ns, size).
+    """
+    if sf_dir is None:
+        n = len(_TS_BOUNDS)
+        _TS_BOUNDS.clear()
+        return n
+    stale = [k for k in _TS_BOUNDS if k[0] == sf_dir]
+    for k in stale:
+        del _TS_BOUNDS[k]
+    return len(stale)
+
+
 def _events_ts_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     import os
 
@@ -829,7 +850,9 @@ def _events_ts_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         st = os.stat(os.path.join(sf_dir, "events.parquet"))
         key = (sf_dir, st.st_mtime_ns, st.st_size)
     except OSError:  # non-local path (e.g. object store): no cheap stat —
-        key = (sf_dir, 0, 0)  # fall back to path-keyed (immutable-dir contract)
+        # fall back to path-keyed (immutable-dir contract; overwriting the
+        # path requires clear_ts_bounds_cache — see its docstring)
+        key = (sf_dir, 0, 0)
     if key not in _TS_BOUNDS:
         lo, hi = (
             _events(spark, sf_dir).agg(F.min("ts_us"), F.max("ts_us")).collect()[0]

@@ -1734,7 +1734,10 @@ def x38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == _BENCH_SRC)
     leaked = (
         bench.filter(F.col("doc_id") % 3 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        # negative re-ids are disjoint from the real corpus (doc_id >= 0) at
+        # EVERY scale factor — the old +1_000_000 offset collided with real
+        # ids once a corpus passed 1M documents
+        .withColumn("doc_id", -F.col("doc_id") - 1)
         .withColumn("text", F.concat(F.col("text"), F.lit(" leaked benchmark copy")))
     )
     corpus = docs.filter(F.col("source") != _BENCH_SRC).unionByName(leaked)
@@ -1749,7 +1752,7 @@ WITH bench AS (SELECT doc_id, text FROM documents WHERE source = '{_BENCH_SRC}')
 corpus AS (
   SELECT doc_id, text FROM documents WHERE source <> '{_BENCH_SRC}'
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text || ' leaked benchmark copy' AS text
+  SELECT -doc_id - 1 AS doc_id, text || ' leaked benchmark copy' AS text
   FROM documents WHERE source = '{_BENCH_SRC}' AND doc_id % 3 = 0
 ),
 ctk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM corpus),

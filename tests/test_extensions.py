@@ -592,6 +592,157 @@ def test_bpe_learn_matches_python_reference(spark):
     assert got == exp_syms
 
 
+def _python_bpe_batched(word_freqs, n_merges, merges_per_pass):
+    """Batched reference mirroring ``bpe_learn``'s pass rule: each pass
+    ranks pairs from the PASS-START counts, greedily takes up to m
+    symbol-disjoint merges (skipping any pair touching a symbol already
+    used — as left, right, or merged output — this pass), and applies them
+    sequentially in rank order."""
+    from crypto_market_data_etl_spark.operators.bpe import select_disjoint_merges
+
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+
+    def apply_one(la, rb):
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == la and s[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    while len(merges) < n_merges:
+        m = min(merges_per_pass, n_merges - len(merges))
+        counts = {}
+        for w, freq in word_freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        ranked = sorted(counts, key=lambda p: (-counts[p], p))[: max(4 * m, 8)]
+        picked = select_disjoint_merges(ranked, m)
+        if not picked:
+            break
+        for la, rb in picked:
+            apply_one(la, rb)
+        merges.extend(picked)
+    return merges, syms
+
+
+def test_bpe_learn_batched_matches_python_reference(spark):
+    """merges_per_pass > 1 must equal the pure-Python batched rule — and at
+    m=1 both collapse to classic sequential BPE (previous test)."""
+    from crypto_market_data_etl_spark.operators.bpe import bpe_learn
+
+    texts = ["low lower lowest", "new newer newest", "low low new", "west vest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    freqs = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    for m in (3, 8):
+        exp_merges, exp_syms = _python_bpe_batched(freqs, 8, m)
+        merges, syms = bpe_learn(docs, 8, merges_per_pass=m)
+        assert merges == exp_merges, f"merges_per_pass={m}"
+        got = {r["w"]: list(r["syms"]) for r in syms.collect()}
+        assert got == exp_syms, f"merges_per_pass={m}"
+
+
+def test_select_disjoint_merges_rules():
+    from crypto_market_data_etl_spark.operators.bpe import select_disjoint_merges
+
+    cands = [("a", "b"), ("b", "c"), ("c", "d"), ("ab", "x"), ("e", "f")]
+    # ("b","c") shares b with pick 1; ("ab","x") touches pick 1's merged
+    # output symbol; ("c","d") and ("e","f") are clean
+    assert select_disjoint_merges(cands, 3) == [("a", "b"), ("c", "d"), ("e", "f")]
+    assert select_disjoint_merges(cands, 1) == [("a", "b")]
+    assert select_disjoint_merges([], 4) == []
+
+
+def test_bpe_symbols_are_code_points_not_utf16_units(spark):
+    """Round-5 advice: F.split(w, '') was suspected to split UTF-16 code
+    units. On this Spark build it is code-point aware — non-BMP characters
+    (emoji) stay whole symbols; this locks that behavior."""
+    from crypto_market_data_etl_spark.operators.bpe import bpe_encode, with_symbols
+
+    docs = spark.createDataFrame(
+        [(0, "a\U0001f600b héllo")], "doc_id long, text string"
+    )
+    from crypto_market_data_etl_spark.operators.bpe import word_counts
+
+    syms = {r["w"]: list(r["syms"]) for r in with_symbols(word_counts(docs)).collect()}
+    assert syms["a\U0001f600b"] == ["a", "\U0001f600", "b"]
+    assert syms["héllo"] == ["h", "é", "l", "l", "o"]
+    # encode's OOV character fallback takes the same code-point path
+    empty_vocab = spark.createDataFrame([], "w string, wc long, syms array<string>")
+    enc = {r.doc_id: r for r in bpe_encode(docs, empty_vocab).collect()}
+    assert list(enc[0].tokens) == ["a", "\U0001f600", "b", "h", "é", "l", "l", "o"]
+
+
+def test_materialize_release_drops_registry_entry(spark):
+    """bpe_learn's per-pass release must also evict the persist-mode
+    registry entry (round-5 advice: one dead wrapper per merge round)."""
+    import os
+
+    from crypto_market_data_etl_spark import materialize as mat
+
+    os.environ["SPARK_GRAFT_MATERIALIZE"] = "persist"
+    try:
+        before = len(mat._PERSISTED)
+        df = mat.materialize(spark.range(5).toDF("n"))
+        assert len(mat._PERSISTED) == before + 1
+        assert mat.release(df) is True
+        assert len(mat._PERSISTED) == before
+        assert mat.release(df) is False  # idempotent: already gone
+    finally:
+        del os.environ["SPARK_GRAFT_MATERIALIZE"]
+
+
+def test_bpe_learn_persist_mode_keeps_registry_bounded(spark):
+    """Across k merge passes the persist registry must not grow by k (only
+    the final table and its direct parent may remain registered)."""
+    import os
+
+    from crypto_market_data_etl_spark import materialize as mat
+    from crypto_market_data_etl_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest new newer newest")], "doc_id long, text string"
+    )
+    os.environ["SPARK_GRAFT_MATERIALIZE"] = "persist"
+    try:
+        before = len(mat._PERSISTED)
+        merges, syms = bpe_learn(docs, 6)
+        assert len(merges) == 6
+        assert len(mat._PERSISTED) - before <= 2
+    finally:
+        del os.environ["SPARK_GRAFT_MATERIALIZE"]
+        mat.release_all()
+
+
+def test_domain_quality_gate_keeps_null_domains(spark):
+    """NULL-domain rows form their own domain and are gated at the same
+    fraction (round-5 advice: the inner join silently dropped them)."""
+    from crypto_market_data_etl_spark.operators.sampling import domain_quality_gate
+
+    rows = [(i, "clean text with the stops on it", "en") for i in range(4)]
+    rows += [(10 + i, "some other words entirely here now", None) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = domain_quality_gate(df, keep_frac=0.5).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.lang, []).append(r)
+    assert len(by_dom.get("en", [])) == 2
+    assert len(by_dom.get(None, [])) == 2  # NULL domain kept, not dropped
+    for r in by_dom[None]:
+        assert r.rnk <= 2
+
+
 def test_bpe_apply_merge_is_greedy_left_to_right(spark):
     """"aaaa" under merge (a,a) -> ["aa","aa"]; "aaa" -> ["aa","a"]."""
     from crypto_market_data_etl_spark.operators.bpe import apply_merge

@@ -42,6 +42,27 @@ def test_variant_registry_disjoint_and_aligned():
     )
 
 
+def test_query_counts_derived_and_docs_agree():
+    """Round-5 verdict: docs claimed "77 oracle queries" while the
+    registries held 76 (an entry() double-count). Counts must come from
+    ``plans.query_counts()``, and any doc stating a "N gate+variant oracle
+    queries" total must match it."""
+    import re
+
+    c = plans.query_counts()
+    assert c["gate"] == len(plans.all_queries()) == c["gate_oracles"]
+    assert c["variants"] == len(plans.variant_queries()) == c["variant_oracles"]
+    assert c["total"] == c["gate"] + c["variants"]
+    for doc in ("/root/repo/ROADMAP.md", "/root/repo/README.md"):
+        text = open(doc).read()
+        for m in re.finditer(r"(\d+) gate\+variant oracle queries", text):
+            assert int(m.group(1)) == c["total"], (
+                f"{doc} claims {m.group(1)} gate+variant oracle queries; "
+                f"registries hold {c['total']} — derive doc counts from "
+                "plans.query_counts()"
+            )
+
+
 def test_every_gated_query_has_green_gate_row():
     files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
     if not files:

@@ -76,3 +76,24 @@ def test_partition_filters_reach_scan(spark, tmp_path):
     plan = _plan(got)
     assert "PartitionFilters" in plan and "2024-01-02" in plan
     assert got.count() == 10
+
+
+def test_ts_bounds_fallback_key_is_invalidatable(spark):
+    """The non-local stat-fallback memo key (sf_dir, 0, 0) is served under an
+    immutable-dir contract; clear_ts_bounds_cache must evict it (round-5
+    verdict: object-store path overwrites would otherwise read stale
+    bounds forever)."""
+    from crypto_market_data_etl_spark.plans.core import (
+        _TS_BOUNDS,
+        clear_ts_bounds_cache,
+    )
+
+    # simulate the object-store fallback entries directly (os.stat succeeds
+    # on every local path, so the fallback key cannot arise from a real dir)
+    _TS_BOUNDS[("s3://bucket/sfX", 0, 0)] = (1, 2)
+    _TS_BOUNDS[("s3://bucket/sfY", 0, 0)] = (3, 4)
+    assert clear_ts_bounds_cache("s3://bucket/sfX") == 1
+    assert ("s3://bucket/sfX", 0, 0) not in _TS_BOUNDS
+    assert ("s3://bucket/sfY", 0, 0) in _TS_BOUNDS  # scoped clear
+    assert clear_ts_bounds_cache() >= 1  # full clear drains the memo
+    assert not _TS_BOUNDS
