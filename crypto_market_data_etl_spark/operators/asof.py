@@ -96,6 +96,36 @@ def asof_join(
     return out.drop("__lid") if gen_id else out
 
 
+#: Measured adaptive-vs-rank crossover (tools/scale_market_run on the
+#: gen_market_fixture ladder, local[32], 10 s tolerance): hottest-key
+#: density ~81 right rows per tolerance bucket -> the plain rank join wins
+#: (adaptive 2x SLOWER, tuned_speedup 0.49 at the 2M rung — its stats/lead/
+#: interval passes over the full right side are pure overhead when buckets
+#: are small); ~324 -> adaptive wins 1.96x; ~810 -> 5.05x. 128 sits between
+#: the measured rungs.
+ASOF_ADAPTIVE_MIN_DENSITY = 128.0
+
+
+def asof_hot_density(
+    right: DataFrame, on: Sequence[str], right_ts: str, tolerance: int
+) -> float:
+    """Hottest key's expected right rows per tolerance bucket — the scalar
+    that decides rank-join vs interval-adaptive as-of (one tiny stats probe:
+    per-key count + ts span, map-side combined; the same job shape as
+    ``blocked.auto_block_span``)."""
+    per_key = right.groupBy(*[str(c) for c in on]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max(right_ts) - F.min(right_ts)).alias("__span"),
+    )
+    row = per_key.agg(
+        F.max(
+            F.col("__n")
+            / F.greatest(F.col("__span") / F.lit(float(tolerance)), F.lit(1.0))
+        )
+    ).first()
+    return float(row[0] or 0.0)
+
+
 def asof_join_adaptive(
     left: DataFrame,
     right: DataFrame,

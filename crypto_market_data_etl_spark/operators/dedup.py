@@ -214,6 +214,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    log_fn=None,
 ) -> DataFrame:  # max_bucket_size=None → skew.DEFAULT_MAX_BUCKET_SIZE below
     """Distinct candidate pairs sharing any band: (id_a, id_b), id_a < id_b.
 
@@ -253,7 +254,8 @@ def lsh_candidate_pairs(
         # cap + chains folded into the self-join: one window (same shuffle
         # key as the join — exchange reused), one join, no second traversal
         ra, rb = ranked_pair_sides(
-            bands, ["band_idx", "band_sig"], id_col, max_bucket_size, log_dropped
+            bands, ["band_idx", "band_sig"], id_col, max_bucket_size,
+            log_dropped, log_fn,
         )
         a = ra.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig", "__rn_a")
         b = rb.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig", "__rn_b")

@@ -121,7 +121,7 @@ def preprocess_job(
     bar_size: float = 3_000_000.0,
     asof_tolerance_ms: int = 10_000,
     block_span: int | str | None = None,
-    adaptive_asof: bool = False,
+    adaptive_asof: bool | str = False,
     reference_parity_bars: bool = False,
 ) -> DataFrame:
     """§3.3 flagship: dollar bars + as-of join of the best orderbook.
@@ -147,7 +147,13 @@ def preprocess_job(
     Scale knobs: ``block_span`` (``"auto"`` | ms | ``None``) switches the
     bar cumsum to the skew-proof two-phase form; ``adaptive_asof`` uses the
     interval-formulated as-of join (per-key adaptive buckets — wins when
-    snapshots are much denser than the tolerance).
+    snapshots are much denser than the tolerance). ``adaptive_asof="auto"``
+    decides from the snapshot side's hottest-key density (one tiny stats
+    probe) — the round-5 SCALE ladder showed the always-adaptive "tuned"
+    config 2x SLOWER than plain at the 2M rung (density ~81/bucket) while
+    5x faster at 20M (~810/bucket); the probe picks the winning side of
+    that measured crossover at every rung instead of making density a
+    config decision.
     """
     enriched = trades.withColumn(
         "trade_dollar", F.col("trade_price") * F.col("trade_volume")
@@ -167,6 +173,13 @@ def preprocess_job(
         "code", F.col("timestamp").alias("ob_timestamp"), "arrive_time",
         "best_bid_price", "best_ask_price", "best_bid_size", "best_ask_size", "obi",
     )
+    if adaptive_asof == "auto":
+        from ..operators.asof import ASOF_ADAPTIVE_MIN_DENSITY, asof_hot_density
+
+        adaptive_asof = (
+            asof_hot_density(snaps, ["code"], "ob_timestamp", asof_tolerance_ms)
+            >= ASOF_ADAPTIVE_MIN_DENSITY
+        )
     if adaptive_asof:
         return asof_join_adaptive(
             bars,

@@ -209,3 +209,39 @@ def test_market_stats_job_blocked_matches_plain(spark, orderbooks):
         if ofi_a is not None:
             assert abs(ofi_a - ofi_b) < 1e-9
         assert abs(ewma_a - ewma_b) < 1e-9
+
+
+def test_asof_hot_density_probe(spark):
+    from crypto_market_data_etl_spark.operators.asof import asof_hot_density
+
+    # sparse key: 10 rows over 10x tolerance -> ~1/bucket; dense key:
+    # 1000 rows over 1x tolerance -> ~1000/bucket (the max wins)
+    tol = 1000
+    rows = [("SPARSE", i * tol) for i in range(10)]
+    rows += [("DENSE", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "code string, ts long")
+    d = asof_hot_density(df, ["code"], "ts", tol)
+    assert 900 <= d <= 1100, d
+    sparse_only = df.filter(F.col("code") == "SPARSE")
+    assert asof_hot_density(sparse_only, ["code"], "ts", tol) < 2
+
+
+def test_preprocess_job_auto_asof_matches_explicit(spark, trades, orderbooks):
+    """adaptive_asof="auto" resolves the density probe to one of the two
+    explicit paths — results must be identical to the plain form either
+    way (both paths share the q09 oracle semantics)."""
+    plain = preprocess_job(trades, orderbooks, bar_size=2000.0)
+    auto = preprocess_job(
+        trades, orderbooks, bar_size=2000.0, adaptive_asof="auto"
+    )
+    key = lambda r: (r.code, r.bar_num)  # noqa: E731
+    a = {key(r): r.asDict() for r in plain.collect()}
+    b = {key(r): r.asDict() for r in auto.collect()}
+    assert a.keys() == b.keys() and len(a) > 10
+    for k, ra in a.items():
+        for col, va in ra.items():
+            vb = b[k][col]
+            if isinstance(va, float):
+                assert abs(va - vb) < 1e-9, (k, col)
+            else:
+                assert va == vb, (k, col)

@@ -75,11 +75,14 @@ def main() -> None:
             lambda: preprocess_job(trades, obs, bar_size=3_000_000.0).count(),
         )
     if "preprocess_tuned" in jobs:
+        # adaptive_asof="auto": the density probe picks rank-join vs
+        # interval-adaptive per fixture (always-True was 2x slower than
+        # plain at the 2M rung — round-5 verdict ask #4)
         timed(
             "preprocess_job_tuned",
             lambda: preprocess_job(
                 trades, obs, bar_size=3_000_000.0,
-                block_span="auto", adaptive_asof=True,
+                block_span="auto", adaptive_asof="auto",
             ).count(),
         )
     spark.stop()
