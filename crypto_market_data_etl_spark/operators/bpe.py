@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from ..materialize import materialize, release
 
+#: pass count of the most recent :func:`bpe_learn` call — introspection for
+#: harnesses recording the merges_per_pass batching effect (passes ~
+#: ceil(n_merges / m) when selection is unimpeded; conflicts add passes)
+LAST_LEARN_PASSES = 0
+
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The one corpus-scale pass: (w, wc) word-frequency table.
@@ -238,12 +243,15 @@ def bpe_learn(
     the persist registry — see ``materialize.release``) would accumulate
     one persisted table per pass.
     """
+    global LAST_LEARN_PASSES
     if merges_per_pass < 1:
         raise ValueError(f"merges_per_pass must be >= 1, got {merges_per_pass}")
     syms = materialize(with_symbols(word_counts(df, text_col)))
     prev: DataFrame | None = None
     merges: list[tuple[str, str]] = []
+    LAST_LEARN_PASSES = 0
     while len(merges) < n_merges:
+        LAST_LEARN_PASSES += 1
         m = min(merges_per_pass, n_merges - len(merges))
         top = pair_counts(syms).orderBy(
             F.col("cnt").desc(), F.col("sym_l"), F.col("sym_r")

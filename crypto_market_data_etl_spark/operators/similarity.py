@@ -865,19 +865,27 @@ def semantic_dedup(
             ),
             round_dp,
         )
+        # argmax as a hash agg, not a rank window: max_by with the ordering
+        # struct (sim, -c_id) picks the same (best sim, smallest c_id)
+        # winner, but partial-aggregates MAP-SIDE — the n*k cross product
+        # collapses to n rows before the shuffle, where the window form
+        # shuffled and sorted all n*k rows (measured on x32: the exchange
+        # shrinks k-fold and the per-partition sort disappears)
         assign = (
             vecs.join(cents)
             .withColumn("__c_sim", c_sim)
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.col("__c_sim").desc(), F.col("c_id")
-                    )
-                ),
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("c_id"), F.col("ev")),
+                    F.struct(F.col("__c_sim"), (-F.col("c_id")).alias("__nc")),
+                ).alias("__best")
             )
-            .filter(F.col("__rn") == 1)
-            .select(F.col(id_col), "ev", F.col("c_id").alias("cluster_id"))
+            .select(
+                F.col(id_col),
+                F.col("__best.ev").alias("ev"),
+                F.col("__best.c_id").alias("cluster_id"),
+            )
         )
     # both the member side and the rep side re-read the assignment (k dot
     # products per vector) — materialize once (deployment-aware)

@@ -78,11 +78,25 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x01 exact dedup (hash-groupBy) on documents + injected duplicates
 # --------------------------------------------------------------------------
 
+def _id_offset(df: DataFrame, id_col: str):
+    """In-plan injected-duplicate id offset: ``max(id) + 1`` as a broadcast
+    scalar (cross-joined, no driver collect). Guarantees injected ids are
+    disjoint from — and HIGHER than — every real id at ANY scale factor;
+    the old fixed ``+1_000_000`` collided once a corpus passed 1M rows
+    (round-5 advice), and higher-than-real matters because the dedup
+    family keeps the LOWEST id of a duplicate class (originals must win).
+    """
+    return F.broadcast(df.agg((F.max(id_col) + 1).alias("__off")))
+
+
 def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # deterministically re-inject every 10th doc as a duplicate (new id)
-    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+    dupes = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .crossJoin(_id_offset(docs, "doc_id"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+        .drop("__off")
     )
     return exact_dedup(docs.unionByName(dupes), ["text"], "doc_id")
 
@@ -91,7 +105,8 @@ X01_SQL = """
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
 )
 SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
 FROM all_docs GROUP BY md5(text)
@@ -1241,8 +1256,12 @@ def x30_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # inject exact duplicates so the pair set is non-trivially non-empty
-    dupes = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+    # (ids offset by max+1 — disjoint at every SF, see _id_offset)
+    dupes = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .crossJoin(_id_offset(docs, "doc_id"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+        .drop("__off")
     )
     # max_hamming=1: the synthetic corpus' small topical vocabulary makes
     # 32-bit signatures weakly discriminating (hamming<=3 admits ~15% of all
@@ -1254,7 +1273,8 @@ X30_SQL = """
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents WHERE doc_id % 25 = 0
 ),
 toks AS (
   SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM all_docs
@@ -1357,16 +1377,22 @@ def x32_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     embs = _embs(spark, sf_dir)
-    dupes = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1_000_000
+    # injected ids offset by max+1 (disjoint + higher at every SF, see
+    # _id_offset — SemDeDup keeps the lowest id, so originals must win)
+    dupes = (
+        embs.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(_id_offset(embs, "vec_id"))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__off"))
+        .drop("__off")
+        .withColumn("__orig", F.lit(False))
     )
     # centroids from the original corpus only (an injected copy of a
-    # centroid must not itself become a centroid)
+    # centroid must not itself become a centroid); the __orig tag replaces
+    # the old `vec_id < 1_000_000` range test, which broke past 1M vectors
     return semantic_dedup(
-        embs.unionByName(dupes),
+        embs.withColumn("__orig", F.lit(True)).unionByName(dupes),
         threshold=SEMDEDUP_THRESHOLD,
-        centroid_filter=(F.col("vec_id") % 50 == 1)
-        & (F.col("vec_id") < 1_000_000),
+        centroid_filter=(F.col("vec_id") % 50 == 1) & F.col("__orig"),
         max_reps=SEMDEDUP_MAX_REPS,
     )
 
@@ -1375,12 +1401,13 @@ X32_SQL = f"""
 WITH all_vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS ev
   FROM embeddings WHERE vec_id % 20 = 0
 ),
 c AS (
-  SELECT vec_id AS c_id, ev AS cv FROM all_vecs
-  WHERE vec_id % 50 = 1 AND vec_id < 1000000
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+  WHERE vec_id % 50 = 1
 ),
 assign AS (
   SELECT vec_id, ev, c_id FROM all_vecs CROSS JOIN c

@@ -93,3 +93,29 @@ def test_cap_inert_at_default_threshold_preserves_pairs(spark):
     capped = lsh_candidate_pairs(bands)  # default cap
     uncapped = lsh_candidate_pairs(bands, max_bucket_size=0)
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_lsh_candidate_pairs_log_fn_passthrough(spark):
+    """The log_fn knob must reach the bucket-cap observer so scale
+    harnesses (tools/scale_skew_run.py) capture dropped counts without a
+    logging handler."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    bands = spark.range(100).select(
+        F.lit(0).alias("band_idx"),
+        F.lit("sig").alias("band_sig"),
+        F.col("id").alias("doc_id"),
+    )
+    logs: list[str] = []
+    pairs = lsh_candidate_pairs(
+        bands, "doc_id", max_bucket_size=10, log_fn=logs.append
+    )
+    pairs.count()  # action completes -> observer fires (polling thread)
+    deadline = time.time() + 10
+    while not logs and time.time() < deadline:
+        time.sleep(0.1)
+    assert logs and "dropped 90 membership" in logs[0]

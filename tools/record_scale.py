@@ -12,6 +12,12 @@ of sizes and writes one committed JSON artifact:
 - corpus ladder (tools/scale_corpus_run.py): the dedup/hygiene family at
   1x/4x/20x sf0.1 — linearity evidence (no quadratic blow-up from pair
   generation).
+- skew rungs (tools/scale_skew_run.py): a 5000-copy exact-dup hot LSH
+  bucket against a far-smaller cap (dropped-membership count observed +
+  chain-pair connectivity asserted) and a --hot-frac 0.95 market rung
+  (blocked-vs-plain under a Zipfian hot instrument).
+- bpe batching rung (tools/scale_bpe_run.py): same merge budget at
+  merges_per_pass 1/8/32 — driver passes and wall must drop ~m x.
 
 Usage: python tools/record_scale.py [out.json]
 Runs are sequential in fresh processes (one Spark session each) so walls
@@ -53,8 +59,10 @@ def run(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r05.json")
-    artifact: dict = {"host": "local[32]", "market": [], "corpus": []}
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r06.json")
+    artifact: dict = {
+        "host": "local[32]", "market": [], "corpus": [], "skew": {}, "bpe": [],
+    }
 
     for label, n_tr, n_ob in MARKET_LADDER:
         fixture = f"/tmp/market_fixture_{label}"
@@ -89,6 +97,41 @@ def main() -> None:
                     "sec": float(m.group(2)), "rows": int(m.group(3))
                 }
         artifact["corpus"].append(entry)
+
+    # skew rungs: hot LSH bucket (cap + chain connectivity) and a 0.95
+    # hot-instrument market fixture (blocked forms must engage and win)
+    stdout = run([sys.executable, "tools/scale_skew_run.py", "corpus"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            artifact["skew"]["corpus_hot_bucket"] = json.loads(line)
+    skew_fixture = "/tmp/market_fixture_skew"
+    if not os.path.exists(os.path.join(skew_fixture, "trades.parquet")):
+        run([
+            sys.executable, "tools/gen_market_fixture.py", skew_fixture,
+            "--trades", "8000000", "--orderbooks", "4000000",
+            "--hot-frac", "0.95",
+        ])
+    stdout = run([sys.executable, "tools/scale_skew_run.py", "market", skew_fixture])
+    mkt: dict = {"jobs": {}}
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                mkt["jobs"][d["job"]] = {"sec": d["sec"], "rows": d["rows"]}
+            else:
+                mkt.update(d)
+    if {"market_stats_plain", "market_stats_blocked"} <= set(mkt["jobs"]):
+        mkt["blocked_speedup"] = round(
+            mkt["jobs"]["market_stats_plain"]["sec"]
+            / mkt["jobs"]["market_stats_blocked"]["sec"], 2,
+        )
+    artifact["skew"]["market_hot95"] = mkt
+
+    # bpe merge-batching rung
+    stdout = run([sys.executable, "tools/scale_bpe_run.py"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            artifact["bpe"].append(json.loads(line))
 
     # crossover summary: where the skew-proof/tiered forms overtake
     for e in artifact["market"]:
