@@ -47,6 +47,58 @@ from pyspark.sql import DataFrame
 _PERSISTED: list[DataFrame] = []
 
 
+def _strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a checkpointed DataFrame as a bare RDD-backed plan with NO
+    inherited Catalyst statistics.
+
+    Why this exists: ``Dataset.localCheckpoint`` (and reliable
+    ``checkpoint``) captures ``optimizedPlan.stats`` into the new
+    ``LogicalRDD`` as ``originStats``. Catalyst's size-only estimator
+    (``SizeInBytesOnlyStatsPlanVisitor``) computes a join's ``sizeInBytes``
+    as the PRODUCT of its children's sizes, so a plan that references one
+    table k times multiplies that table's size-estimate BigInt k times —
+    the estimate's BIT LENGTH grows ~k-fold. Harmless once; fatal when
+    checkpoints chain: an iterative loop that checkpoints each round (each
+    round's plan referencing the previous round's table 3x) grows the
+    cached BigInt's bit length 3x PER ROUND — doubly exponential. After
+    ~14 rounds the driver spends MINUTES in ``BigInteger.multiply``
+    (Toom-Cook on ~100M-bit numbers) every time anything computes stats
+    over the final table — measured 90-105 s per downstream
+    ``localCheckpoint`` call at the 200k-doc curation scale rung, with
+    zero Spark stages running (pure driver CPU).
+
+    The rewrap drops ``originStats`` (the new plan reports
+    ``spark.sql.defaultSizeInBytes``, exactly what any RDD-backed plan
+    without stats reports), which resets every chain to constant-size
+    estimates. Cost: join auto-broadcast decisions for the checkpointed
+    table now come from AQE's RUNTIME sizes (always on in this engine —
+    ``session.RUNTIME_CONFS``) rather than propagated estimates, and the
+    checkpoint's origin partitioning/ordering metadata is dropped (a
+    downstream join keyed identically re-shuffles; at the row counts where
+    iterative loops run that exchange is noise next to the minutes of
+    BigInt arithmetic). Uses the JVM-private ``internalCreateDataFrame``
+    (stable across Spark 3.x-4.x; ``private[sql]`` is public bytecode);
+    any failure falls back to the stats-carrying input unchanged.
+    """
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        out_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(out_jdf, spark)
+    except Exception:  # pragma: no cover - connect mode / future Spark
+        return df
+
+
+def checkpoint_nostats(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` + :func:`_strip_plan_stats`: the form every
+    ITERATIVE checkpoint (and every checkpoint whose output feeds further
+    materializations) must use — see :func:`_strip_plan_stats` for the
+    doubly-exponential size-estimate pathology this prevents."""
+    return _strip_plan_stats(df.localCheckpoint(eager=eager))
+
+
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """Materialize a multiply-referenced subtree (see module docstring)."""
     mode = os.environ.get("SPARK_GRAFT_MATERIALIZE")
@@ -61,7 +113,7 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(out)
         return out
-    return df.localCheckpoint(eager=eager)
+    return checkpoint_nostats(df, eager=eager)
 
 
 def release(df: DataFrame) -> bool:

@@ -53,6 +53,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..materialize import checkpoint_nostats
+
 logger = logging.getLogger(__name__)
 
 #: Edge-count ceiling for the driver tier: 2M edges ≈ 32 MB of int64 through
@@ -111,7 +113,13 @@ def connected_components(
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
     if driver_threshold:
-        half = half.localCheckpoint()  # counted AND reused below: one compute
+        # counted AND reused below: one compute. checkpoint_nostats, not a
+        # bare localCheckpoint: every round below checkpoints a plan that
+        # references the previous round's table 3x, and checkpoint-captured
+        # size estimates MULTIPLY per reference — bit length 3x per round,
+        # minutes of driver-side BigInteger arithmetic by round ~14 (see
+        # materialize._strip_plan_stats)
+        half = checkpoint_nostats(half)
         n_edges = half.count()
         if n_edges <= driver_threshold:
             logger.info(
@@ -123,16 +131,14 @@ def connected_components(
             f"connected_components: distributed tier ({n_edges} edges > "
             f"{driver_threshold})"
         )
-    edges = (
+    edges = checkpoint_nostats(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = checkpoint_nostats(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         # spread: min over self + neighbour labels (old label carried along
@@ -148,15 +154,14 @@ def connected_components(
             F.col("comp").alias("old"),
         )
         # jump: comp <- label(comp); a component label is always a node
-        jumped = (
+        jumped = checkpoint_nostats(
             spread.join(
                 labels.select(
                     F.col("node").alias("comp"), F.col("comp").alias("comp2")
                 ),
                 "comp",
-            )
-            .select("node", F.least("comp", "comp2").alias("comp"), "old")
-            .localCheckpoint()  # eager: cuts lineage AND materializes the round
+            ).select("node", F.least("comp", "comp2").alias("comp"), "old"),
+            eager=True,  # cuts lineage AND materializes the round
         )
         # scan of the just-cached result — no join, no shuffle
         changed = jumped.filter(F.col("comp") != F.col("old")).count()

@@ -33,6 +33,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import checkpoint_nostats
+
 logger = logging.getLogger(__name__)
 
 #: Default per-bucket member cap. Far above anything the test corpora
@@ -272,7 +274,7 @@ def cap_bucket_size_chained(
     ranked = _with_rank(df, bucket_cols, id_col)
     if log_dropped:
         ranked = _observed(ranked, max_bucket_size, log_fn)
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = checkpoint_nostats(ranked)
     kept = (
         ranked.filter(F.col("__bucket_rn") <= max_bucket_size)
         .drop("__bucket_rn", "__bucket_min")

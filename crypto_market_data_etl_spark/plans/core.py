@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..materialize import checkpoint_nostats
 from ..operators.asof import asof_join
 from ..operators.bars import dollar_bars, with_cents
 from ..operators.candles import sliding_stats, tumbling_candles
@@ -1005,7 +1006,7 @@ def q25_continuous_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") / 100.0).alias("volume"),
         )
         # materialize before the temp store disappears
-        out = daily.localCheckpoint(eager=True)
+        out = checkpoint_nostats(daily, eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -375,3 +375,72 @@ def test_curate_corpus_stage_contracts(spark):
     rates = out.groupby("lang")["rate"].nunique()
     assert (rates == 1).all()
     assert ((out["rate"] > 0) & (out["rate"] <= 1.0)).all()
+
+
+def _stats_bits(df):
+    """Bit length of Catalyst's sizeInBytes estimate for df's optimized plan."""
+    s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j maps scala BigInt to python int for small values; huge estimates
+    # come through as java objects exposing bitLength()
+    return s.bit_length() if isinstance(s, int) else int(s.bitLength())
+
+
+def test_checkpoint_nostats_resets_size_estimate(spark):
+    """checkpoint_nostats must NOT carry the pre-checkpoint plan's
+    size-in-bytes estimate: captured estimates MULTIPLY per plan reference,
+    and iterative loops that checkpoint each round grow the cached BigInt's
+    bit length geometrically (minutes of driver-side BigInteger arithmetic
+    by round ~14 — the 952 s curate_corpus scale cliff)."""
+    from crypto_market_data_etl_spark.materialize import checkpoint_nostats
+
+    base = spark.range(1000).select(
+        F.col("id").alias("node"), F.col("id").alias("comp")
+    )
+    ck = checkpoint_nostats(base)
+    assert ck.count() == 1000
+    # defaultSizeInBytes is Long.MaxValue -> 63 bits; anything inherited
+    # from a deeper plan would exceed it after a couple of self-joins
+    assert _stats_bits(ck) <= 64
+
+
+def test_iterative_checkpoint_stats_stay_bounded(spark):
+    """A 6-round loop whose round plan references the previous table 3x —
+    the connected-components shape. With stats-carrying checkpoints the
+    estimate's bit length TRIPLES per round (small at 6 rounds, minutes at
+    14); with checkpoint_nostats it must stay constant."""
+    from crypto_market_data_etl_spark.materialize import checkpoint_nostats
+
+    edges = checkpoint_nostats(
+        spark.range(300).select(
+            (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+        )
+    )
+    labels = checkpoint_nostats(
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(6):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nc"))
+        )
+        spread = labels.join(nbr, "node", "left").select(
+            "node", F.least("comp", F.coalesce("nc", F.col("comp"))).alias("comp")
+        )
+        jumped = spread.join(
+            labels.select(F.col("node").alias("comp"), F.col("comp").alias("c2")),
+            "comp",
+        ).select("node", F.least("comp", "c2").alias("comp"))
+        labels = checkpoint_nostats(jumped, eager=True)
+        assert _stats_bits(labels) <= 64, "stats estimate grew across rounds"
+
+
+def test_connected_components_distributed_rounds_bounded_stats(spark):
+    """The real distributed loop (driver tier disabled) must keep per-round
+    plans cheap to stat — and stay correct."""
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (12, 12)])
+    out = connected_components(pairs, driver_threshold=0)
+    got = {r["node"]: r["comp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 12}
+    assert _stats_bits(out) <= 64
