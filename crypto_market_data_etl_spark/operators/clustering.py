@@ -131,43 +131,94 @@ def connected_components(
             f"connected_components: distributed tier ({n_edges} edges > "
             f"{driver_threshold})"
         )
+    # Distributed tier: min-neighbor STAR CONTRACTION (Boruvka-shaped).
+    # Each round every node relabels to min(self, min neighbor) with one
+    # pointer jump, then the EDGE LIST ITSELF is contracted to the new
+    # labels (self-loops dropped). Components at least halve per round
+    # (O(log n) rounds like the old label-propagation loop), but the edge
+    # list shrinks GEOMETRICALLY — a clique collapses to nothing in one
+    # round — so later rounds join ever-smaller tables where the old loop
+    # re-joined the full edge list every round (measured at the 5.3M-edge
+    # corpus rung: 35.7 s -> see SCALE notes). The moment the contracted
+    # residue fits ``driver_threshold``, the SAME numpy kernel finishes it
+    # and the final labels compose back through the accumulated mapping —
+    # at 100 TB this is the standard "filter, then finish small" CC shape
+    # (Kiveris et al.).
     edges = checkpoint_nostats(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    labels = checkpoint_nostats(
+    mapping = checkpoint_nostats(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
     for _ in range(max_rounds):
-        # spread: min over self + neighbour labels (old label carried along
-        # so the convergence check below needs no extra join)
-        nbr = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        spread = labels.join(nbr, "node", "left").select(
-            "node",
-            F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-            F.col("comp").alias("old"),
-        )
-        # jump: comp <- label(comp); a component label is always a node
-        jumped = checkpoint_nostats(
-            spread.join(
-                labels.select(
-                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        n_edges = edges.count()
+        if n_edges == 0:
+            return mapping
+        if driver_threshold and n_edges <= driver_threshold:
+            fin = _cc_numpy(mapping.sparkSession, edges, max_rounds)
+            out = mapping.join(
+                fin.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("__fin")
                 ),
                 "comp",
-            ).select("node", F.least("comp", "comp2").alias("comp"), "old"),
-            eager=True,  # cuts lineage AND materializes the round
+                "left",
+            ).select(
+                "node", F.coalesce("__fin", F.col("comp")).alias("comp")
+            )
+            return out
+        # new label per rep node: min(self, min neighbor), one pointer jump.
+        # The pre-jump table is checkpointed first — the jump self-joins it,
+        # and an unmaterialized reference would re-aggregate the (big) edge
+        # table twice per round
+        lab0 = checkpoint_nostats(
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("nbr"))
+            .select(
+                F.col("src").alias("node"),
+                F.least("src", "nbr").alias("new"),
+            ),
+            eager=True,
         )
-        # scan of the just-cached result — no join, no shuffle
-        changed = jumped.filter(F.col("comp") != F.col("old")).count()
-        labels = jumped.select("node", "comp")
-        if changed == 0:
-            return labels
+        lab = checkpoint_nostats(
+            lab0.join(
+                lab0.select(
+                    F.col("node").alias("new"), F.col("new").alias("new2")
+                ),
+                "new",
+                "left",
+            )
+            .select(
+                "node",
+                F.least("new", F.coalesce("new2", F.col("new"))).alias("new"),
+            ),
+            eager=True,
+        )
+        # contract edges to the new labels; drop intra-group self-loops
+        edges = checkpoint_nostats(
+            edges.join(
+                lab.select(F.col("node").alias("src"), F.col("new").alias("nsrc")),
+                "src",
+            )
+            .join(
+                lab.select(F.col("node").alias("dst"), F.col("new").alias("ndst")),
+                "dst",
+            )
+            .select(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct(),
+            eager=True,
+        )
+        # compose the node -> rep mapping (reps with no remaining edges are
+        # absent from lab and keep their label)
+        mapping = checkpoint_nostats(
+            mapping.join(
+                lab.select(F.col("node").alias("comp"), "new"), "comp", "left"
+            ).select("node", F.coalesce("new", F.col("comp")).alias("comp")),
+            eager=True,
+        )
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 

@@ -158,6 +158,21 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {n: min(m for m in want if want[m] == want[n]) for n in want}
     assert got == want
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_connected_components_distributed_matches_union_find(spark, edges):
+    """The star-contraction distributed tier (driver_threshold=0 disables
+    the numpy finish entirely) must reach the same min-id fixpoint."""
+    from crypto_market_data_etl_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs, driver_threshold=0).collect()}
+    want = _union_find(edges)
+    want = {n: min(m for m in want if want[m] == want[n]) for n in want}
+    assert got == want
+
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
