@@ -91,12 +91,30 @@ def _strip_plan_stats(df: DataFrame) -> DataFrame:
         return df
 
 
-def checkpoint_nostats(df: DataFrame, eager: bool = False) -> DataFrame:
-    """``localCheckpoint`` + :func:`_strip_plan_stats`: the form every
-    ITERATIVE checkpoint (and every checkpoint whose output feeds further
+def checkpoint_nostats(
+    df: DataFrame, eager: bool = False, reliable: bool | None = None
+) -> DataFrame:
+    """Checkpoint + :func:`_strip_plan_stats`: the form every ITERATIVE
+    checkpoint (and every checkpoint whose output feeds further
     materializations) must use — see :func:`_strip_plan_stats` for the
-    doubly-exponential size-estimate pathology this prevents."""
-    return _strip_plan_stats(df.localCheckpoint(eager=eager))
+    doubly-exponential size-estimate pathology this prevents.
+
+    ``reliable=None`` auto-detects: when the SparkContext has a checkpoint
+    directory configured (``sc.setCheckpointDir``), uses RELIABLE
+    ``checkpoint`` — blocks survive executor loss, the requirement for
+    iterative jobs on a real cluster. Without one (every local run), uses
+    ``localCheckpoint``. :func:`materialize` pins ``reliable=False``: its
+    persist-vs-localCheckpoint mode decision already chose the local path,
+    and one-shot subtree sharing does not need fault-tolerant blocks.
+    """
+    if reliable is None:
+        reliable = False
+        try:
+            reliable = bool(df.sparkSession.sparkContext.getCheckpointDir())
+        except Exception:  # pragma: no cover - connect mode has no sparkContext
+            pass
+    ck = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+    return _strip_plan_stats(ck)
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -113,7 +131,7 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(out)
         return out
-    return checkpoint_nostats(df, eager=eager)
+    return checkpoint_nostats(df, eager=eager, reliable=False)
 
 
 def release(df: DataFrame) -> bool:

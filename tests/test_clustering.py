@@ -444,3 +444,32 @@ def test_connected_components_distributed_rounds_bounded_stats(spark):
     got = {r["node"]: r["comp"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 12}
     assert _stats_bits(out) <= 64
+
+
+def test_checkpoint_nostats_reliable_path(spark, tmp_path):
+    """With a checkpoint dir configured, checkpoint_nostats auto-selects
+    RELIABLE checkpoint (fault-tolerant blocks for cluster loops) and still
+    strips inherited stats."""
+    from crypto_market_data_etl_spark.materialize import checkpoint_nostats
+
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        base = spark.range(500).select(F.col("id").alias("k"))
+        ck = checkpoint_nostats(base, eager=True)
+        assert ck.count() == 500
+        assert _stats_bits(ck) <= 64
+        # reliable checkpoint writes RDD data under the configured dir
+        import os
+
+        wrote = any(files for _, _, files in os.walk(tmp_path / "ckpt"))
+        assert wrote, "no reliable checkpoint data written"
+        # explicit opt-out still works with a dir configured
+        ck2 = checkpoint_nostats(base, reliable=False)
+        assert ck2.count() == 500
+    finally:
+        if old:
+            sc.setCheckpointDir(old)
+        else:
+            sc._jsc.sc().setCheckpointDir(None)

@@ -39,11 +39,21 @@ def _load(spark, fixture_dir):
     return trades, obs
 
 
+BEST_OF = 2
+
+
 def timed(name, thunk):
-    t0 = time.monotonic()
-    n = thunk()
-    wall = round(time.monotonic() - t0, 2)
-    print(json.dumps({"job": name, "sec": wall, "rows": n}), flush=True)
+    """min-of-BEST_OF wall: this box's run-to-run swing on 10M-row window
+    jobs is ~2x (JIT warm-up + VM noise); a single sample regularly inverts
+    real crossovers, so the recorded rung is the minimum with every sample
+    kept alongside for honesty."""
+    walls, n = [], None
+    for _ in range(max(1, BEST_OF)):
+        t0 = time.monotonic()
+        n = thunk()
+        walls.append(round(time.monotonic() - t0, 2))
+    wall = min(walls)
+    print(json.dumps({"job": name, "sec": wall, "rows": n, "walls": walls}), flush=True)
     return wall
 
 
@@ -51,7 +61,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("fixture_dir", nargs="?", default="/tmp/market_fixture")
     ap.add_argument("--jobs", default="candles,stats_plain,stats_blocked,preprocess")
+    ap.add_argument("--best-of", type=int, default=2)
     args = ap.parse_args()
+    global BEST_OF
+    BEST_OF = args.best_of
     jobs = set(args.jobs.split(","))
 
     spark = get_spark()
