@@ -1743,6 +1743,22 @@ QUALIFY rnk <= {BM25_K}
 """
 
 
+def x47_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x37's EXACT ranking through the max-score pruned tier — same oracle:
+    the pruning's whole contract is that it is invisible in the output
+    (``operators.retrieval.bm25_topk_maxscore``)."""
+    from ..operators.retrieval import bm25_topk_maxscore
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, BM25_QUERY_TOKENS)
+        ).alias("q_text"),
+    )
+    return bm25_topk_maxscore(docs, queries, k1=BM25_K1, b=BM25_B, k=BM25_K)
+
+
 # --------------------------------------------------------------------------
 # x38 fuzzy cross-corpus decontamination: MinHash band join of corpus docs
 # against the benchmark corpus — catches paraphrased benchmark leaks the
@@ -2207,6 +2223,7 @@ VARIANT_QUERIES = {
     "x44_gopher_rules": x44_gopher_rules,
     "x45_dedup_provenance": x45_dedup_provenance,
     "x46_token_kl": x46_token_kl,
+    "x47_bm25_maxscore": x47_bm25_maxscore,
 }
 
 VARIANT_ORACLES = {
@@ -2231,4 +2248,5 @@ VARIANT_ORACLES = {
     "x44_gopher_rules": X44_SQL,
     "x45_dedup_provenance": X45_SQL,
     "x46_token_kl": X46_SQL,
+    "x47_bm25_maxscore": X37_SQL,
 }

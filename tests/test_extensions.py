@@ -1063,3 +1063,77 @@ def test_partition_probe_memoizes_semantically_equal_plans(spark):
     # a REBUILT but semantically identical DataFrame hits the cache
     n2 = dedup._input_partitions(df2)
     assert n2 == n1 and len(dedup._PARTITION_PROBE_CACHE) == 1
+
+
+def _bm25_rows(out):
+    return sorted((r.q_id, r.doc_id, r.rnk, r.score) for r in out.collect())
+
+
+def test_bm25_maxscore_equals_exact_stopword_corpus(spark):
+    """Max-score pruning must be invisible in the output: identical
+    (q, doc, rank, score) rows on a corpus where a stop word saturates
+    every document — the exact case the pruning exists for."""
+    import random
+
+    from crypto_market_data_etl_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_maxscore,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            # 'the' in every doc; sprinkle rare terms
+            (i, "the " + " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "the w3 w17"),     # stop word + rare terms
+            (2, "the"),            # ONLY the stop word: nothing prunable
+            (3, "w5 w6 w7 w8"),    # all rare
+            (4, "zzz qqq"),        # no matches at all
+        ],
+        "q_id long, q_text string",
+    )
+    for k in (3, 10):
+        assert _bm25_rows(bm25_topk_maxscore(docs, queries, k=k)) == _bm25_rows(
+            bm25_topk(docs, queries, k=k)
+        )
+
+
+def test_bm25_maxscore_equality_property(spark):
+    """Randomized corpora/queries: pruned output == exact output, including
+    k larger than the match count and single-doc corpora."""
+    import random
+
+    from crypto_market_data_etl_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_maxscore,
+    )
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n_docs = rng.randint(1, 120)
+        vocab = [f"t{i}" for i in range(rng.randint(3, 25))]
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choices(vocab, k=rng.randint(1, 15))))
+                for i in range(n_docs)
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [
+                (q, " ".join(rng.choices(vocab + ["none"], k=rng.randint(1, 5))))
+                for q in range(5)
+            ],
+            "q_id long, q_text string",
+        )
+        k = rng.choice([1, 4, 200])
+        assert _bm25_rows(bm25_topk_maxscore(docs, queries, k=k)) == _bm25_rows(
+            bm25_topk(docs, queries, k=k)
+        ), f"seed={seed} k={k}"

@@ -1,6 +1,6 @@
 """Record the variant-query oracle sweep as a per-round committed artifact.
 
-The driver's CORRECTNESS gate records exactly 50 rows; the 26 physical-
+The driver's CORRECTNESS gate records exactly 50 rows; the physical-
 variant queries (``plans.variant_queries()``) are verified only by pytest +
 ``tools/selfcheck.py`` — with no committed round-over-round record, a
 variant regression is invisible to the driver's audit trail (round-5
