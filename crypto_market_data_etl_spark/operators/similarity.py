@@ -231,15 +231,26 @@ def lsh_signatures_np(
 
 
 def _rerank_candidates(
-    cand: DataFrame, vecs: DataFrame, id_col: str, vec_col: str, k: int
+    cand: DataFrame,
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    q_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine rerank of a distinct (q_id, n_id) candidate set.
 
     Vectors are joined back from ``vecs`` so candidate generation can drop
     payload columns early (candidates are the small relation; two hash joins
     on ids beat carrying dim-wide arrays through the explode/dedupe path).
+    ``q_vecs`` is the query-side vector source — REQUIRED whenever the
+    query set is not a subset of the corpus (an external query frame's ids
+    would silently join to nothing against ``vecs``, returning an empty
+    result; found by tools/scale_ann_run.py's offset-id planted queries).
+    Defaults to ``vecs`` for the self-join ANN form.
     """
-    q = vecs.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_vecs = vecs if q_vecs is None else q_vecs
+    q = q_vecs.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     n = vecs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
     sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
         F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
@@ -316,7 +327,7 @@ def lsh_ann_multiprobe(
         .select("q_id", "n_id")
         .distinct()  # a pair can collide through several probes
     )
-    return _rerank_candidates(cand, df, id_col, vec_col, k)
+    return _rerank_candidates(cand, df, id_col, vec_col, k, q_vecs=queries)
 
 
 def lsh_ann_bandor(
@@ -394,7 +405,7 @@ def lsh_ann_bandor(
         .select("q_id", "n_id")
         .distinct()
     )
-    return _rerank_candidates(cand, df, id_col, vec_col, k)
+    return _rerank_candidates(cand, df, id_col, vec_col, k, q_vecs=queries)
 
 
 def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:

@@ -1137,3 +1137,41 @@ def test_bm25_maxscore_equality_property(spark):
         assert _bm25_rows(bm25_topk_maxscore(docs, queries, k=k)) == _bm25_rows(
             bm25_topk(docs, queries, k=k)
         ), f"seed={seed} k={k}"
+
+
+def test_ann_external_query_frame_reranks(spark):
+    """Queries whose ids are NOT corpus ids must still rerank: the rerank
+    joins query vectors from the query frame, not the corpus (a corpus-only
+    join silently returned ZERO rows for external queries — found by the
+    scale_ann_run planted-query rung)."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_bandor,
+        lsh_ann_multiprobe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 97 + j * 31) % 101 - 50) for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # external ids 1000+q, vectors = near-copies of corpus vecs 0/7/14
+    rows = {r.vec_id: r.embedding for r in corpus.collect()}
+    queries = spark.createDataFrame(
+        [(1000 + q, [v + 0.001 for v in rows[q * 7]]) for q in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    expect = {1000 + q: q * 7 for q in range(3)}
+    for fn, kw in [
+        (cosine_topk, {}),
+        (lsh_ann_bandor, dict(planes_per_table=2, n_tables=3, dim=8)),
+        (lsh_ann_multiprobe, dict(n_planes=2, dim=8)),
+        (ivf_ann_topk, dict(n_probe=3, centroid_filter=F.col("vec_id") % 10 == 1)),
+    ]:
+        out = fn(corpus, queries, k=3, **kw).collect()
+        assert out, f"{fn.__name__} returned no rows for external queries"
+        top1 = {r.q_id: r.n_id for r in out if r.rnk == 1}
+        for q_id, want in expect.items():
+            assert top1.get(q_id) == want, (
+                f"{fn.__name__}: query {q_id} top-1 {top1.get(q_id)} != planted {want}"
+            )

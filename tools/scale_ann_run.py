@@ -1,0 +1,159 @@
+"""ANN scale rung: brute-force vs LSH band-OR vs IVF at a 200k-vector corpus.
+
+The bench exercises the ANN family at sf0.1 (5k vectors) where index
+overheads dominate; this rung measures the shapes the operators were
+designed for — a corpus two orders larger, planted near-duplicate queries
+(cos ~ 0.999), recall@k computed against the exact result with
+``similarity.ann_recall``. Vectors are deterministic (xxhash64-derived),
+so the rung is reproducible without fixture files.
+
+Prints one JSON line per tier: wall, rows, recall.
+
+Usage: python tools/scale_ann_run.py [--vectors 200000] [--queries 500] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crypto_market_data_etl_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
+    cosine_topk,
+    cosine_topk_np,
+    ivf_ann_topk,
+    lsh_ann_bandor,
+)
+from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+
+
+def _vec(seed_col, jitter: int = 0):
+    """Deterministic pseudo-random unit-cube vector; jitter>0 adds a small
+    per-coordinate perturbation (planted near-duplicate, cos ~ 0.999)."""
+    base = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(seed_col * 131 + i), F.lit(1000)).cast("double")
+            / 500.0
+            - 1.0
+        ),
+    )
+    if not jitter:
+        return base
+    return F.transform(
+        base,
+        lambda v, i: v
+        + F.pmod(F.xxhash64(seed_col * 977 + i + jitter), F.lit(100)).cast("double")
+        / 5000.0,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vectors", type=int, default=200_000)
+    ap.add_argument("--queries", type=int, default=500)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scale_ann")
+    corpus = (
+        spark.range(args.vectors)
+        .select(F.col("id").alias("vec_id"), _vec(F.col("id")).alias("embedding"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    corpus.count()
+    stride = max(1, args.vectors // args.queries)
+    # query ids are OFFSET past the corpus ids: cosine_topk (and the rerank
+    # tiers) exclude identical-id pairs, so a query that reused its source
+    # vector's id would have its planted neighbor filtered out of every
+    # result
+    queries = (
+        spark.range(args.queries)
+        .select(
+            (F.col("id") * stride + args.vectors).alias("vec_id"),
+            _vec(F.col("id") * stride, jitter=1).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    queries.count()
+
+    t0 = time.time()
+    exact = cosine_topk(corpus, queries, k=args.k).localCheckpoint()
+    n = exact.count()
+    print(
+        json.dumps(
+            {"job": "ann_brute_exact", "sec": round(time.time() - t0, 2), "rows": n}
+        ),
+        flush=True,
+    )
+    # planted-neighbor sanity: every query's jittered source (id = q_id -
+    # n_vectors) should be its top hit in the exact result
+    planted_pred = F.col("n_id") == F.col("q_id") - args.vectors
+    planted = exact.filter((F.col("rnk") == 1) & planted_pred).count()
+    print(json.dumps({"job": "ann_planted_top1", "hit": planted, "of": args.queries}), flush=True)
+
+    tiers = [
+        ("ann_brute_np", lambda: cosine_topk_np(corpus, queries, k=args.k)),
+        (
+            "ann_bandor_3x8_np",
+            lambda: lsh_ann_bandor(
+                corpus,
+                queries,
+                planes_per_table=8,
+                n_tables=3,
+                dim=DIM,
+                k=args.k,
+                numpy_sig=True,
+            ),
+        ),
+        (
+            "ann_ivf_probe4_np",
+            lambda: ivf_ann_topk(
+                corpus,
+                queries,
+                n_probe=4,
+                k=args.k,
+                centroid_filter=F.col("vec_id") % 400 == 1,
+                numpy_assign=True,
+            ),
+        ),
+    ]
+    for name, fn in tiers:
+        t0 = time.time()
+        out = fn().localCheckpoint()
+        n = out.count()
+        wall = round(time.time() - t0, 2)
+        rec = ann_recall(out, exact).first()
+        # the near-dup retrieval task proper: fraction of queries whose
+        # PLANTED neighbor (cos ~ 0.9998) appears in the tier's top-k —
+        # overall recall@k also counts the quasi-random cos~0.5 tail, which
+        # no bucketed index is designed to find
+        found = out.filter(planted_pred).select("q_id").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "job": name,
+                    "sec": wall,
+                    "rows": n,
+                    "recall_at_k": float(rec["recall"]),
+                    "planted_found": found,
+                    "planted_frac": round(found / args.queries, 4),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
