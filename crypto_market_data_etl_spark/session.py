@@ -31,12 +31,6 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # streaming recovery depth: retain the minimum batches a restart needs
-    # (the latest committed + in-flight) instead of the 100-batch default —
-    # the HDFS-backed state store's per-batch delta cleanup and WAL compaction
-    # scale with retention, a measured ~4% of stateful-query wall at bench
-    # scale. Deployments that rewind checkpoints N batches raise this.
-    "spark.sql.streaming.minBatchesToRetain": "2",
 }
 
 
@@ -57,25 +51,52 @@ from typing import Iterator
 
 
 @contextmanager
-def state_partitions(spark: SparkSession, n: int) -> Iterator[None]:
-    """Scope ``spark.sql.shuffle.partitions`` to ``n`` while BUILDING AND
-    STARTING a streaming query, then restore it.
+def state_partitions(
+    spark: SparkSession, n: int, min_batches_to_retain: int | None = 2
+) -> Iterator[None]:
+    """Scope the streaming-query-start conf while BUILDING AND STARTING a
+    streaming query, then restore it.
 
-    A streaming aggregation/stateful op creates one state-store instance per
-    shuffle partition, and that count is *frozen into the checkpoint* at
-    query start. The right number tracks STATE VOLUME (distinct keys), not
-    CPU count: at local[32] with ~150 instrument keys, 32 state stores are
-    pure per-micro-batch overhead — measured s01 candle replay 4.0s → 1.9s
-    (2.1x) moving 32 → 4-8, s02 stateful EWMA 5.9s → 4.7s. On a 1000-executor
-    cluster with millions of keys the same knob goes UP instead. Batch
-    queries are unaffected (AQE coalesces their shuffles at runtime).
+    Two knobs, both frozen into the query at ``start()``:
+
+    - ``spark.sql.shuffle.partitions`` → ``n``: a streaming aggregation/
+      stateful op creates one state-store instance per shuffle partition,
+      and that count is *frozen into the checkpoint* at query start. The
+      right number tracks STATE VOLUME (distinct keys), not CPU count: at
+      local[32] with ~150 instrument keys, 32 state stores are pure
+      per-micro-batch overhead — measured s01 candle replay 4.0s → 1.9s
+      (2.1x) moving 32 → 4-8, s02 stateful EWMA 5.9s → 4.7s. On a
+      1000-executor cluster with millions of keys the same knob goes UP
+      instead. Batch queries are unaffected (AQE coalesces their shuffles
+      at runtime).
+    - ``spark.sql.streaming.minBatchesToRetain`` → ``min_batches_to_retain``
+      (default 2 = latest committed + in-flight): the HDFS-backed state
+      store's per-batch delta cleanup and WAL compaction scale with
+      retention depth, a measured ~4% of stateful-query wall at bench
+      scale. Scoped HERE — to the ephemeral replay/bench queries this
+      engine starts — not session-wide (ADVICE r6): a deployment that
+      rewinds checkpoints N batches keeps Spark's 100-batch default for
+      queries started outside this context. Pass ``None`` to leave the
+      session value untouched.
     """
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    restore: dict[str, str] = {
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+    }
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if min_batches_to_retain is not None:
+        key = "spark.sql.streaming.minBatchesToRetain"
+        try:
+            restore[key] = spark.conf.get(key)
+        except Exception:  # pragma: no cover - default not readable pre-set
+            restore[key] = "100"
+        spark.conf.set(key, str(min_batches_to_retain))
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in restore.items():
+            spark.conf.set(k, v)
 
 
 def get_spark(
