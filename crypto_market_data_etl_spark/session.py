@@ -52,7 +52,7 @@ from typing import Iterator
 
 @contextmanager
 def state_partitions(
-    spark: SparkSession, n: int, min_batches_to_retain: int | None = 2
+    spark: SparkSession, n: int, min_batches_to_retain: int | None = None
 ) -> Iterator[None]:
     """Scope the streaming-query-start conf while BUILDING AND STARTING a
     streaming query, then restore it.
@@ -70,14 +70,15 @@ def state_partitions(
       instead. Batch queries are unaffected (AQE coalesces their shuffles
       at runtime).
     - ``spark.sql.streaming.minBatchesToRetain`` → ``min_batches_to_retain``
-      (default 2 = latest committed + in-flight): the HDFS-backed state
-      store's per-batch delta cleanup and WAL compaction scale with
-      retention depth, a measured ~4% of stateful-query wall at bench
-      scale. Scoped HERE — to the ephemeral replay/bench queries this
-      engine starts — not session-wide (ADVICE r6): a deployment that
-      rewinds checkpoints N batches keeps Spark's 100-batch default for
-      queries started outside this context. Pass ``None`` to leave the
-      session value untouched.
+      (default ``None`` = keep the session value, i.e. Spark's 100-batch
+      rewind default). The r6 override to 2 claimed a ~4% win; interleaved
+      same-box A/Bs this round show it does NOT reproduce — s02 stateful
+      EWMA is ~10% SLOWER with it (best-of-4 24,154 vs 26,609 ev/s), and
+      s01 / q30 move within noise in opposite directions (s01 2.321 vs
+      2.448 s, q30 2.487 vs 2.345 s best-of-3). The retention-depth cleanup
+      saving is real only for long-lived queries with large state deltas;
+      for the 4-micro-batch replay queries here the extra maintenance-path
+      churn outweighs it, so the default keeps Spark's own.
     """
     restore: dict[str, str] = {
         "spark.sql.shuffle.partitions": spark.conf.get(

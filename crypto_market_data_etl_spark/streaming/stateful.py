@@ -515,6 +515,127 @@ def stateful_ewma(
     )
 
 
+def stateful_ewma_bucketed(
+    df: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    alpha: float = 0.8,
+    out: str = "ewma",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """:func:`stateful_ewma` vectorized ACROSS keys, not just within them.
+
+    ``applyInPandasWithState`` invokes the Python update function once per
+    grouping key per micro-batch. Keyed directly on the instrument that is
+    O(distinct keys) Python calls per batch — at 1,500 keys × ~17 rows each
+    the interpreter call overhead (frame construction, ewm setup) dwarfs the
+    arithmetic: profiled ~1.2 s of addBatch per 25k-row batch, ~48 µs/row.
+    Here the stream is grouped by ``hash(key) % n_buckets`` instead, so the
+    update function runs ``n_buckets`` times per batch over frames that hold
+    MANY keys, and the recurrence is computed for all of them in one Cython
+    pass (``groupby(...).ewm(adjust=False).mean()`` on a key-sorted frame,
+    seeded per key by prepended synthetic rows carrying the state).
+
+    State per bucket = two parallel arrays (keys, last ewma) covering the
+    bucket's keys — O(total keys / n_buckets) per group, O(total keys)
+    overall, exactly like the per-key form. At 100 TB scale ``n_buckets``
+    grows with key cardinality (keep ≤ ~100k keys per bucket) and the state
+    store partition count grows with ``n_buckets``; the per-key form is the
+    degenerate ``n_buckets = ∞`` point of the same design.
+
+    Correctness: a key's rows always hash to the same bucket, so ordering
+    and state continuity per key are preserved; equality-tested bit-for-bit
+    against :func:`stateful_ewma` and the batch oracle.
+    """
+    key_t = _dtype(df, key_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_t),
+            T.StructField(ts_col, _dtype(df, ts_col)),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(key_t)),
+            T.StructField("ewmas", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    int_key = _integral(key_t)
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        k = pdf[key_col].to_numpy()
+        ts = pdf[ts_col].to_numpy()
+        v = pdf[value_col].to_numpy(dtype="float64")
+        if state.exists:
+            skeys_l, sewmas_l = state.get
+            skeys = np.asarray(skeys_l, dtype=k.dtype if int_key else object)
+            sewmas = np.asarray(sewmas_l, dtype="float64")
+        else:
+            skeys = np.empty(0, dtype=k.dtype if int_key else object)
+            sewmas = np.empty(0, dtype="float64")
+        # seed rows: one synthetic first observation per carried key present
+        # in this batch (prepending the carry reproduces the adjust=False
+        # recurrence bit-for-bit, same argument as stateful_ewma)
+        in_batch = np.isin(skeys, k)
+        seed_k, seed_v = skeys[in_batch], sewmas[in_batch]
+        ns = len(seed_k)
+        all_k = np.concatenate([seed_k, k])
+        all_v = np.concatenate([seed_v, v])
+        all_ts = np.concatenate([np.zeros(ns, dtype=ts.dtype), ts])
+        not_seed = np.concatenate(
+            [np.zeros(ns, dtype=np.int8), np.ones(len(k), dtype=np.int8)]
+        )
+        # primary sort on key, seeds first within a key, then event time
+        order = np.lexsort((all_ts, not_seed, all_k))
+        sk, sv, sts, sns = (
+            all_k[order], all_v[order], all_ts[order], not_seed[order]
+        )
+        ewmas = (
+            pd.DataFrame({"k": sk, "v": sv})
+            .groupby("k", sort=False)["v"]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        # new last-ewma per key touched this batch = last row of its segment
+        seg_end = np.nonzero(sk[1:] != sk[:-1])[0]
+        last_idx = np.concatenate([seg_end, [len(sk) - 1]])
+        new_keys, new_lasts = sk[last_idx], ewmas[last_idx]
+        keep = ~in_batch
+        merged_k = np.concatenate([skeys[keep], new_keys])
+        merged_e = np.concatenate([sewmas[keep], new_lasts])
+        state.update((merged_k.tolist(), merged_e.tolist()))
+        real = sns == 1
+        yield pd.DataFrame(
+            {
+                key_col: sk[real],
+                ts_col: sts[real],
+                value_col: sv[real],
+                out: ewmas[real],
+            }
+        )
+
+    bucketed = df.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bkt").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: Session conf transformWithState requires (it is RocksDB-only; the default
 #: HDFSBackedStateStoreProvider is rejected at query start).
 ROCKSDB_PROVIDER = (

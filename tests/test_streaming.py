@@ -3,6 +3,7 @@ stateful EWMA across micro-batches (file source + memory sink)."""
 
 import time
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -409,6 +410,73 @@ def test_stateful_ewma_across_microbatches(spark, tmp_path):
             pd.Series([10.0, 20.0, 15.0, 40.0, 5.0]).ewm(alpha=0.8, adjust=False).mean().tolist()
         )
         assert got == pytest.approx(expected, rel=1e-12)
+    finally:
+        q.stop()
+
+
+def test_stateful_ewma_bucketed_matches_per_key(spark, tmp_path):
+    """The bucket-grouped form (hash(key)%n grouping, grouped-ewm across
+    keys, array state) is bit-for-bit equal to the per-key form — including
+    keys that skip a micro-batch (state must survive untouched) and several
+    keys colliding into one bucket (n_buckets=2 over 7 keys)."""
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_ewma_bucketed,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = list(range(7))
+    batches = []
+    for b in range(3):
+        rows = []
+        for k in keys:
+            if (k + b) % 3 == 0:  # key absent from this batch
+                continue
+            for i in range(4):
+                rows.append((k, (b * 100 + k * 10 + i) * US, float(rng.integers(1, 100))))
+        batches.append(rows)
+
+    def replay(fn, name, path, **kw):
+        for rows in batches:
+            _write_batch(spark, path, rows)
+        stream = _stream(spark, path).select("code", "ts_us", "value")
+        q = run_to_memory(fn(stream, key_col="code", **kw), name, output_mode="append")
+        try:
+            return (
+                spark.sql(f"SELECT * FROM {name} ORDER BY code, ts_us").toPandas()
+            )
+        finally:
+            q.stop()
+
+    a = replay(stateful_ewma, "ewma_pk", str(tmp_path / "a"))
+    b = replay(stateful_ewma_bucketed, "ewma_bk", str(tmp_path / "b"), n_buckets=2)
+    assert a["code"].tolist() == b["code"].tolist()
+    assert a["ts_us"].tolist() == b["ts_us"].tolist()
+    assert a["ewma"].tolist() == b["ewma"].tolist()  # exact, not approx
+
+
+def test_stateful_ewma_bucketed_string_key(spark, tmp_path):
+    # n_buckets=1: every key lands in ONE group — the hardest multi-key
+    # vectorized path (object-dtype lexsort + segment extraction)
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_ewma_bucketed,
+    )
+
+    path = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [("KRW-BTC", 1 * US, 10.0), ("KRW-BTC", 2 * US, 20.0), ("KRW-ETH", 1 * US, 5.0)],
+        "code string, ts_us long, value double",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(path)
+    )
+    out = stateful_ewma_bucketed(stream, key_col="code", n_buckets=1)
+    q = run_to_memory(out, "ewma_bkt_str", output_mode="append")
+    try:
+        rows = {(r.code, r.ts_us): r.ewma for r in spark.sql("SELECT * FROM ewma_bkt_str").collect()}
+        assert rows[("KRW-BTC", 1 * US)] == 10.0
+        assert abs(rows[("KRW-BTC", 2 * US)] - (0.8 * 20.0 + 0.2 * 10.0)) < 1e-12
+        assert rows[("KRW-ETH", 1 * US)] == 5.0
     finally:
         q.stop()
 
