@@ -2201,6 +2201,33 @@ GROUP BY g.source
 """
 
 
+# --------------------------------------------------------------------------
+# x48 real multimodal decode: synthesized VALID image payloads (grayscale
+# PNG with correct chunk CRCs / JPEG marker stream) round-tripped through the
+# byte-structure parser + full PNG pixel decode (operators/multimodal.py).
+# The oracle recomputes what the bytes were built from — any generator or
+# parser defect breaks the hash match.
+# --------------------------------------------------------------------------
+
+def x48_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_metadata, synthesize_image_blobs
+
+    blobs = synthesize_image_blobs(_docs(spark, sf_dir), id_col="doc_id")
+    return decode_image_metadata(blobs)
+
+
+X48_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(16 + doc_id % 48 AS INTEGER) AS width,
+       CAST(16 + (doc_id // 48) % 48 AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 251 AS DOUBLE) END AS px_mean,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 251 AS INTEGER) END AS px_min,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 251 AS INTEGER) END AS px_max
+FROM documents
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2224,6 +2251,7 @@ VARIANT_QUERIES = {
     "x45_dedup_provenance": x45_dedup_provenance,
     "x46_token_kl": x46_token_kl,
     "x47_bm25_maxscore": x47_bm25_maxscore,
+    "x48_multimodal_decode": x48_multimodal_decode,
 }
 
 VARIANT_ORACLES = {
@@ -2249,4 +2277,5 @@ VARIANT_ORACLES = {
     "x45_dedup_provenance": X45_SQL,
     "x46_token_kl": X46_SQL,
     "x47_bm25_maxscore": X37_SQL,
+    "x48_multimodal_decode": X48_SQL,
 }

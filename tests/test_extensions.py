@@ -183,9 +183,100 @@ def test_multimodal_features_deterministic(spark, docs):
     assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in a.values())
 
 
-def test_multimodal_real_decode_raises(spark, docs):
-    with pytest.raises(NotImplementedError):
-        extract_features(to_blob_table(docs), real_decode=True)
+def test_parse_image_header_known_bytes():
+    """Byte-structure parsers against independently-constructed payloads —
+    including the canonical 1x1 transparent PNG (a public constant) and
+    a JPEG whose SOF0 sits after a large padded APP1 segment."""
+    import base64
+    import struct
+
+    from crypto_market_data_etl_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    one_px_png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    assert parse_image_header(one_px_png) == ("png", 1, 1)
+
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 300) + b"\x00" * 300
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8" + app1 + sof2 + b"\xff\xd9") == ("jpeg", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    assert parse_image_header(b"not an image at all") == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (None, None, None)
+
+
+def test_decode_png_gray_all_filter_types():
+    """Full PNG decode vs the source pixel array, with every scanline filter
+    type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) hand-encoded per the PNG
+    spec so each unfilter branch is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ftype)
+        for x in range(img.shape[1]):
+            v = int(img[y, x])
+            left = int(img[y, x - 1]) if x else 0
+            up = int(img[y - 1, x]) if y else 0
+            ul = int(img[y - 1, x - 1]) if x and y else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[ftype]
+            raw.append((v - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", img.shape[1], img.shape[0], 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png_gray(png)
+    assert out is not None and (out == img).all()
+    # non-grayscale / truncated payloads decline instead of raising
+    assert decode_png_gray(b"\xff\xd8junk") is None
+
+
+def test_multimodal_real_decode(spark, docs):
+    """real_decode=True round-trips synthesized VALID payloads: header dims
+    + pixel-stat features for PNG, header dims + NULL feature for JPEG."""
+    from crypto_market_data_etl_spark.operators.multimodal import (
+        synthesize_image_blobs,
+    )
+
+    ids = docs.limit(12).select("doc_id")
+    blobs = synthesize_image_blobs(ids).join(
+        to_blob_table(docs.limit(12)).drop("payload"), "doc_id"
+    )
+    rows = {r.doc_id: r for r in extract_features(blobs, real_decode=True).collect()}
+    assert rows
+    for did, r in rows.items():
+        assert r.width == 16 + did % 48 and r.height == 16 + (did // 48) % 48
+        if did % 2 == 0:  # PNG: constant image -> mean==min==max, std 0
+            c = did % 251
+            assert r.feature[0] == pytest.approx(c / 255.0, abs=1e-6)
+            assert r.feature[1] == 0.0
+        else:  # JPEG: dims parsed, pixel features genuinely unavailable
+            assert r.feature is None
 
 
 def test_redact_terms_global_and_counted(spark):
