@@ -354,10 +354,35 @@ def lsh_ann_bandor(
 
     Measured at 500k x 64-dim, 1000 planted near-dup queries (cos≈0.99),
     numpy_sig: 3 tables x 8 planes finds 98.2% in top-10 (21s local[32]);
-    4 x 8 finds 99.5% (19s) — vs 64% for one 12-plane table. On uniformly
-    random corpora (no similarity structure) absolute recall of any sign-LSH
-    scheme is low (top-10 margins vanish); the ordering single < multi-probe
-    < band-OR still holds (0.8% / 5.5% / 11.4% measured).
+    4 x 8 finds 99.5% (19s) — vs 64% for one 12-plane table.
+
+    **Which knob for GENERAL k-NN (tail recall)?** Near-dup retrieval
+    saturates at 3x8 because planted neighbors (cos≈0.999) collide in
+    almost every table; the exact top-10 of an arbitrary query (cos~0.5-0.7
+    on unstructured data) needs SHORTER codes (fewer planes → bigger
+    buckets) OR'd over MORE tables. Measured recall-vs-cost at 100k x
+    64-dim, k=10, 200 queries, tail = exact pairs excluding the planted
+    near-dup (tools/scale_ann_run.py --sweep, SCALE_r07):
+
+    ========  ===========  ============  ==============
+    config    tail recall  recall@10     cost vs brute
+    ========  ===========  ============  ==============
+    3x8       0.10         0.19          1.1x
+    8x8       0.25         0.33          1.2x
+    16x6      0.74         0.76          1.9x
+    16x4      0.96         0.97          5.4x
+    32x4      1.00         1.00          5.3x
+    ========  ===========  ============  ==============
+
+    For tail recall ≥ 0.8 use ≥16 tables x 4 planes — and note the honest
+    conclusion in the cost column: at ≤100k vectors the Arrow+BLAS brute
+    tier (:func:`cosine_topk_np`) is cheaper than ANY config reaching it,
+    because b=4 buckets hold n/16 of the corpus and the candidate rerank
+    approaches brute force. Sign-LSH earns its keep for near-dup retrieval
+    (top rows), for corpora with real cluster structure, or when the
+    corpus-side index is reused across many query batches; for one-shot
+    general k-NN at this scale, prefer brute or :func:`ivf_ann_topk`
+    (probe-fraction curve in its docstring).
     """
     if queries is None:
         queries = df
@@ -515,6 +540,28 @@ def ivf_ann_topk(
     reproducible in the SQL oracle; production swaps in k-means centroids —
     the index/probe/rerank plumbing is identical. Output: (q_id, n_id, rnk,
     sim) — approximate: neighbors outside probed cells are missed.
+
+    **n_probe is the general-kNN recall knob.** Measured at 100k x 64-dim,
+    250 sampled centroids, k=10 (tail = exact top-10 pairs excluding the
+    planted near-dup; tools/scale_ann_run.py --sweep, SCALE_r07):
+
+    ========  ===========  =========  ==============
+    n_probe   tail recall  recall@10  cost vs brute
+    ========  ===========  =========  ==============
+    4 (2%)    0.18         0.26       0.74x
+    16 (6%)   0.42         0.48       0.86x
+    48 (19%)  0.70         0.73       1.5x
+    96 (38%)  0.89         0.90       3.0x
+    ========  ===========  =========  ==============
+
+    Tail recall ≥ 0.8 needs probing ~2/5 of the cells on unstructured
+    vectors. The end-to-end cost above re-assigns the corpus every call;
+    the inverted file is a build-once artifact in production, so the
+    per-query-batch cost is probe selection (n_cells dots) + rerank of the
+    probed fraction — at n_probe=48 that is ~5x cheaper than brute per
+    batch at 0.70 tail recall. K-means centroids (``kmeans_step``) tighten
+    cells and shift the whole curve up; the sampled-centroid numbers here
+    are the floor.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1

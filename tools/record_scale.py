@@ -59,7 +59,7 @@ def run(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r06.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r07.json")
     artifact: dict = {
         "host": "local[32]", "market": [], "corpus": [], "skew": {}, "bpe": [],
     }
@@ -132,6 +132,58 @@ def main() -> None:
     for line in stdout.splitlines():
         if line.strip().startswith("{"):
             artifact["bpe"].append(json.loads(line))
+
+    # zipf-vocabulary corpus rung (same job list, stop-word-shaped terms)
+    stdout = run([
+        sys.executable, "tools/scale_corpus_run.py", "20",
+        "minhash_jaccard_pairs,chunk_dedup,span_dedup,bm25_topk", "2", "--zipf",
+    ])
+    zentry: dict = {"jobs": {}}
+    for line in stdout.splitlines():
+        m = re.match(r"corpus: (\d+) docs", line)
+        if m:
+            zentry["docs"] = int(m.group(1))
+        m = re.match(r"(\w+): ([0-9.]+)s rows=(\d+)", line)
+        if m:
+            zentry["jobs"][m.group(1)] = {
+                "sec": float(m.group(2)), "rows": int(m.group(3))
+            }
+    artifact["corpus_zipf"] = zentry
+
+    # ANN rung: planted near-dup retrieval (200k) + recall-vs-cost sweep
+    ann: dict = {
+        "note": (
+            "tools/scale_ann_run.py — deterministic 64-dim vectors; the "
+            "default rung plants near-dup queries (cos ~ 0.9998); --sweep "
+            "records overall and TAIL recall@k (planted pairs excluded — "
+            "the general-kNN task) per (n_tables x planes / n_probe) config"
+        ),
+        "jobs": {},
+        "sweep": {},
+    }
+    stdout = run([sys.executable, "tools/scale_ann_run.py"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["jobs"][d.pop("job")] = d
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "100000", "--queries", "200",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep"][d.pop("job")] = d
+    artifact["ann"] = ann
+
+    # retrieval max-score rung (Zipf corpus, stop-word-heavy queries)
+    stdout = run([sys.executable, "tools/scale_retrieval_run.py"])
+    artifact["retrieval_maxscore"] = [
+        json.loads(line) for line in stdout.splitlines()
+        if line.strip().startswith("{")
+    ]
 
     # crossover summary: where the skew-proof/tiered forms overtake
     for e in artifact["market"]:

@@ -62,6 +62,14 @@ def main() -> None:
     ap.add_argument("--vectors", type=int, default=200_000)
     ap.add_argument("--queries", type=int, default=500)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="recall-vs-cost sweep: band-OR (n_tables x planes) and IVF "
+        "(n_probe) configs, reporting overall AND tail recall (tail = the "
+        "exact top-k pairs that are NOT the planted near-dup — the general "
+        "k-NN task, cos ~ 0.5-0.7 neighbors)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale_ann")
@@ -86,6 +94,11 @@ def main() -> None:
         .localCheckpoint()
     )
     queries.count()
+
+    if args.sweep:
+        _sweep(spark, corpus, queries, args)
+        spark.stop()
+        return
 
     t0 = time.time()
     exact = cosine_topk(corpus, queries, k=args.k).localCheckpoint()
@@ -134,25 +147,99 @@ def main() -> None:
         n = out.count()
         wall = round(time.time() - t0, 2)
         rec = ann_recall(out, exact).first()
-        # the near-dup retrieval task proper: fraction of queries whose
-        # PLANTED neighbor (cos ~ 0.9998) appears in the tier's top-k —
-        # overall recall@k also counts the quasi-random cos~0.5 tail, which
-        # no bucketed index is designed to find
-        found = out.filter(planted_pred).select("q_id").distinct().count()
+        _emit_tier(name, wall, n, rec, out, planted_pred, args)
+    spark.stop()
+
+
+def _emit_tier(name, wall, n, rec, out, planted_pred, args) -> None:
+    # the near-dup retrieval task proper: fraction of queries whose
+    # PLANTED neighbor (cos ~ 0.9998) appears in the tier's top-k —
+    # overall recall@k also counts the quasi-random cos~0.5 tail, which
+    # no bucketed index is designed to find
+    found = out.filter(planted_pred).select("q_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "sec": wall,
+                "rows": n,
+                "recall_at_k": float(rec["recall"]),
+                "planted_found": found,
+                "planted_frac": round(found / args.queries, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _sweep(spark, corpus, queries, args) -> None:
+    """Recall-vs-cost curves: which knob buys TAIL recall (general k-NN on
+    cos~0.5-0.7 neighbors), and at what cost vs brute force.
+
+    Emits one JSON line per config with overall recall@k, tail recall@k
+    (planted pairs excluded from the exact reference), and wall.
+    """
+    t0 = time.time()
+    exact = cosine_topk_np(corpus, queries, k=args.k).localCheckpoint()
+    n_exact = exact.count()
+    brute_wall = round(time.time() - t0, 2)
+    planted_pred = F.col("n_id") == F.col("q_id") - args.vectors
+    tail = exact.filter(~planted_pred).localCheckpoint()
+    n_tail = tail.count()
+    print(
+        json.dumps(
+            {
+                "job": "sweep_brute_reference",
+                "sec": brute_wall,
+                "exact_pairs": n_exact,
+                "tail_pairs": n_tail,
+            }
+        ),
+        flush=True,
+    )
+
+    configs: list[tuple[str, object]] = []
+    for n_tables, planes in [(3, 8), (8, 8), (8, 6), (16, 6), (16, 4), (32, 4)]:
+        configs.append(
+            (
+                f"bandor_{n_tables}x{planes}",
+                lambda nt=n_tables, b=planes: lsh_ann_bandor(
+                    corpus, queries, planes_per_table=b, n_tables=nt,
+                    dim=DIM, k=args.k, numpy_sig=True,
+                ),
+            )
+        )
+    n_cells = max(2, args.vectors // 400)
+    for n_probe in (4, 16, 48, 96):
+        configs.append(
+            (
+                f"ivf_{n_cells}c_probe{n_probe}",
+                lambda p=n_probe: ivf_ann_topk(
+                    corpus, queries, n_probe=p, k=args.k,
+                    centroid_filter=F.col("vec_id") % 400 == 1,
+                    numpy_assign=True,
+                ),
+            )
+        )
+    for name, fn in configs:
+        t0 = time.time()
+        out = fn().localCheckpoint()
+        out.count()
+        wall = round(time.time() - t0, 2)
+        rec = ann_recall(out, exact).first()
+        tail_rec = ann_recall(out, tail).first()
         print(
             json.dumps(
                 {
                     "job": name,
                     "sec": wall,
-                    "rows": n,
+                    "cost_vs_brute": round(wall / brute_wall, 3),
                     "recall_at_k": float(rec["recall"]),
-                    "planted_found": found,
-                    "planted_frac": round(found / args.queries, 4),
+                    "tail_recall_at_k": float(tail_rec["recall"]),
                 }
             ),
             flush=True,
         )
-    spark.stop()
 
 
 if __name__ == "__main__":

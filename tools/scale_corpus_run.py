@@ -7,7 +7,12 @@ per-replica salt so near-dup structure survives within each replica but
 exact text never collides across replicas), materializes the 100k-doc
 corpus, and times the pipelines end-to-end:
 
-    python tools/scale_corpus_run.py [reps]
+    python tools/scale_corpus_run.py [reps] [only] [repeats] [--zipf]
+
+``repeats`` (default 2) records best-of-N per job; ``--zipf`` swaps the
+replicated driver table for the Zipf-vocabulary fixture
+(tools/corpus_fixtures.py, reps*5000 docs) to exercise stop-word-shaped
+term frequencies.
 
 Recorded on local[32] at 20x (100k docs, ~5.1M shingles), full evaluation
 (sum-agg over every metric column — a bare count() lets Catalyst eliminate
@@ -39,22 +44,41 @@ from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    reps = int(argv[0]) if argv else 20
+    only = set(argv[1].split(",")) if len(argv) > 1 else None
+    # best-of-N per job (default 2): single-run walls on this box drift up
+    # to ~80% (r6 span_dedup recorded 16.7 s at 4x vs 9.1 s at 20x — pure
+    # first-run JIT/page-cache noise), which read as ladder non-monotonicity;
+    # the market rungs already record best-of-2 for the same reason
+    repeats = int(argv[2]) if len(argv) > 2 else 2
+    zipf = "--zipf" in flags
     spark = get_spark(app_name="scale_corpus")
-    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
-        "doc_id", "text"
-    )
-    big = None
-    for i in range(reps):
-        r = docs.select(
-            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+    if zipf:
+        # Zipf-vocabulary fixture (tools/corpus_fixtures.py): stop-word-
+        # shaped term frequencies the replicated topical table can't
+        # produce — exercises hot LSH shingle buckets and prunable
+        # retrieval on the SAME job list as the replication ladder
+        from tools.corpus_fixtures import zipf_docs
+
+        big = zipf_docs(spark, reps * 5000)
+        n = big.count()
+        print(f"corpus: {n} docs (zipf, {reps}x-sized)")
+    else:
+        docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+            "doc_id", "text"
         )
-        big = r if big is None else big.unionByName(r)
-    big = big.repartition(32).localCheckpoint()
-    n = big.count()
-    print(f"corpus: {n} docs ({reps}x sf0.1)")
+        big = None
+        for i in range(reps):
+            r = docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+            )
+            big = r if big is None else big.unionByName(r)
+        big = big.repartition(32).localCheckpoint()
+        n = big.count()
+        print(f"corpus: {n} docs ({reps}x sf0.1)")
 
     # force FULL evaluation: a bare count() lets Catalyst eliminate
     # unique-key left joins (and with them the metric computation itself)
@@ -130,9 +154,12 @@ def main() -> None:
     for label, fn in jobs:
         if only is not None and label not in only:
             continue
-        t0 = time.time()
-        rows = fn()
-        print(f"{label}: {time.time() - t0:.1f}s rows={rows}")
+        best, rows = float("inf"), None
+        for _ in range(repeats):
+            t0 = time.time()
+            rows = fn()
+            best = min(best, time.time() - t0)
+        print(f"{label}: {best:.1f}s rows={rows}")
     spark.stop()
 
 

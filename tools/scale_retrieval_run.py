@@ -45,33 +45,12 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_retrieval")
     # Zipf-shaped synthetic corpus: 6 universal stop words, 20 draws from a
-    # 2k-word mid-frequency vocabulary, 2 rare tokens (~10 docs each)
-    mid = F.transform(
-        F.sequence(F.lit(1), F.lit(20)),
-        lambda i: F.concat(
-            F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id") * 37 + i), F.lit(2000))
-        ),
-    )
-    rare = F.array(
-        F.concat(F.lit("r"), (F.col("doc_id") % 20000)),
-        F.concat(F.lit("r"), F.pmod(F.col("doc_id") + 7, F.lit(20000))),
-    )
-    docs = (
-        spark.range(args.docs)
-        .withColumnRenamed("id", "doc_id")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.lit("the of and to in a"),
-                F.concat_ws(" ", mid),
-                F.concat_ws(" ", rare),
-            ).alias("text"),
-        )
-        .repartition(32)
-        .localCheckpoint()
-    )
-    docs.count()
+    # 2k-word mid-frequency vocabulary, 2 rare tokens (~10 docs each) —
+    # shared fixture (tools/corpus_fixtures.py), also used by the corpus
+    # ladder's --zipf rung
+    from tools.corpus_fixtures import zipf_docs
+
+    docs = zipf_docs(spark, args.docs)
     for nq in [int(x) for x in args.queries.split(",")]:
         queries = spark.createDataFrame(
             # stop-word-heavy realistic queries: 3 stop words + 1 rare term
