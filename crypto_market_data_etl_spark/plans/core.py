@@ -1228,7 +1228,7 @@ Q29_SQL = Q09_SQL  # identical semantics; only the physical plan differs
 def q30_stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.candles import ohlcv_aggs
     from ..schemas import events_stream_source
-    from ..streaming.stateful import stateful_dollar_bars
+    from ..streaming.stateful import stateful_dollar_bars_bucketed
 
     trades = (
         events_stream_source(spark, sf_dir)
@@ -1238,13 +1238,17 @@ def q30_stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
     )
-    assigned = stateful_dollar_bars(
+    # bucket-grouped form: O(buckets) Python update calls per micro-batch
+    # instead of O(distinct user_ids) — bit-for-bit equal to the per-key
+    # stateful_dollar_bars (equality-tested) and the same gate oracle
+    assigned = stateful_dollar_bars_bucketed(
         trades,
         key_col="user_id",
         ts_col="ts_us",
         notional_cents_col="cents",
         bar_cents=BAR_CENTS,
         passthrough_cols=["value", "event_id"],
+        n_buckets=32,
     )
     name = "q30_stream_bars_sink"
     # state-store count is frozen at query start; size it to the ~150

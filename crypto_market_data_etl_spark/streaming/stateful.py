@@ -190,6 +190,103 @@ def stateful_dollar_bars(
     )
 
 
+def stateful_dollar_bars_bucketed(
+    df: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    notional_cents_col: str = "cents",
+    bar_cents: int = 300_000_000_00,
+    passthrough_cols: Sequence[str] = (),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """:func:`stateful_dollar_bars` vectorized ACROSS keys (the
+    :func:`stateful_ewma_bucketed` design): grouping key =
+    ``hash(key) % n_buckets``, per-key running cumsum computed for every key
+    in the bucket in one Cython ``groupby(...).cumsum()`` pass over the
+    key-sorted frame, carried offsets applied per key segment, state = one
+    (keys, cums) array pair per bucket. Python update calls per micro-batch
+    drop from O(distinct keys) to O(buckets); output and state trajectory
+    are identical to the per-key form (equality-tested bit-for-bit).
+    """
+    passthrough_cols = [c for c in passthrough_cols]
+    key_t = _dtype(df, key_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_t),
+            T.StructField(ts_col, _dtype(df, ts_col)),
+            T.StructField(notional_cents_col, T.LongType()),
+            *[T.StructField(c, _dtype(df, c)) for c in passthrough_cols],
+            T.StructField("cum_cents", T.LongType()),
+            T.StructField("bar_num", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(key_t)),
+            T.StructField("cums", T.ArrayType(T.LongType())),
+        ]
+    )
+    int_key = _integral(key_t)
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        k = pdf[key_col].to_numpy()
+        ts = pdf[ts_col].to_numpy()
+        if state.exists:
+            skeys_l, scums_l = state.get
+            skeys = np.asarray(skeys_l, dtype=k.dtype if int_key else object)
+            scums = np.asarray(scums_l, dtype="int64")
+        else:
+            skeys = np.empty(0, dtype=k.dtype if int_key else object)
+            scums = np.empty(0, dtype="int64")
+        order = np.lexsort((ts, k))
+        sk, sts = k[order], ts[order]
+        scents = pdf[notional_cents_col].to_numpy(dtype="int64")[order]
+        # per-key cumsum in one pass, then add each key's carried offset
+        gc = pd.Series(scents).groupby(pd.Series(sk), sort=False).cumsum().to_numpy()
+        seg_starts = np.concatenate(
+            [[0], np.nonzero(sk[1:] != sk[:-1])[0] + 1]
+        ).astype(np.int64)
+        seg_keys = sk[seg_starts]
+        if len(skeys):
+            sidx = np.argsort(skeys)
+            pos = np.searchsorted(skeys[sidx], seg_keys)
+            pos_c = np.clip(pos, 0, len(skeys) - 1)
+            hit = skeys[sidx][pos_c] == seg_keys
+            seg_off = np.where(hit, scums[sidx][pos_c], 0).astype("int64")
+        else:
+            seg_off = np.zeros(len(seg_keys), dtype="int64")
+        reps = np.diff(np.concatenate([seg_starts, [len(sk)]]))
+        cums = gc + np.repeat(seg_off, reps)
+        seg_ends = np.concatenate([seg_starts[1:], [len(sk)]]) - 1
+        in_batch = np.isin(skeys, seg_keys)
+        merged_k = np.concatenate([skeys[~in_batch], seg_keys])
+        merged_c = np.concatenate([scums[~in_batch], cums[seg_ends]])
+        state.update((merged_k.tolist(), merged_c.tolist()))
+        out = {key_col: sk, ts_col: sts, notional_cents_col: scents}
+        for c in passthrough_cols:
+            out[c] = pdf[c].to_numpy()[order]
+        out["cum_cents"] = cums
+        out["bar_num"] = (cums - 1) // bar_cents
+        yield pd.DataFrame(out)
+
+    bucketed = df.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bkt").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _pd_dtype(t: T.DataType) -> str:
     """Pandas dtype that round-trips *t* through Arrow with nulls intact
     (plain int64 cannot hold the NULLs an unmatched as-of row needs)."""

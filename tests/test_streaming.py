@@ -454,6 +454,49 @@ def test_stateful_ewma_bucketed_matches_per_key(spark, tmp_path):
     assert a["ewma"].tolist() == b["ewma"].tolist()  # exact, not approx
 
 
+def test_stateful_dollar_bars_bucketed_matches_per_key(spark, tmp_path):
+    """Bucketed streaming dollar bars == per-key form: same cum_cents/bar_num
+    trajectory (carried offsets per key), passthrough columns intact."""
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_dollar_bars,
+        stateful_dollar_bars_bucketed,
+    )
+
+    rng = np.random.default_rng(11)
+    batches = []
+    for b in range(3):
+        rows = []
+        for k in range(6):
+            if (k + b) % 4 == 0:
+                continue
+            for i in range(5):
+                rows.append((k, (b * 100 + i * 3 + k) * US, float(rng.integers(1, 500))))
+        batches.append(rows)
+
+    def replay(fn, name, path, **kw):
+        for rows in batches:
+            _write_batch(spark, path, rows)
+        stream = _stream(spark, path).withColumn(
+            "cents", F.round(F.col("value") * 100).cast("bigint")
+        )
+        out = fn(
+            stream, key_col="code", ts_col="ts_us", notional_cents_col="cents",
+            bar_cents=50_000, passthrough_cols=["value"], **kw,
+        )
+        q = run_to_memory(out, name, output_mode="append")
+        try:
+            return spark.sql(f"SELECT * FROM {name} ORDER BY code, ts_us").toPandas()
+        finally:
+            q.stop()
+
+    a = replay(stateful_dollar_bars, "bars_pk", str(tmp_path / "a"))
+    b = replay(
+        stateful_dollar_bars_bucketed, "bars_bk", str(tmp_path / "b"), n_buckets=2
+    )
+    for col in ("code", "ts_us", "cents", "value", "cum_cents", "bar_num"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+
 def test_stateful_ewma_bucketed_string_key(spark, tmp_path):
     # n_buckets=1: every key lands in ONE group — the hardest multi-key
     # vectorized path (object-dtype lexsort + segment extraction)
