@@ -170,6 +170,53 @@ def test_stateful_ewma_checkpoint_recovery(spark, tmp_path):
     assert got == pytest.approx(expected, rel=1e-12)
 
 
+def test_stateful_ewma_bucketed_checkpoint_recovery(spark, tmp_path):
+    """The bucketed form's ARRAY state (keys[], ewmas[]) must survive a
+    query restart from checkpoint — the state-encoder round-trip is the
+    novel risk vs the per-key scalar state."""
+    from crypto_market_data_etl_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+    )
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_ewma_bucketed,
+    )
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    series = {1: [10.0, 20.0, 15.0, 40.0, 5.0], 2: [3.0, 9.0, 27.0, 81.0, 243.0]}
+    _write_batch(
+        spark, in_path,
+        [(k, i * US, v) for k, vs in series.items() for i, v in enumerate(vs[:3])],
+    )
+
+    def start():
+        stream = _stream(spark, in_path).select("code", "ts_us", "value")
+        out = stateful_ewma_bucketed(
+            stream, key_col="code", ts_col="ts_us", value_col="value", n_buckets=2
+        )
+        return foreach_batch_parquet_sink(out, out_path, ckpt, output_mode="append").start()
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_batch(
+        spark, in_path,
+        [(k, (3 + i) * US, v) for k, vs in series.items() for i, v in enumerate(vs[3:])],
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out_path).orderBy("code", "ts_us").toPandas()
+    for k, vs in series.items():
+        expected = pd.Series(vs).ewm(alpha=0.8, adjust=False).mean().tolist()
+        assert got[got.code == k]["ewma"].tolist() == pytest.approx(expected, rel=1e-12)
+
+
 def test_two_concurrent_queries_one_session(spark, tmp_path):
     # T6: the reference runs two StreamingQuerys per app on daemon threads
     # (kafka_upbit_realtime_processing.py:208-217); Structured Streaming
