@@ -74,6 +74,10 @@ HEADLINE = [
     # round-5 late addition: exact repeated-span removal — first recorded
     # run sets its baseline
     "x41_span_dedup",
+    # round-7 addition: real multimodal decode (synthesized valid PNG/JPEG
+    # payloads round-tripped through the stdlib header/pixel decoders) —
+    # first recorded run sets its baseline
+    "x48_multimodal_decode",
 ]
 
 
