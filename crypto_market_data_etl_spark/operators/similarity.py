@@ -527,6 +527,7 @@ def ivf_ann_topk(
     k: int = 3,
     centroid_filter=None,
     numpy_assign: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
 
@@ -559,17 +560,29 @@ def ivf_ann_topk(
     the inverted file is a build-once artifact in production, so the
     per-query-batch cost is probe selection (n_cells dots) + rerank of the
     probed fraction — at n_probe=48 that is ~5x cheaper than brute per
-    batch at 0.70 tail recall. K-means centroids (``kmeans_step``) tighten
-    cells and shift the whole curve up; the sampled-centroid numbers here
-    are the floor.
+    batch at 0.70 tail recall.
+
+    K-means-refined centroids (``centroids=kmeans_train(...)``, 4 Lloyd
+    iterations, 5.5 s one-off at 100k) lift the same curve measurably but
+    modestly on UNIFORM vectors — 0.42→0.46 / 0.70→0.72 / 0.89→0.90 tail
+    recall at probe 16/48/96, at slightly lower wall (tighter cells →
+    smaller rerank sets). Uniform data has no cluster structure for Lloyd
+    to find; on real embedding corpora (which cluster hard) the k-means
+    lift is the difference that makes IVF standard practice — the sampled-
+    centroid numbers are the floor, and the override is how you cash in.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
-    cents = F.broadcast(
-        df.filter(centroid_filter).select(
+    # explicit (c_id, c_vec) centroid table (e.g. kmeans_train output)
+    # overrides the sampled-from-corpus default
+    cent_src = (
+        centroids.select("c_id", "c_vec")
+        if centroids is not None
+        else df.filter(centroid_filter).select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         )
     )
+    cents = F.broadcast(cent_src)
 
     def nearest_cells(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
         sim = _dot(F.col(svec), F.col("c_vec")) / (
@@ -589,11 +602,8 @@ def ivf_ann_topk(
     query_side = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     if numpy_assign:
         # Arrow+BLAS tier: the corpus-wide assignment is the dominant cost
-        cent_df = df.filter(centroid_filter).select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-        )
-        inv = assign_centroids_np(corpus_side, cent_df, "n_id", "n_vec", n=1)
-        probes = assign_centroids_np(query_side, cent_df, "q_id", "q_vec", n=n_probe)
+        inv = assign_centroids_np(corpus_side, cent_src, "n_id", "n_vec", n=1)
+        probes = assign_centroids_np(query_side, cent_src, "q_id", "q_vec", n=n_probe)
     else:
         inv = nearest_cells(corpus_side, "n_id", "n_vec", 1)
         probes = nearest_cells(query_side, "q_id", "q_vec", n_probe)
@@ -835,6 +845,57 @@ def kmeans_step(
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter=None,
+    n_iters: int = 4,
+) -> DataFrame:
+    """Iterated Lloyd refinement → a ``(c_id, c_vec)`` centroid table ready
+    for :func:`ivf_ann_topk`'s ``centroids`` parameter (or
+    :func:`semantic_dedup`'s cluster stage).
+
+    Each iteration: Arrow+BLAS nearest-centroid assignment
+    (:func:`assign_centroids_np` — one matmul per batch, no row explosion),
+    then the per-(cluster, dimension) mean via posexplode + groupBy and an
+    ``array_sort``-of-structs rebuild — the same update as
+    :func:`kmeans_step` (its row-form output is the oracle-checkable twin;
+    this returns the array form iteration needs). Iterative: each round ends
+    in an eager stats-stripped checkpoint so the plan stays O(1) deep
+    (`materialize.checkpoint_nostats` — same rule as connected components).
+
+    Empty clusters vanish (standard Lloyd; k only ever shrinks). Seeds
+    default to the deterministic corpus sample ``id % 50 == 1``. Cost per
+    iteration: one corpus pass + one (cluster × dim)-sized agg — at 100 TB
+    you run this on an embedding SAMPLE and reuse the centroids, which is
+    exactly what the ``centroids`` override on the IVF index enables.
+    """
+    from ..materialize import checkpoint_nostats
+
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 50 == 1
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    cents = checkpoint_nostats(
+        vecs.filter(centroid_filter).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        eager=True,
+    )
+    for _ in range(n_iters):
+        assigned = assign_centroids_np(vecs, cents, id_col, vec_col, n=1)
+        cents = checkpoint_nostats(
+            assigned.select("c_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("c_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("c_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("c_id", F.transform("s", lambda x: x["m"]).alias("c_vec")),
+            eager=True,
+        )
+    return cents
 
 
 def semantic_dedup(

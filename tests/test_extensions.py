@@ -183,6 +183,50 @@ def test_multimodal_features_deterministic(spark, docs):
     assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in a.values())
 
 
+def test_kmeans_train_matches_numpy_reference(spark):
+    """One kmeans_train iteration == a numpy Lloyd iteration (cosine
+    assignment to the seed centroids, per-cluster mean), and the output
+    feeds ivf_ann_topk's `centroids` override."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        ivf_ann_topk,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 4)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    seed_ids = [i for i in range(40) if i % 10 == 1]
+    got = {
+        r.c_id: list(r.c_vec)
+        for r in kmeans_train(
+            df, centroid_filter=F.col("vec_id") % 10 == 1, n_iters=1
+        ).collect()
+    }
+    C = X[seed_ids]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assign = (Xn @ Cn.T).argmax(axis=1)
+    for j, cid in enumerate(seed_ids):
+        members = X[assign == j]
+        if len(members) == 0:
+            assert cid not in got
+        else:
+            assert got[cid] == pytest.approx(members.mean(axis=0).tolist(), rel=1e-9)
+
+    # trained centroids drop into the IVF index via the centroids override
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 10 == 1, n_iters=2)
+    out = ivf_ann_topk(
+        df, df.limit(5), n_probe=2, k=3, centroids=cents, numpy_assign=True
+    ).collect()
+    assert len(out) > 0
+    assert all(r.q_id != r.n_id for r in out)
+
+
 def test_parse_image_header_known_bytes():
     """Byte-structure parsers against independently-constructed payloads —
     including the canonical 1x1 transparent PNG (a public constant) and

@@ -221,6 +221,31 @@ def _sweep(spark, corpus, queries, args) -> None:
                 ),
             )
         )
+    # k-means-refined centroids (same count): tighter cells shift the whole
+    # probe-fraction curve up; the training cost is one-off and amortized
+    # across query batches, so it is reported separately, not in the
+    # per-config wall
+    from crypto_market_data_etl_spark.operators.similarity import kmeans_train
+
+    t0 = time.time()
+    trained = kmeans_train(
+        corpus, centroid_filter=F.col("vec_id") % 400 == 1, n_iters=4
+    )
+    trained.count()
+    print(
+        json.dumps({"job": "ivf_kmeans_train_4iter", "sec": round(time.time() - t0, 2)}),
+        flush=True,
+    )
+    for n_probe in (16, 48, 96):
+        configs.append(
+            (
+                f"ivf_km4_{n_cells}c_probe{n_probe}",
+                lambda p=n_probe: ivf_ann_topk(
+                    corpus, queries, n_probe=p, k=args.k,
+                    centroids=trained, numpy_assign=True,
+                ),
+            )
+        )
     for name, fn in configs:
         t0 = time.time()
         out = fn().localCheckpoint()
