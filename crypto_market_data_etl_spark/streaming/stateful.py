@@ -120,6 +120,125 @@ def stateful_ofi(
     )
 
 
+def stateful_ofi_bucketed(
+    df: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    bid_price: str = "best_bid_price",
+    bid_size: str = "best_bid_size",
+    ask_price: str = "best_ask_price",
+    ask_size: str = "best_ask_size",
+    out: str = "ofi",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """:func:`stateful_ofi` vectorized ACROSS keys (the
+    :func:`stateful_ewma_bucketed` design): grouping key =
+    ``hash(key) % n_buckets``; within each bucket the previous-row book is a
+    single within-segment shift over the key-sorted frame (segment starts
+    seeded from the carried per-key book, or NaN for first-ever rows), so
+    the OFI recurrence for every key in the bucket is a handful of numpy
+    passes. State = per-bucket parallel arrays (keys, bp, bs, ap, as) —
+    O(total keys) overall like the per-key form; Python update calls per
+    micro-batch drop to O(buckets). Bit-for-bit equality-tested.
+    """
+    key_t = _dtype(df, key_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_t),
+            T.StructField(ts_col, _dtype(df, ts_col)),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(key_t)),
+            T.StructField("bp", T.ArrayType(T.DoubleType())),
+            T.StructField("bs", T.ArrayType(T.DoubleType())),
+            T.StructField("ap", T.ArrayType(T.DoubleType())),
+            T.StructField("as_", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    int_key = _integral(key_t)
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        k = pdf[key_col].to_numpy()
+        ts = pdf[ts_col].to_numpy()
+        if state.exists:
+            skeys_l, sbp_l, sbs_l, sap_l, sas_l = state.get
+            skeys = np.asarray(skeys_l, dtype=k.dtype if int_key else object)
+            sbook = np.asarray([sbp_l, sbs_l, sap_l, sas_l], dtype="float64")
+        else:
+            skeys = np.empty(0, dtype=k.dtype if int_key else object)
+            sbook = np.empty((4, 0), dtype="float64")
+        order = np.lexsort((ts, k))
+        sk, sts = k[order], ts[order]
+        book = np.stack(
+            [
+                pdf[c].to_numpy(dtype="float64")[order]
+                for c in (bid_price, bid_size, ask_price, ask_size)
+            ]
+        )
+        seg_starts = np.concatenate(
+            [[0], np.nonzero(sk[1:] != sk[:-1])[0] + 1]
+        ).astype(np.int64)
+        seg_keys = sk[seg_starts]
+        # previous-row book: one shift, then segment starts re-seeded from
+        # the carried state (NaN where the key has no history — first row
+        # ever emits NULL, matching the per-key form)
+        prev = np.empty_like(book)
+        prev[:, 1:] = book[:, :-1]
+        if len(skeys):
+            sidx = np.argsort(skeys)
+            pos = np.searchsorted(skeys[sidx], seg_keys)
+            pos_c = np.clip(pos, 0, len(skeys) - 1)
+            hit = skeys[sidx][pos_c] == seg_keys
+            seeds = np.where(hit, sbook[:, sidx][:, pos_c], np.nan)
+        else:
+            seeds = np.full((4, len(seg_keys)), np.nan)
+        prev[:, seg_starts] = seeds
+        bp, bs, ap, asz = book
+        pbp, pbs, pap, pas = prev
+        bid_c = np.where(bp > pbp, bs, np.where(bp == pbp, bs - pbs, -pbs))
+        ask_c = np.where(ap < pap, asz, np.where(ap == pap, asz - pas, -pas))
+        ofi = bid_c - ask_c
+        # NaN comparisons are all False → bid_c/ask_c pick the else branch;
+        # force first-ever rows to NaN explicitly (their prev book is NaN)
+        ofi[np.isnan(pbp)] = np.nan
+        seg_ends = np.concatenate([seg_starts[1:], [len(sk)]]) - 1
+        in_batch = np.isin(skeys, seg_keys)
+        merged_k = np.concatenate([skeys[~in_batch], seg_keys])
+        merged_book = np.concatenate(
+            [sbook[:, ~in_batch], book[:, seg_ends]], axis=1
+        )
+        state.update(
+            (
+                merged_k.tolist(),
+                merged_book[0].tolist(),
+                merged_book[1].tolist(),
+                merged_book[2].tolist(),
+                merged_book[3].tolist(),
+            )
+        )
+        yield pd.DataFrame({key_col: sk, ts_col: sts, out: ofi})
+
+    bucketed = df.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bkt").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_dollar_bars(
     df: DataFrame,
     key_col: str = "code",
@@ -532,6 +651,254 @@ def stateful_asof_enrich(
             state.update(seed)
 
     return u.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_asof_enrich_bucketed(
+    trades: DataFrame,
+    snapshots: DataFrame,
+    key_col: str = "code",
+    ts_col: str = "ts_us",
+    tolerance: int | None = None,
+    tiebreak: Sequence[str] = (),
+    suffix: str = "_r",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """:func:`stateful_asof_enrich` vectorized ACROSS keys (the
+    :func:`stateful_ewma_bucketed` design): grouping key =
+    ``hash(key) % n_buckets``; each bucket's micro-batch is processed as one
+    key-sorted frame with the carried per-key snapshot PREPENDED as a
+    synthetic snapshot row, so the positional forward-fill needs no
+    per-column seed branches — seeds, in-batch snapshots, trades, and the
+    tolerance band all flow through the same vectorized path. A global
+    ``maximum.accumulate`` over snapshot positions plus a
+    per-row segment-start floor (a fill from an earlier KEY's segment is
+    invalid) gives the latest at-or-before snapshot per trade for every key
+    in the bucket at once.
+
+    State = per-bucket parallel arrays: keys, snapshot ts, one array per
+    snapshot payload column (integral columns ride zero-filled beside a
+    boolean validity array — same int64-exactness transport as the row
+    stream itself). O(total keys) state overall; Python update calls per
+    micro-batch drop from O(distinct keys) to O(buckets). Output is
+    equality-tested against the per-key form (values, NULL patterns, the
+    across-batch carry, and the tolerance band).
+    """
+    t_payload = [c for c in trades.columns if c not in (key_col, ts_col)]
+    s_payload = [c for c in snapshots.columns if c not in (key_col, ts_col)]
+    clash = set(t_payload) & set(s_payload)
+    if clash:
+        raise ValueError(f"payload columns must be disjoint, overlap: {sorted(clash)}")
+    if not _integral(_dtype(trades, ts_col)) or not _integral(
+        _dtype(snapshots, ts_col)
+    ):
+        raise TypeError(
+            f"{ts_col} must be an integer epoch column on both streams "
+            f"(got {_dtype(trades, ts_col)} / {_dtype(snapshots, ts_col)}); "
+            "convert timestamps to epoch micros first"
+        )
+    int_t = [c for c in t_payload if _integral(_dtype(trades, c))]
+    int_s = [c for c in s_payload if _integral(_dtype(snapshots, c))]
+
+    def _own(df: DataFrame, c: str, integral: bool):
+        if integral:
+            return F.coalesce(F.col(c), F.lit(0).cast(_dtype(df, c))).alias(c)
+        return F.col(c)
+
+    def _fill(df: DataFrame, c: str, integral: bool):
+        base = F.lit(0) if integral else F.lit(None)
+        return base.cast(_dtype(df, c)).alias(c)
+
+    t_tagged = trades.select(
+        key_col,
+        ts_col,
+        F.lit(1).alias("__is_trade"),
+        *[_own(trades, c, c in int_t) for c in t_payload],
+        *[F.col(c).isNotNull().alias(f"__nn_{c}") for c in int_t],
+        *[_fill(snapshots, c, c in int_s) for c in s_payload],
+        *[F.lit(False).alias(f"__nn_{c}") for c in int_s],
+    )
+    s_tagged = snapshots.select(
+        key_col,
+        ts_col,
+        F.lit(0).alias("__is_trade"),
+        *[_fill(trades, c, c in int_t) for c in t_payload],
+        *[F.lit(False).alias(f"__nn_{c}") for c in int_t],
+        *[_own(snapshots, c, c in int_s) for c in s_payload],
+        *[F.col(c).isNotNull().alias(f"__nn_{c}") for c in int_s],
+    )
+    u = t_tagged.unionByName(s_tagged)
+
+    key_t = _dtype(trades, key_col)
+    int_key = _integral(key_t)
+    ts_pd = _pd_dtype(_dtype(trades, ts_col))
+    snap_pd = {c: _pd_dtype(_dtype(snapshots, c)) for c in s_payload}
+    trade_pd = {c: _pd_dtype(_dtype(trades, c)) for c in t_payload}
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_t),
+            T.StructField(ts_col, _dtype(trades, ts_col)),
+            *[T.StructField(c, _dtype(trades, c)) for c in t_payload],
+            T.StructField(ts_col + suffix, _dtype(trades, ts_col)),
+            *[T.StructField(c + suffix, _dtype(snapshots, c)) for c in s_payload],
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(key_t)),
+            T.StructField("snap_ts", T.ArrayType(_dtype(trades, ts_col))),
+            *[T.StructField(c, T.ArrayType(_dtype(snapshots, c))) for c in s_payload],
+            *[T.StructField(f"__nn_{c}", T.ArrayType(T.BooleanType())) for c in int_s],
+        ]
+    )
+    sort_cols = [key_col, ts_col, "__seed", "__is_trade", *tiebreak]
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf["__seed"] = np.int8(1)
+        if state.exists:
+            st = list(state.get)
+            skeys = np.asarray(st[0], dtype=pdf[key_col].to_numpy().dtype if int_key else object)
+            s_ts = st[1]
+            s_cols = dict(zip(s_payload, st[2 : 2 + len(s_payload)]))
+            s_nn = dict(zip(int_s, st[2 + len(s_payload) :]))
+        else:
+            skeys = np.empty(0, dtype=object)
+            s_ts, s_cols, s_nn = [], {}, {}
+        present = np.isin(skeys, pdf[key_col].to_numpy())
+        if present.any():
+            sel = np.nonzero(present)[0]
+            seed = {
+                key_col: [skeys[i] for i in sel],
+                ts_col: pd.array([s_ts[i] for i in sel], dtype=ts_pd),
+                "__is_trade": np.int8(0),
+                "__seed": np.int8(0),
+            }
+            for c in t_payload:
+                seed[c] = (
+                    pd.array([0] * len(sel), dtype=trade_pd[c])
+                    if c in int_t
+                    else pd.Series([None] * len(sel), dtype=pdf[c].dtype)
+                )
+            for c in int_t:
+                seed[f"__nn_{c}"] = False
+            for c in s_payload:
+                vals = [s_cols[c][i] for i in sel]
+                if c in int_s:
+                    seed[c] = pd.array(
+                        [0 if v is None else v for v in vals], dtype=snap_pd[c]
+                    )
+                    seed[f"__nn_{c}"] = [bool(s_nn[c][i]) for i in sel]
+                else:
+                    seed[c] = pd.Series(vals, dtype=pdf[c].dtype)
+            pdf = pd.concat([pd.DataFrame(seed), pdf], ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        n = len(pdf)
+        keys_np = pdf[key_col].to_numpy()
+        boundaries = np.nonzero(keys_np[1:] != keys_np[:-1])[0] + 1
+        seg_starts = np.concatenate([[0], boundaries]).astype(np.int64)
+        reps = np.diff(np.concatenate([seg_starts, [n]]))
+        seg_floor = np.repeat(seg_starts, reps)
+        is_snap = (pdf["__is_trade"] == 0).to_numpy()
+        pos = np.maximum.accumulate(np.where(is_snap, np.arange(n), -1))
+        valid = pos >= seg_floor  # a fill from an earlier key's segment is not
+        tr = (~is_snap).to_numpy() if hasattr(~is_snap, "to_numpy") else ~is_snap
+        ts_np = pdf[ts_col].to_numpy()
+        if tr.any():
+            tpos = pos[tr]
+            have = valid[tr]
+            clip = np.clip(tpos, 0, None)
+            trade_ts = ts_np[tr]
+            snap_ts = ts_np[clip]
+            if tolerance is not None:
+                stale = have & ((trade_ts - snap_ts) > tolerance)
+            else:
+                stale = np.zeros(len(tpos), dtype=bool)
+            drop = ~have | stale
+            out: dict[str, Any] = {
+                key_col: keys_np[tr],
+                ts_col: trade_ts,
+            }
+            for c in t_payload:
+                col = pdf[c].to_numpy()[tr]
+                if c in int_t:
+                    arr = pd.array(col, dtype=trade_pd[c])
+                    arr[~pdf[f"__nn_{c}"].to_numpy()[tr]] = pd.NA
+                    out[c] = arr
+                else:
+                    out[c] = col
+            sts_arr = pd.array(snap_ts, dtype=ts_pd)
+            sts_arr[drop] = pd.NA
+            out[ts_col + suffix] = sts_arr
+            for c in s_payload:
+                col = pdf[c].to_numpy()[clip]
+                if c in int_s:
+                    arr = pd.array(col, dtype=snap_pd[c])
+                    arr[~pdf[f"__nn_{c}"].to_numpy()[clip] | drop] = pd.NA
+                    out[c + suffix] = arr
+                else:
+                    vals = col.copy()
+                    na = np.nan if vals.dtype.kind == "f" else None
+                    if drop.any():
+                        if vals.dtype.kind == "f":
+                            vals[drop] = na
+                        else:
+                            for j in np.where(drop)[0]:
+                                vals[j] = na
+                    out[c + suffix] = vals
+            yield pd.DataFrame(out)
+        # new state: the latest snapshot per key (seed rows count — a key
+        # whose batch had no new snapshot keeps its carried one)
+        seg_ends = np.concatenate([seg_starts[1:], [n]]) - 1
+        last_pos = pos[seg_ends]
+        has_snap = valid[seg_ends]
+        upd_rows = last_pos[has_snap]
+        upd_keys = keys_np[seg_starts][has_snap]
+        batch_keys = keys_np[seg_starts]
+        keep = ~np.isin(skeys, batch_keys)
+        new_keys = [_native_scalar(v) for v in skeys[keep]] + [
+            _native_scalar(v) for v in upd_keys
+        ]
+        new_ts = [s_ts[i] for i in np.nonzero(keep)[0]] + [
+            int(v) for v in ts_np[upd_rows]
+        ]
+        new_cols, new_nn = {}, {}
+        for c in s_payload:
+            kept = [s_cols[c][i] for i in np.nonzero(keep)[0]] if len(skeys) else []
+            col = pdf[c].to_numpy()
+            if c in int_s:
+                nn_np = pdf[f"__nn_{c}"].to_numpy()
+                new_cols[c] = kept + [int(col[r]) for r in upd_rows]
+                new_nn[c] = (
+                    [bool(s_nn[c][i]) for i in np.nonzero(keep)[0]]
+                    if len(skeys)
+                    else []
+                ) + [bool(nn_np[r]) for r in upd_rows]
+            else:
+                new_cols[c] = kept + [_native_scalar(col[r]) for r in upd_rows]
+        state.update(
+            (
+                new_keys,
+                new_ts,
+                *[new_cols[c] for c in s_payload],
+                *[new_nn[c] for c in int_s],
+            )
+        )
+
+    bucketed = u.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bkt").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -278,6 +278,59 @@ def test_stateful_ofi_matches_batch_lag(spark, tmp_path):
     assert got == expected  # incl. state carrying across the batch boundary
 
 
+def test_stateful_ofi_bucketed_matches_per_key(spark, tmp_path):
+    """Bucketed OFI == per-key OFI over a multi-key, multi-batch replay:
+    same values, same NULL-on-first-ever-row, state carried per key even
+    when several keys collide into one bucket."""
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_ofi,
+        stateful_ofi_bucketed,
+    )
+
+    rng = np.random.default_rng(5)
+    schema = (
+        "code long, ts_us long, best_bid_price double, best_bid_size double, "
+        "best_ask_price double, best_ask_size double"
+    )
+    batches = []
+    for b in range(3):
+        rows = []
+        for k in range(5):
+            if (k + b) % 3 == 0:  # key skips this batch
+                continue
+            for i in range(4):
+                bp = float(100 + rng.integers(-2, 3))
+                rows.append(
+                    (k, b * 100 + i * 3 + k, bp, float(rng.integers(1, 9)),
+                     bp + 1.0, float(rng.integers(1, 9)))
+                )
+        batches.append(rows)
+
+    def replay(fn, name, path, **kw):
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", "1").parquet(path)
+        )
+        q = run_to_memory(fn(stream, **kw), name, output_mode="append")
+        try:
+            return spark.sql(f"SELECT * FROM {name} ORDER BY code, ts_us").toPandas()
+        finally:
+            q.stop()
+
+    a = replay(stateful_ofi, "ofi_pk", str(tmp_path / "a"))
+    b = replay(stateful_ofi_bucketed, "ofi_bk", str(tmp_path / "b"), n_buckets=2)
+    assert a["code"].tolist() == b["code"].tolist()
+    assert a["ts_us"].tolist() == b["ts_us"].tolist()
+    av, bv = a["ofi"].to_numpy(), b["ofi"].to_numpy()
+    assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all()
+    assert np.isnan(av).sum() == 5  # exactly one first-ever NULL per key
+
+
 def test_stateful_dollar_bars_match_batch(spark, tmp_path):
     # streaming bar assignment must equal the batch operator on the same data
     from crypto_market_data_etl_spark.operators.bars import dollar_bars
@@ -499,6 +552,37 @@ def test_stateful_ewma_bucketed_matches_per_key(spark, tmp_path):
     assert a["code"].tolist() == b["code"].tolist()
     assert a["ts_us"].tolist() == b["ts_us"].tolist()
     assert a["ewma"].tolist() == b["ewma"].tolist()  # exact, not approx
+
+
+def test_stateful_ewma_bucketed_multi_chunk(spark, tmp_path):
+    """A bucket whose micro-batch exceeds the Arrow batch size arrives as
+    MULTIPLE pdf chunks — the concat path must still produce the exact
+    recurrence (n_buckets=1 + 12k rows > the 10k default slice)."""
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_ewma_bucketed,
+    )
+
+    n, keys = 12_000, 7
+    rows = [(i % keys, i * US, float((i * 31) % 97)) for i in range(n)]
+    path = str(tmp_path / "in")
+    _write_batch(spark, path, rows)
+    stream = _stream(spark, path).select("code", "ts_us", "value")
+    out = stateful_ewma_bucketed(stream, key_col="code", n_buckets=1)
+    q = run_to_memory(out, "ewma_chunks", output_mode="append")
+    try:
+        got = spark.sql(
+            "SELECT * FROM ewma_chunks ORDER BY code, ts_us"
+        ).toPandas()
+    finally:
+        q.stop()
+    assert len(got) == n
+    pdf = pd.DataFrame(rows, columns=["code", "ts_us", "value"]).sort_values(
+        ["code", "ts_us"]
+    )
+    expected = pdf.groupby("code")["value"].transform(
+        lambda s: s.ewm(alpha=0.8, adjust=False).mean()
+    )
+    assert got["ewma"].to_numpy() == pytest.approx(expected.to_numpy(), rel=1e-12)
 
 
 def test_stateful_dollar_bars_bucketed_matches_per_key(spark, tmp_path):
@@ -833,6 +917,70 @@ def test_stateful_asof_enrich_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert bgot == got
+
+
+def test_stateful_asof_enrich_bucketed_matches_per_key(spark, tmp_path):
+    """Bucketed as-of enrich == per-key form over a multi-key randomized
+    replay with int64 payloads (validity transport), never-snapshotted keys
+    (left outer), a tolerance band, and cross-batch state carry — all keys
+    forced into 2 buckets."""
+    from crypto_market_data_etl_spark.streaming.stateful import (
+        stateful_asof_enrich,
+        stateful_asof_enrich_bucketed,
+    )
+
+    rng = np.random.default_rng(13)
+    t_schema = "code long, ts_us long, price double, seq long"
+    s_schema = "code long, ts_us long, bid double, qty long"
+    t_batches, s_batches = [], []
+    seq = 0
+    for b in range(3):
+        t_rows, s_rows = [], []
+        for k in range(5):
+            base = b * 100
+            for i in range(3):
+                seq += 1
+                t_rows.append(
+                    (k, (base + i * 7 + k) * US, float(rng.integers(90, 110)), seq)
+                )
+            if k != 4 and (k + b) % 2 == 0:  # key 4 never gets a snapshot
+                s_rows.append(
+                    (k, (base + k) * US, float(rng.integers(80, 120)),
+                     int(rng.integers(1, 1000)))
+                )
+        t_batches.append(t_rows), s_batches.append(s_rows)
+
+    def replay(fn, name, root, **kw):
+        tdir, sdir = f"{root}/t", f"{root}/s"
+        for t_rows, s_rows in zip(t_batches, s_batches):
+            spark.createDataFrame(t_rows, t_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(tdir)
+            spark.createDataFrame(
+                s_rows or [(99, 0, 0.0, 0)], s_schema
+            ).coalesce(1).write.mode("append").parquet(sdir)
+            time.sleep(1.1)
+        tr = spark.readStream.schema(t_schema).option("maxFilesPerTrigger", "1").parquet(tdir)
+        sn = spark.readStream.schema(s_schema).option("maxFilesPerTrigger", "1").parquet(sdir)
+        out = fn(tr, sn, key_col="code", ts_col="ts_us", tolerance=50 * US, **kw)
+        q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try:
+            q.processAllAvailable()
+            return spark.sql(
+                f"SELECT * FROM {name} ORDER BY code, ts_us, seq"
+            ).toPandas()
+        finally:
+            q.stop()
+
+    a = replay(stateful_asof_enrich, "asof_pk", str(tmp_path / "a"))
+    b = replay(
+        stateful_asof_enrich_bucketed, "asof_bk", str(tmp_path / "b"), n_buckets=2
+    )
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        both_na = pd.isna(a[col]).to_numpy() & pd.isna(b[col]).to_numpy()
+        assert ((av == bv) | both_na).all(), col
 
 
 def test_stateful_asof_enrich_tolerance_and_equal_ts(spark, tmp_path):
