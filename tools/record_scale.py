@@ -178,6 +178,17 @@ def main() -> None:
                 ann["sweep"][d.pop("job")] = d
     artifact["ann"] = ann
 
+    # stateful key-cardinality rung: per-key vs bucketed update forms
+    stdout = run([sys.executable, "tools/scale_stateful_run.py"])
+    sf_jobs: dict = {}
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            e = json.loads(line)
+            sf_jobs[f"{e['job']}_k{e['keys']}"] = {
+                k: v for k, v in e.items() if k != "job"
+            }
+    artifact["stateful"] = {"jobs": sf_jobs}
+
     # retrieval max-score rung (Zipf corpus, stop-word-heavy queries)
     stdout = run([sys.executable, "tools/scale_retrieval_run.py"])
     artifact["retrieval_maxscore"] = [
