@@ -1340,6 +1340,87 @@ ORACLES = {
     "q30_stream_dollar_bars": Q30_SQL,  # q08 oracle; live stateful assignment
 }
 
+def q31_stream_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28's live as-of enrichment through the BUCKET-GROUPED stateful form
+    (``stateful_asof_enrich_bucketed`` — O(buckets) Python calls per
+    micro-batch, per-bucket array state) — same oracle: the bucketing is
+    physical, the at-or-before semantics identical."""
+    from ..schemas import events_stream_source
+    from ..session import state_partitions
+    from ..streaming.stateful import stateful_asof_enrich_bucketed
+
+    def src() -> DataFrame:
+        return events_stream_source(spark, sf_dir)
+
+    trades = src().select(
+        F.col("user_id").alias("code"), "ts_us",
+        F.col("value").alias("price"), "event_id",
+    )
+    snaps = (
+        src()
+        .filter(F.col("event_id") % 5 == 0)
+        .select(F.col("user_id").alias("code"), "ts_us", F.col("value").alias("mid"))
+    )
+    out = stateful_asof_enrich_bucketed(
+        trades, snaps, key_col="code", ts_col="ts_us", n_buckets=32
+    )
+    name = "q31_stream_asof_sink"
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def q32_stream_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s02 bench operator (``stateful_ewma_bucketed``) under the oracle:
+    live replay of the events table through the bucket-grouped stateful
+    EWMA, hash-matched against the DuckDB recurrence. (user_id, ts_us) is
+    unique in the driver testdata, so ts-ordering is deterministic; the
+    oracle's 30-row window equals the full recurrence at 6 dp
+    (0.2^30 ≈ 1e-21 — same argument as q22 vs q11)."""
+    from ..schemas import events_stream_source
+    from ..session import state_partitions
+    from ..streaming.stateful import stateful_ewma_bucketed
+
+    ev = events_stream_source(spark, sf_dir).select("user_id", "ts_us", "value")
+    out = stateful_ewma_bucketed(
+        ev, key_col="user_id", ts_col="ts_us", value_col="value", n_buckets=32
+    )
+    name = "q32_stream_ewma_sink"
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id", "ts_us", "value", F.round("ewma", 6).alias("ewma")
+    )
+
+
+Q32_SQL = """
+WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, value FROM events),
+l AS (
+  SELECT user_id, ts_us, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS lst
+  FROM e
+)
+SELECT user_id, ts_us, value,
+       round(list_reduce(lst, (acc, x) -> 0.8 * x + 0.2 * acc), 6) AS ewma
+FROM l
+"""
+
+
 # Physical-variant queries: same oracle as a gated query, alternate physical
 # plan (salting / blocking / paning / incremental maintenance). Verified by
 # tools/selfcheck.py and tests/, outside the driver's 50-row gate budget.
@@ -1349,6 +1430,8 @@ VARIANT_QUERIES = {
     "q23_ofi_blocked": q23_ofi_blocked,
     "q24_sliding_paned": q24_sliding_paned,
     "q25_continuous_candles": q25_continuous_candles,
+    "q31_stream_asof_bucketed": q31_stream_asof_bucketed,
+    "q32_stream_ewma_bucketed": q32_stream_ewma_bucketed,
 }
 
 VARIANT_ORACLES = {
@@ -1357,4 +1440,6 @@ VARIANT_ORACLES = {
     "q23_ofi_blocked": Q12_SQL,  # blocked lag is physical; semantics match q12
     "q24_sliding_paned": Q24_SQL,
     "q25_continuous_candles": Q19_SQL,  # IVM is physical; daily-candle semantics match q19
+    "q31_stream_asof_bucketed": Q28_SQL,  # bucketing is physical; q28 semantics
+    "q32_stream_ewma_bucketed": Q32_SQL,  # full recurrence ≡ 30-row window at 6dp
 }
