@@ -151,6 +151,43 @@ def gram_array_expr(toks, n: int):
     )
 
 
+def minhash_sig_cols(grams, n_hashes: int = 15) -> list:
+    """In-row MinHash signature columns ``mh0..mhN-1`` from a gram ARRAY
+    column — the exact seed family of :func:`minhash_signatures`
+    (``mh_i = min((a + i*b) mod p)`` with a/b from one md5 per gram), but as
+    a PURE PROJECTION over the per-row array instead of an explode +
+    groupBy agg. Signatures are bit-identical across the two forms
+    (equality-tested), so a streaming side computed this way collides
+    correctly with a batch-built band index.
+
+    Why a second form: a streaming query cannot run the batch form's
+    explode + groupBy without adding a stateful aggregation (state, a
+    watermark wait, and append-mode latency per doc); in-row ``transform``
+    + ``array_min`` makes the signature stateless — the enabling move for
+    the stream-static near-dup gate (`streaming/corpus.py`).
+
+    Empty gram arrays yield NULL minhashes (the batch form simply has no
+    row) — callers drop or null-handle gram-less docs.
+    """
+    p = 2_147_483_647  # 2^31 - 1 (prime); same family as minhash_signatures
+    h = lambda g: F.md5(g)  # noqa: E731
+    ab = F.transform(
+        grams,
+        lambda g: F.struct(
+            (F.conv(F.substring(h(g), 1, 8), 16, 10).cast("bigint") % p).alias("a"),
+            (
+                F.conv(F.substring(h(g), 9, 8), 16, 10).cast("bigint") % (p - 1) + 1
+            ).alias("b"),
+        ),
+    )
+    return [
+        F.array_min(
+            F.transform(ab, lambda x: (x["a"] + F.lit(i) * x["b"]) % p)
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 15
 ) -> DataFrame:

@@ -101,3 +101,96 @@ def stream_curate(
         )
         .withColumn("clean", F.col("n_hit") == 0)
     )
+
+
+def stream_neardup_flag(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    shingle_n: int = 2,
+    n_hashes: int = 15,
+    rows_per_band: int = 3,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Flag streamed documents that are MinHash-LSH near-duplicates of a
+    STATIC historical corpus — the "dedup the new crawl against what we
+    already have" gate, incremental where the batch pair pipeline
+    (``dedup.minhash_jaccard_pairs``) is periodic.
+
+    Index side (batch, built once and re-broadcast per trigger): corpus →
+    shingles → MinHash → banded signatures → the DISTINCT (band_idx,
+    band_sig) set, materialized. Index size is O(docs × bands) band keys —
+    at 100 TB, point the ``corpus`` argument at a representative slice or
+    partition range (crawl dedup is usually against the recent window), or
+    swap the broadcast for a shuffled stream-static join by removing the
+    hint; the gate's correctness is join-strategy-independent.
+
+    Stream side: the per-doc signature is computed IN-ROW
+    (``dedup.minhash_sig_cols`` — transform + array_min, a pure projection:
+    no explode, no stateful agg, no extra watermark wait), bands explode,
+    the index left-join flags collisions, and one watermarked per-document
+    aggregation emits ``(id, ts, n_band_hits, neardup)`` exactly once in
+    append mode. A collision in ANY band marks the document (the same
+    candidate rule as the batch pipeline; the batch tier then
+    exact-verifies candidates — streaming callers wanting the verify step
+    join flagged docs back against the corpus in a foreachBatch).
+    """
+    from ..materialize import materialize
+    from ..operators.dedup import (
+        gram_array_expr,
+        lsh_bands,
+        minhash_sig_cols,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    n_bands = n_hashes // rows_per_band
+    index = F.broadcast(
+        materialize(
+            lsh_bands(
+                minhash_signatures(
+                    word_shingles(corpus, id_col, text_col, shingle_n, distinct=False),
+                    id_col,
+                    n_hashes,
+                ),
+                id_col,
+                n_hashes,
+                rows_per_band,
+            )
+            .select("band_idx", "band_sig")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+    )
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    sig = (
+        stream_docs.withWatermark(ts_col, watermark)
+        .withColumn("__grams", gram_array_expr(toks, shingle_n))
+        .select(id_col, ts_col, *minhash_sig_cols(F.col("__grams"), n_hashes))
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # gram-less docs have NULL minhashes -> empty concat_ws pieces would
+    # fabricate a "||" band key; null the band list instead so they emit
+    # with zero hits
+    staged = sig.select(
+        id_col,
+        ts_col,
+        F.posexplode_outer(
+            F.when(F.col("mh0").isNotNull(), bands)
+        ).alias("band_idx", "band_sig"),
+    )
+    return (
+        staged.join(index, ["band_idx", "band_sig"], "left")
+        .groupBy(ts_col, id_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_band_hits"))
+        .withColumn("neardup", F.col("n_band_hits") > 0)
+    )

@@ -1229,3 +1229,93 @@ def test_stream_curate_gates_dedups_and_flags(spark, tmp_path):
         assert not rows[2].clean and rows[2].n_hit >= 1
     finally:
         q.stop()
+
+
+def test_minhash_sig_cols_matches_agg_form(spark):
+    """The in-row signature (transform + array_min) is bit-identical to the
+    explode + groupBy form on the same docs — the contract that lets a
+    streaming side collide correctly with a batch-built band index."""
+    from crypto_market_data_etl_spark.operators.dedup import (
+        gram_array_expr,
+        minhash_sig_cols,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven eight"),
+            (3, "alpha beta gamma delta epsilon different"),
+            (4, "solo"),  # too short for bigrams -> no agg row, NULL in-row
+        ],
+        "doc_id long, text string",
+    )
+    agg = {
+        r.doc_id: list(r.mhs)
+        for r in minhash_signatures(
+            word_shingles(docs, distinct=False), n_hashes=9
+        ).collect()
+    }
+    toks = F.split(F.col("text"), " ")
+    inrow = {
+        r.doc_id: [r[f"mh{i}"] for i in range(9)]
+        for r in docs.select(
+            "doc_id",
+            *minhash_sig_cols(gram_array_expr(toks, 2), n_hashes=9),
+        ).collect()
+    }
+    assert 4 not in agg and inrow[4] == [None] * 9
+    for did in (1, 2, 3):
+        assert inrow[did] == agg[did], did
+
+
+def test_stream_neardup_flag_against_static_corpus(spark, tmp_path):
+    """Stream-static near-dup gate: a slightly edited re-post of a corpus
+    document collides in at least one band; an unrelated doc and a
+    gram-less doc emit with zero hits."""
+    import time as _t
+
+    from crypto_market_data_etl_spark.streaming.corpus import stream_neardup_flag
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely different historical content about markets and trades"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts_s long, text string"
+        ).withColumn(
+            "ingest_ts", F.timestamp_seconds(F.col("ts_s"))
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+        _t.sleep(1.1)
+
+    write_docs(
+        [
+            # near-dup of corpus doc 100 (one word changed at the end)
+            (1, 1, "the quick brown fox jumps over the lazy dog near the river edge"),
+            (2, 2, "totally unrelated fresh crawl text with novel vocabulary"),
+            (3, 3, "solo"),  # gram-less
+            (9, 100, "late watermark pusher words"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_neardup_flag(stream, corpus, watermark="10 seconds")
+    q = run_to_memory(out, "neardup_stream", output_mode="append")
+    try:
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM neardup_stream").collect()}
+        assert sorted(rows) == [1, 2, 3]  # doc 9's event time hasn't expired
+        assert rows[1].neardup and rows[1].n_band_hits >= 1
+        assert not rows[2].neardup and rows[2].n_band_hits == 0
+        assert not rows[3].neardup and rows[3].n_band_hits == 0
+    finally:
+        q.stop()
