@@ -44,6 +44,25 @@ def _dtype(df: DataFrame, col: str) -> T.DataType:
     return df.schema[col].dataType
 
 
+def _whole_group(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Yield the group's micro-batch rows as ONE frame.
+
+    ``applyInPandasWithState`` hands a group's rows over as an iterator of
+    Arrow-batch-sized chunks; the chunk boundaries slice shuffle-arrival
+    order, NOT event-time order, so per-chunk processing that carries state
+    chunk-to-chunk silently mis-orders any group large enough to straddle a
+    chunk boundary (~10k rows per partition by default). Found as a real
+    q28 value mismatch at sf0.1 — invisible at the sf0.01 gate scale where
+    groups never split. Buffering is bounded by the group's rows in ONE
+    micro-batch — the same bound the bucketed operator family already
+    carries per bucket.
+    """
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    yield chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+
+
 def stateful_ofi(
     df: DataFrame,
     key_col: str = "code",
@@ -82,7 +101,12 @@ def stateful_ofi(
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
         prev = tuple(state.get) if state.exists else None
-        for pdf in pdfs:
+        # a group's rows can arrive as MULTIPLE Arrow chunks in arbitrary
+        # cross-chunk order (the iterator slices shuffle-arrival order, not
+        # event time) — concat before sorting, or a later chunk's earlier
+        # rows get the wrong carried book (real mismatch found at sf0.1
+        # where ~80-row groups straddle the 10k-row Arrow batch boundary)
+        for pdf in _whole_group(pdfs):
             n = len(pdf)
             if n == 0:
                 continue
@@ -278,7 +302,7 @@ def stateful_dollar_bars(
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
         cum = state.get[0] if state.exists else 0
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):  # cross-chunk order is NOT ts order
             n = len(pdf)
             if n == 0:
                 continue
@@ -557,7 +581,7 @@ def stateful_asof_enrich(
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
         seed = tuple(state.get) if state.exists else None
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):  # cross-chunk order is NOT ts order
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
@@ -941,7 +965,7 @@ def stateful_ewma(
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):  # cross-chunk order is NOT ts order
             n = len(pdf)
             if n == 0:
                 continue

@@ -554,6 +554,40 @@ def test_stateful_ewma_bucketed_matches_per_key(spark, tmp_path):
     assert a["ewma"].tolist() == b["ewma"].tolist()  # exact, not approx
 
 
+def test_stateful_per_key_multi_chunk_disorder(spark, tmp_path):
+    """A single key whose micro-batch spans several Arrow chunks, written in
+    REVERSED ts order (so the chunk iterator's arrival order maximally
+    disagrees with event time): per-chunk processing with carried state
+    produced wrong recurrences here (the q28-at-sf0.1 mismatch); the fixed
+    per-key ops concat the group before sorting."""
+    from crypto_market_data_etl_spark.streaming.stateful import stateful_ewma
+
+    n = 25_000  # > 2 Arrow chunks at the 10k default
+    rows = [(1, i * 1000, float((i * 31) % 97)) for i in range(n)]
+    df = spark.createDataFrame(
+        list(reversed(rows)), "code long, ts_us long, value double"
+    ).coalesce(1)
+    path = str(tmp_path / "in")
+    # sortWithinPartitions preserves the reversed insert order in the file
+    df.write.parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(path)
+    )
+    out = stateful_ewma(stream, key_col="code", ts_col="ts_us", value_col="value")
+    q = run_to_memory(out, "ewma_rev_chunks", output_mode="append")
+    try:
+        got = spark.sql(
+            "SELECT * FROM ewma_rev_chunks ORDER BY ts_us"
+        ).toPandas()["ewma"].to_numpy()
+    finally:
+        q.stop()
+    expected = (
+        pd.Series([v for _, _, v in rows]).ewm(alpha=0.8, adjust=False).mean().to_numpy()
+    )
+    assert len(got) == n
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
 def test_stateful_ewma_bucketed_multi_chunk(spark, tmp_path):
     """A bucket whose micro-batch exceeds the Arrow batch size arrives as
     MULTIPLE pdf chunks — the concat path must still produce the exact
