@@ -898,6 +898,254 @@ def kmeans_train(
     return cents
 
 
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 4,
+    dim: int = 64,
+    seed_mod: int | None = None,
+) -> DataFrame:
+    """Train product-quantization sub-codebooks: ``(block, c_id, c_vec)``
+    with ``c_id`` dense 0..k-1 per block (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    The vector splits into ``m`` contiguous ``dim/m``-wide sub-vectors; each
+    block gets its own k-centroid codebook via :func:`kmeans_train` on the
+    sliced corpus (seeds = a deterministic corpus sample, ~k per block).
+    Training cost is m small k-means runs over 1/m-width slices — at corpus
+    scale you train on an embedding SAMPLE (same note as ``kmeans_train``)
+    and reuse the codebooks; empty clusters shrink k for that block
+    (standard Lloyd).
+
+    Why PQ at 100 TB: a 64-dim float64 embedding is 512 bytes; its m=8/k=16
+    code is 8 NIBBLES (we store one int per block for plainness — still
+    64x smaller than the vector). The ANN memory/scan path becomes
+    codes + one (m x k) distance lookup table per query
+    (:func:`pq_topk`), never the raw vectors.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    if seed_mod is None:
+        # ~k seeds: every (n/k)-th id; kmeans keeps at most that many
+        n = df.count()
+        seed_mod = max(1, n // k)
+    out = None
+    for b in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), b * dsub + 1, dsub).alias(
+                "sub"
+            ),
+        )
+        cents = kmeans_train(
+            sliced,
+            id_col=id_col,
+            vec_col="sub",
+            centroid_filter=F.col(id_col) % seed_mod == 1,
+            n_iters=n_iters,
+        )
+        w = Window.orderBy("c_id")
+        dense = cents.select(
+            F.lit(b).alias("block"),
+            (F.row_number().over(w) - 1).alias("c_id"),
+            F.col("c_vec"),
+        ).limit(k)
+        out = dense if out is None else out.unionByName(dense)
+    from ..materialize import materialize
+
+    return materialize(out)
+
+
+def _pq_codebook_tensor(codebooks: DataFrame):
+    """(blocks-sorted numpy tensor list, m) from a (block, c_id, c_vec)
+    frame — per-block (k_b, dsub) arrays (k_b may differ if clusters
+    emptied)."""
+    import numpy as np
+
+    rows = _collect_small_side(codebooks.orderBy("block", "c_id"), "codebook")
+    m = max(r["block"] for r in rows) + 1
+    books = []
+    for b in range(m):
+        vecs = [list(r["c_vec"]) for r in rows if r["block"] == b]
+        if not vecs:
+            raise ValueError(f"pq codebook block {b} is empty")
+        books.append(np.array(vecs, dtype=np.float64))
+    return books, m
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, codes array<int>)`` — per block,
+    the L2-nearest centroid's dense id. One Arrow+numpy pass with the
+    broadcast codebook tensor; ``normalize=True`` unit-normalizes first so
+    ADC L2 ordering matches the cosine ordering the other ANN tiers use.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books, m = _pq_codebook_tensor(codebooks)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if normalize:
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            dsub = V.shape[1] // m
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for b in range(m):
+                sub = V[:, b * dsub : (b + 1) * dsub]  # (n, dsub)
+                C = books[b]  # (k_b, dsub)
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+                d = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)[None, :]
+                codes[:, b] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    normalize: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query one
+    ``(m x k)`` table of sub-distances to every centroid, then each code's
+    score is ``sum_b table[b, code_b]`` — a table gather, no vector math
+    per corpus row. Arrow batches emit their LOCAL top-k per query (the
+    ``cosine_topk_np`` partial-combine shape); output
+    ``(q_id, n_id, rnk, dist)`` ranked by ascending quantized L2 (=
+    descending cosine on normalized inputs). Approximate: exact for the
+    quantized representation (tested against explicit reconstruction),
+    recall vs the raw vectors depends on m/k.
+
+    Measured at 100k x 64-dim uniform vectors, k=10 (SCALE_r07 ann.sweep;
+    build cost — train + encode — is one-off and reported separately):
+
+    ==================  ===========  =========  ==============
+    config              tail recall  recall@10  cost vs brute
+    ==================  ===========  =========  ==============
+    m8 k16 scan         0.05         0.14       0.29x
+    m8 k64 scan         0.14         0.23       0.39x
+    m8 k64 + rerank400  0.71         0.74       0.49x
+    ==================  ===========  =========  ==============
+
+    The coarse scan alone retrieves 100% of planted near-dups (cos≈0.9998)
+    at a fraction of brute cost — PQ codes preserve coarse structure, not
+    the vanishing top-10 margins of uniform data. For general k-NN use
+    :func:`pq_topk_rerank`: the true neighbor only needs to land in the PQ
+    top-``shortlist``, and 0.71 tail recall at 0.49x brute is the cheapest
+    measured point on the whole ANN curve below 0.8 (IVF probe48: 0.70 at
+    0.91x). At 100 TB the raw vectors never stream through the scan at all
+    — codes are 64x smaller.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books, m = _pq_codebook_tensor(codebooks)
+    q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    if normalize:
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = Q.shape[1] // m
+    # LUT[qi][b] = squared L2 from the query's b-th sub-vector to each centroid
+    luts = []
+    for b in range(m):
+        sub = Q[:, b * dsub : (b + 1) * dsub]  # (nq, dsub)
+        C = books[b]
+        luts.append(
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )  # (nq, k_b)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            # dists (nq, n): gather each block's LUT column by the code
+            d = np.zeros((len(q_ids), len(ids)))
+            for b in range(m):
+                d += luts[b][:, codes[:, b]]
+            kk = min(k + 1, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+            out = {"q_id": [], "n_id": [], "dist": []}
+            for qi in range(len(q_ids)):
+                rows = part[qi]
+                out["q_id"].extend([q_ids[qi]] * len(rows))
+                out["n_id"].extend(ids[rows].tolist())
+                out["dist"].extend(d[qi, rows].tolist())
+            yield pd.DataFrame(out)
+
+    partial = codes_df.mapInPandas(batches, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id"))
+    return (
+        partial.filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("dist", F.round("dist", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "dist")
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 200,
+) -> DataFrame:
+    """PQ-shortlist + exact rerank (the IVFADC+R shape): :func:`pq_topk`
+    scans the 64x-compressed codes for a ``shortlist``-sized candidate set
+    per query, then the standard exact rerank (``_rerank_candidates``,
+    shared with the LSH tiers) scores only those against the raw vectors.
+    The true neighbor only needs to survive into the PQ top-``shortlist`` —
+    a far weaker demand than PQ top-k — so recall approaches exact while
+    the raw-vector reads stay O(queries x shortlist). Output: the exact
+    tiers' ``(q_id, n_id, rnk, sim)`` contract.
+    """
+    cand = pq_topk(
+        codes_df, queries, codebooks, id_col, vec_col, k=shortlist
+    ).select("q_id", "n_id")
+    return _rerank_candidates(cand, corpus, id_col, vec_col, k, q_vecs=queries)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

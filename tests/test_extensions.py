@@ -227,6 +227,88 @@ def test_kmeans_train_matches_numpy_reference(spark):
     assert all(r.q_id != r.n_id for r in out)
 
 
+def test_pq_encode_decode_and_adc(spark):
+    """PQ pipeline invariants: (1) encode picks the L2-nearest centroid per
+    block (numpy reference); (2) ADC distances equal the explicit distance
+    to the RECONSTRUCTED vector (ADC is exact for the quantized
+    representation); (3) a planted duplicate of a corpus vector is its own
+    PQ top-1."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        _pq_codebook_tensor,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(17)
+    dim, m, kc = 16, 4, 4
+    X = rng.normal(size=(120, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    books_df = pq_train(df, m=m, k=kc, n_iters=2, dim=dim)
+    books, m_got = _pq_codebook_tensor(books_df)
+    assert m_got == m and all(1 <= len(b) <= kc for b in books)
+
+    codes = {
+        r.vec_id: list(r.codes) for r in pq_encode(df, books_df).collect()
+    }
+    dsub = dim // m
+    recon = {}
+    for i in range(120):
+        parts = []
+        for b in range(m):
+            sub = X[i, b * dsub : (b + 1) * dsub]
+            d = ((books[b] - sub) ** 2).sum(axis=1)
+            assert codes[i][b] == int(d.argmin()), (i, b)  # (1)
+            parts.append(books[b][codes[i][b]])
+        recon[i] = np.concatenate(parts)
+
+    # (2) ADC == explicit reconstruction distance, via pq_topk on one query
+    q = df.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    top = pq_topk(pq_encode(df, books_df), q, books_df, k=5).collect()
+    for r in top:
+        expect = float(((X[0] - recon[r.n_id]) ** 2).sum())
+        assert r.dist == pytest.approx(round(expect, 6), abs=2e-6)
+
+    # (3) planted duplicate: identical vector -> identical codes, so its
+    # ADC distance is exactly the query's own quantization error (ADC keeps
+    # the query raw — the distance is asymmetric, NOT zero) and it ranks
+    # first (ties with same-cell vectors broken by id; 42 is the source)
+    dup = spark.createDataFrame(
+        [(7777, [float(v) for v in X[42]])], "vec_id long, embedding array<double>"
+    )
+    got = pq_topk(
+        pq_encode(df.unionByName(dup), books_df),
+        dup,
+        books_df,
+        k=3,
+    ).collect()
+    by_rank = {r.rnk: r for r in got}
+    q_err = float(((X[42] - recon[42]) ** 2).sum())
+    assert by_rank[1].dist == pytest.approx(round(q_err, 6), abs=2e-6)
+    assert any(
+        r.n_id == 42 and r.dist == by_rank[1].dist for r in got
+    )  # the source is in the minimal-distance tie group
+
+    # (4) PQ-shortlist + exact rerank: the EXTERNAL query frame (id 7777 is
+    # not in the corpus — the r6 ANN rerank-bug path) resolves its own
+    # vector and the raw-vector rerank puts the identical source at sim 1.0
+    from crypto_market_data_etl_spark.operators.similarity import pq_topk_rerank
+
+    rr = pq_topk_rerank(
+        pq_encode(df, books_df), dup, books_df, df, k=3, shortlist=20
+    ).collect()
+    top1 = next(r for r in rr if r.rnk == 1)
+    assert top1.n_id == 42 and top1.sim == 1.0
+
+
 def test_parse_image_header_known_bytes():
     """Byte-structure parsers against independently-constructed payloads —
     including the canonical 1x1 transparent PNG (a public constant) and

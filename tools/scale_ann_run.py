@@ -246,6 +246,50 @@ def _sweep(spark, corpus, queries, args) -> None:
                 ),
             )
         )
+    # product quantization: codes are 64x smaller than the raw vectors, so
+    # the top-k scan touches codes + per-query LUTs only. Train/encode are
+    # build-once index costs, reported separately.
+    from crypto_market_data_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    for m, kc in ((8, 16), (8, 64)):
+        t0 = time.time()
+        books = pq_train(corpus, m=m, k=kc, n_iters=3, dim=DIM)
+        books.count()
+        train_wall = round(time.time() - t0, 2)
+        t0 = time.time()
+        codes = pq_encode(corpus, books).localCheckpoint()
+        codes.count()
+        encode_wall = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "job": f"pq_m{m}k{kc}_build",
+                    "train_sec": train_wall,
+                    "encode_sec": encode_wall,
+                }
+            ),
+            flush=True,
+        )
+        configs.append(
+            (
+                f"pq_m{m}k{kc}",
+                lambda b=books, c=codes: pq_topk(c, queries, b, k=args.k),
+            )
+        )
+        configs.append(
+            (
+                f"pq_m{m}k{kc}_rerank400",
+                lambda b=books, c=codes: pq_topk_rerank(
+                    c, queries, b, corpus, k=args.k, shortlist=400
+                ),
+            )
+        )
+
     for name, fn in configs:
         t0 = time.time()
         out = fn().localCheckpoint()
