@@ -898,6 +898,71 @@ def kmeans_train(
     return cents
 
 
+def hashed_bow_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic text → dense embedding via the hashing trick
+    (feature hashing, Weinberger et al., ICML 2009): token ``t`` adds
+    ``sign(t)`` at index ``hash(t) % dim``; optionally L2-normalized.
+
+    The bridge from a TEXT-ONLY corpus to the whole vector family — ANN
+    (:func:`cosine_topk` …), :func:`semantic_dedup`, k-means, PQ — with no
+    model inference: a 100 TB first-pass semantic clustering/dedup runs on
+    these before any learned embeddings exist. Collisions are benign at
+    this use (they perturb cosine, not ordering structure).
+
+    Exactness contract: one md5 per token; index and sign both derive from
+    the same 15-hex-char integer with INTEGER ``div``/``%`` (exact past
+    2^53 — a float divide would corrupt high bits); cell values are ±1
+    integer sums, so everything before the final normalize-and-round is
+    exact cross-engine, and DuckDB mirrors the whole pipeline (oracle
+    x49). One explode + one (id, idx) shuffle + one per-doc agg; output
+    ``(id, embedding array<double>)`` dense in index order.
+    """
+    p = 2_147_483_647  # keep the parsed 60-bit int well inside bigint ops
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    staged = df.select(F.col(id_col), toks).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    cells = (
+        staged.select(
+            id_col,
+            F.expr(f"hv % {dim}").alias("idx"),
+            (F.lit(1) - F.lit(2) * F.expr(f"(hv div {dim}) % 2")).alias("sign"),
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.sum("sign").cast("double").alias("v"))
+    )
+    dense = (
+        cells.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(F.element_at("m", d.cast("bigint")), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    if not normalize:
+        return dense
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    return dense.select(
+        id_col,
+        F.transform(
+            "embedding", lambda x: F.round(x / norm, round_dp)
+        ).alias("embedding"),
+    )
+
+
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",

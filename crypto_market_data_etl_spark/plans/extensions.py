@@ -2228,6 +2228,47 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# x49 hashed bag-of-words embeddings: the text -> vector bridge (feature
+# hashing) with a FULL DuckDB oracle — md5-derived index/sign with integer
+# div/% (exact past 2^53), ±1 integer cell sums, 6dp-rounded L2 normalize.
+# Long-form output (doc_id, idx, val), zero cells excluded on both sides
+# (a cancelled +1/-1 cell rounds to 0.0 and is filtered identically).
+# --------------------------------------------------------------------------
+
+_X49_DIM = 64
+
+
+def x49_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hashed_bow_embeddings
+
+    emb = hashed_bow_embeddings(_docs(spark, sf_dir), dim=_X49_DIM)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("idx", "val"))
+        .filter(F.col("val") != 0.0)
+        .select("doc_id", F.col("idx").cast("bigint").alias("idx"), "val")
+    )
+
+
+X49_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+),
+cell AS (
+  SELECT doc_id, hv % {_X49_DIM} AS idx,
+         CAST(SUM(1 - 2 * ((hv // {_X49_DIM}) % 2)) AS DOUBLE) AS v
+  FROM h GROUP BY 1, 2
+),
+n AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM cell GROUP BY 1)
+SELECT c.doc_id, c.idx, round(c.v / n.nrm, 6) AS val
+FROM cell c JOIN n USING (doc_id)
+WHERE round(c.v / n.nrm, 6) <> 0.0
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2252,6 +2293,7 @@ VARIANT_QUERIES = {
     "x46_token_kl": x46_token_kl,
     "x47_bm25_maxscore": x47_bm25_maxscore,
     "x48_multimodal_decode": x48_multimodal_decode,
+    "x49_hashed_embeddings": x49_hashed_embeddings,
 }
 
 VARIANT_ORACLES = {
@@ -2278,4 +2320,5 @@ VARIANT_ORACLES = {
     "x46_token_kl": X46_SQL,
     "x47_bm25_maxscore": X37_SQL,
     "x48_multimodal_decode": X48_SQL,
+    "x49_hashed_embeddings": X49_SQL,
 }

@@ -227,6 +227,38 @@ def test_kmeans_train_matches_numpy_reference(spark):
     assert all(r.q_id != r.n_id for r in out)
 
 
+def test_hashed_bow_embeddings_bridge_text_to_vectors(spark, docs):
+    """The text -> vector bridge: unit-norm deterministic embeddings whose
+    cosine structure reflects token overlap — a near-duplicate text ranks
+    above unrelated text through the UNCHANGED vector operators."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        hashed_bow_embeddings,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog by the river"),
+            (2, "completely unrelated text about market volatility and trades"),
+            (3, "the quick brown fox jumps over the lazy dog by the stream"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = {r.doc_id: np.array(r.embedding) for r in hashed_bow_embeddings(base).collect()}
+    for v in emb.values():
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    sim_dup = float(emb[1] @ emb[3])
+    sim_other = float(emb[1] @ emb[2])
+    assert sim_dup > 0.8 > sim_other
+
+    # determinism + the vector family composes: cosine_topk over the
+    # hashed embeddings puts the near-dup first
+    vecs = hashed_bow_embeddings(base).withColumnRenamed("doc_id", "vec_id")
+    top = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2).collect()
+    assert next(r.n_id for r in top if r.rnk == 1) == 3
+
+
 def test_pq_encode_decode_and_adc(spark):
     """PQ pipeline invariants: (1) encode picks the L2-nearest centroid per
     block (numpy reference); (2) ADC distances equal the explicit distance
