@@ -2269,6 +2269,81 @@ WHERE round(c.v / n.nrm, 6) <> 0.0
 """
 
 
+# --------------------------------------------------------------------------
+# x50 semantic dedup over RAW TEXT: hashed_bow_embeddings (x49's featurizer,
+# UNNORMALIZED — cosine is scale-invariant, and integer cell sums keep every
+# pre-round quantity exact cross-engine) composed into semantic_dedup
+# (x32's operator). The "no learned embeddings yet" first-pass semantic
+# dedup a text-only corpus actually runs; one oracle reproduces featurize +
+# assign + bounded-reps + verdict end to end. Zero-norm docs (all cells
+# cancelled) are excluded identically on both sides — 0/0 cosine is
+# engine-divergent (NaN vs error).
+# --------------------------------------------------------------------------
+
+def x50_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hashed_bow_embeddings, semantic_dedup
+
+    vecs = (
+        hashed_bow_embeddings(_docs(spark, sf_dir), dim=_X49_DIM, normalize=False)
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
+        )
+    )
+    return semantic_dedup(
+        vecs,
+        threshold=SEMDEDUP_THRESHOLD,
+        centroid_filter=F.col("vec_id") % 50 == 1,
+        max_reps=SEMDEDUP_MAX_REPS,
+    )
+
+
+X50_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+),
+cell AS (
+  SELECT doc_id, hv % {_X49_DIM} AS idx,
+         CAST(SUM(1 - 2 * ((hv // {_X49_DIM}) % 2)) AS DOUBLE) AS v
+  FROM h GROUP BY 1, 2
+),
+dense AS (
+  SELECT ids.doc_id AS vec_id, list(coalesce(cell.v, 0.0) ORDER BY d.idx) AS ev
+  FROM (SELECT DISTINCT doc_id FROM documents) ids
+  CROSS JOIN range({_X49_DIM}) d(idx)
+  LEFT JOIN cell ON cell.doc_id = ids.doc_id AND cell.idx = d.idx
+  GROUP BY 1
+),
+vecs AS (SELECT vec_id, ev FROM dense WHERE list_dot_product(ev, ev) > 0),
+c AS (SELECT vec_id AS c_id, ev AS cv FROM vecs WHERE vec_id % 50 = 1),
+assign AS (
+  SELECT vec_id, ev, c_id FROM vecs CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_dot_product(ev, cv) /
+                   (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             c_id
+  ) <= 1
+),
+reps AS (
+  SELECT vec_id AS rep_id, ev AS rv, c_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY c_id ORDER BY vec_id) <= {SEMDEDUP_MAX_REPS}
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN reps r ON r.c_id = a.c_id AND r.rep_id < a.vec_id
+  WHERE round(list_dot_product(a.ev, r.rv) /
+              (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(r.rv, r.rv))), 6)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.c_id AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2294,6 +2369,7 @@ VARIANT_QUERIES = {
     "x47_bm25_maxscore": x47_bm25_maxscore,
     "x48_multimodal_decode": x48_multimodal_decode,
     "x49_hashed_embeddings": x49_hashed_embeddings,
+    "x50_text_semantic_dedup": x50_text_semantic_dedup,
 }
 
 VARIANT_ORACLES = {
@@ -2321,4 +2397,5 @@ VARIANT_ORACLES = {
     "x47_bm25_maxscore": X37_SQL,
     "x48_multimodal_decode": X48_SQL,
     "x49_hashed_embeddings": X49_SQL,
+    "x50_text_semantic_dedup": X50_SQL,
 }
