@@ -1034,8 +1034,8 @@ def stateful_ewma_bucketed(
 
     Measured on the key-cardinality axis (1M events, 4 micro-batches,
     ``tools/scale_stateful_run.py``, SCALE_r07): the per-key form degrades
-    linearly in keys — 204k → 80k → 22k ev/s at 1.5k/10k/50k keys — while
-    this form is FLAT (259k/288k/255k at 64 buckets): 11.4x at 50k keys.
+    linearly in keys — 195k → 101k → 26k ev/s at 1.5k/10k/50k keys — while
+    this form is FLAT (247k/321k/305k at 64 buckets): 11.9x at 50k keys.
 
     Correctness: a key's rows always hash to the same bucket, so ordering
     and state continuity per key are preserved; equality-tested bit-for-bit
