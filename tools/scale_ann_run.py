@@ -36,17 +36,40 @@ from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
 DIM = 64
 
 
-def _vec(seed_col, jitter: int = 0):
+def _vec(seed_col, jitter: int = 0, clusters: int = 0):
     """Deterministic pseudo-random unit-cube vector; jitter>0 adds a small
-    per-coordinate perturbation (planted near-duplicate, cos ~ 0.999)."""
-    base = F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: (
-            F.pmod(F.xxhash64(seed_col * 131 + i), F.lit(1000)).cast("double")
-            / 500.0
-            - 1.0
-        ),
-    )
+    per-coordinate perturbation (planted near-duplicate, cos ~ 0.999).
+
+    ``clusters > 0`` generates CLUSTERED vectors instead: vector = the
+    (id % clusters) cluster center plus ~±0.25 per-coordinate spread.
+    Uniform vectors are the FLOOR for every centroid-based tier (no
+    structure for coarse quantizers to exploit and vanishing top-10
+    margins); real embedding corpora cluster, and this fixture measures
+    that regime."""
+    if clusters:
+        cid = seed_col % clusters
+        base = F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: (
+                F.pmod(F.xxhash64(cid * 7919 + i), F.lit(1000)).cast("double")
+                / 500.0
+                - 1.0
+            )
+            + (
+                F.pmod(F.xxhash64(seed_col * 131 + i), F.lit(1000)).cast("double")
+                / 2000.0
+                - 0.25
+            ),
+        )
+    else:
+        base = F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: (
+                F.pmod(F.xxhash64(seed_col * 131 + i), F.lit(1000)).cast("double")
+                / 500.0
+                - 1.0
+            ),
+        )
     if not jitter:
         return base
     return F.transform(
@@ -70,12 +93,23 @@ def main() -> None:
         "exact top-k pairs that are NOT the planted near-dup — the general "
         "k-NN task, cos ~ 0.5-0.7 neighbors)",
     )
+    ap.add_argument(
+        "--clustered",
+        type=int,
+        default=0,
+        help="generate N-cluster vectors instead of uniform (center + "
+        "±0.25 spread) — the regime centroid-based tiers (IVF, PQ) are "
+        "built for; uniform is their floor",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale_ann")
     corpus = (
         spark.range(args.vectors)
-        .select(F.col("id").alias("vec_id"), _vec(F.col("id")).alias("embedding"))
+        .select(
+            F.col("id").alias("vec_id"),
+            _vec(F.col("id"), clusters=args.clustered).alias("embedding"),
+        )
         .repartition(32)
         .localCheckpoint()
     )
@@ -89,7 +123,9 @@ def main() -> None:
         spark.range(args.queries)
         .select(
             (F.col("id") * stride + args.vectors).alias("vec_id"),
-            _vec(F.col("id") * stride, jitter=1).alias("embedding"),
+            _vec(F.col("id") * stride, jitter=1, clusters=args.clustered).alias(
+                "embedding"
+            ),
         )
         .localCheckpoint()
     )
