@@ -555,6 +555,11 @@ def ivf_ann_topk(
     96 (38%)  0.89         0.90       3.0x
     ========  ===========  =========  ==============
 
+    Those are FLOOR numbers — uniform vectors have no structure for cells
+    to capture. On the 200-cluster fixture (``--clustered``, SCALE_r07
+    ``ann.sweep_clustered``) probe16 alone reaches 0.998 tail recall at
+    0.61x brute, and kmeans-trained centroids saturate 1.0.
+
     Tail recall ≥ 0.8 needs probing ~2/5 of the cells on unstructured
     vectors. The end-to-end cost above re-assigns the corpus every call;
     the inverted file is a build-once artifact in production, so the
@@ -1123,8 +1128,12 @@ def pq_topk(
     :func:`pq_topk_rerank`: the true neighbor only needs to land in the PQ
     top-``shortlist``, and 0.71 tail recall at 0.49x brute is the cheapest
     measured point on the whole ANN curve below 0.8 (IVF probe48: 0.70 at
-    0.91x). At 100 TB the raw vectors never stream through the scan at all
-    — codes are 64x smaller.
+    0.91x). On the 200-cluster fixture (SCALE_r07 ``ann.sweep_clustered``)
+    rerank400 reaches 0.92-0.94 at ~0.6x — while the coarse scan ALONE
+    loses recall there (cluster-mates collapse to near-identical codes):
+    the rerank is what converts cluster structure into recall. At 100 TB
+    the raw vectors never stream through the scan at all — codes are 64x
+    smaller.
     """
     import numpy as np
     from pyspark.sql import types as T
