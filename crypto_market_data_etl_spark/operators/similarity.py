@@ -889,6 +889,12 @@ def kmeans_train(
         ),
         eager=True,
     )
+    if cents.isEmpty():  # cents is materialized: the probe is free
+        raise ValueError(
+            "kmeans_train: centroid_filter selected no seed rows — pass a "
+            "filter matching this corpus's ids (same contract as "
+            "semantic_dedup's empty-centroid guard)"
+        )
     for _ in range(n_iters):
         assigned = assign_centroids_np(vecs, cents, id_col, vec_col, n=1)
         cents = checkpoint_nostats(

@@ -227,6 +227,16 @@ def test_kmeans_train_matches_numpy_reference(spark):
     assert all(r.q_id != r.n_id for r in out)
 
 
+def test_kmeans_train_empty_seeds_raise(spark):
+    from crypto_market_data_etl_spark.operators.similarity import kmeans_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no seed rows"):
+        kmeans_train(df, centroid_filter=F.col("vec_id") > 100, n_iters=1)
+
+
 def test_hashed_bow_embeddings_bridge_text_to_vectors(spark, docs):
     """The text -> vector bridge: unit-norm deterministic embeddings whose
     cosine structure reflects token overlap — a near-duplicate text ranks
