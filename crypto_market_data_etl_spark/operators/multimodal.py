@@ -131,11 +131,22 @@ def decode_png_gray(payload: bytes) -> "np.ndarray | None":
 
     Returns ``None`` for anything else (color/interlaced/16-bit PNGs would
     need only the same loop with a wider pixel stride; JPEG entropy decode
-    genuinely needs a codec library and stays out of scope).
+    genuinely needs a codec library and stays out of scope) — and for any
+    CORRUPT payload: a valid signature with a truncated IHDR or bit-flipped
+    IDAT must degrade to ``None``, never raise, because one bad blob would
+    otherwise fail the whole Arrow batch and Spark task (the same contract
+    :func:`parse_image_header` honors).
     """
     b = bytes(payload)
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
+    try:
+        return _decode_png_gray_strict(b)
+    except (zlib.error, struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_png_gray_strict(b: bytes) -> "np.ndarray | None":
     i, width, height, idat = 8, None, None, []
     while i + 8 <= len(b):
         (length,) = struct.unpack(">I", b[i : i + 4])

@@ -37,7 +37,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..materialize import materialize
@@ -916,6 +916,7 @@ def hashed_bow_embeddings(
     dim: int = 64,
     normalize: bool = True,
     round_dp: int = 6,
+    tokenizer: str | Column = "space",
 ) -> DataFrame:
     """Deterministic text → dense embedding via the hashing trick
     (feature hashing, Weinberger et al., ICML 2009): token ``t`` adds
@@ -933,11 +934,28 @@ def hashed_bow_embeddings(
     integer sums, so everything before the final normalize-and-round is
     exact cross-engine, and DuckDB mirrors the whole pipeline (oracle
     x49). One explode + one (id, idx) shuffle + one per-doc agg; output
-    ``(id, embedding array<double>)`` dense in index order.
+    ``(id, embedding array<double>)`` dense in index order. A doc whose
+    cells ALL cancel (zero norm) gets a NULL embedding under
+    ``normalize=True`` — never NaN values that would silently poison
+    downstream cosine math.
+
+    ``tokenizer`` selects how text becomes tokens: ``"space"`` (default —
+    single-space split, mirrored verbatim by the x49 oracle), ``"regex"``
+    (the text battery's BPE-ish ``[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]`` —
+    ``text.BPE_ISH_PATTERN``, what real corpora want; oracle x51), or any
+    Column expression yielding ``array<string>``.
     """
-    p = 2_147_483_647  # keep the parsed 60-bit int well inside bigint ops
-    toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    staged = df.select(F.col(id_col), toks).select(
+    if isinstance(tokenizer, Column):
+        tok_arr = tokenizer
+    elif tokenizer == "space":
+        tok_arr = F.split(F.col(text_col), " ")
+    elif tokenizer == "regex":
+        from .text import BPE_ISH_PATTERN
+
+        tok_arr = F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (space|regex|Column)")
+    staged = df.select(F.col(id_col), F.explode(tok_arr).alias("tok")).select(
         id_col,
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
         .cast("bigint")
@@ -966,12 +984,20 @@ def hashed_bow_embeddings(
     if not normalize:
         return dense
     norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    # zero-norm docs (all cells cancelled) → NULL embedding, not NaN cells
     return dense.select(
         id_col,
-        F.transform(
-            "embedding", lambda x: F.round(x / norm, round_dp)
+        F.when(
+            norm > 0,
+            F.transform("embedding", lambda x: F.round(x / norm, round_dp)),
         ).alias("embedding"),
     )
+
+
+#: pq_train's auto-seed probe reads at most this many rows to size the seed
+#: density — the bound that keeps the training path free of full-corpus
+#: actions. Past it, callers pass ``seed_mod`` or a sample (loudly).
+PQ_TRAIN_PROBE_CAP = 1_000_000
 
 
 def pq_train(
@@ -1001,15 +1027,29 @@ def pq_train(
     64x smaller than the vector). The ANN memory/scan path becomes
     codes + one (m x k) distance lookup table per query
     (:func:`pq_topk`), never the raw vectors.
+
+    Seed selection hashes ids (``xxhash64 % seed_mod == residue``) so it is
+    independent of id density — no dense-0..n-1 assumption. When
+    ``seed_mod`` is None it derives from a BOUNDED probe
+    (``limit(PQ_TRAIN_PROBE_CAP).count()`` — never a full corpus pass, per
+    this function's own train-on-a-sample contract); a corpus past the cap
+    must pass ``seed_mod`` explicitly or feed a sample.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     if seed_mod is None:
-        # ~k seeds: every (n/k)-th id; kmeans keeps at most that many
-        n = df.count()
+        n = df.limit(PQ_TRAIN_PROBE_CAP + 1).count()
+        if n > PQ_TRAIN_PROBE_CAP:
+            raise ValueError(
+                f"pq_train: corpus exceeds the {PQ_TRAIN_PROBE_CAP}-row "
+                "auto-seed probe cap — pass seed_mod explicitly or train on "
+                "a sample (the production contract anyway)"
+            )
+        # expected ~k seeds at any n (n < 2k included: seed_mod=1 keeps all)
         seed_mod = max(1, n // k)
     out = None
+    seed_hash = F.pmod(F.xxhash64(F.col(id_col)), F.lit(seed_mod))
     for b in range(m):
         sliced = df.select(
             F.col(id_col),
@@ -1017,13 +1057,22 @@ def pq_train(
                 "sub"
             ),
         )
-        cents = kmeans_train(
-            sliced,
-            id_col=id_col,
-            vec_col="sub",
-            centroid_filter=F.col(id_col) % seed_mod == 1,
-            n_iters=n_iters,
-        )
+        cents = None
+        # hashed sampling leaves ~e^-k odds of an empty seed set; walk the
+        # residue on the rare miss instead of failing the whole train
+        for residue in range(3):
+            try:
+                cents = kmeans_train(
+                    sliced,
+                    id_col=id_col,
+                    vec_col="sub",
+                    centroid_filter=seed_hash == residue,
+                    n_iters=n_iters,
+                )
+                break
+            except ValueError:
+                if residue == 2:
+                    raise
         w = Window.orderBy("c_id")
         dense = cents.select(
             F.lit(b).alias("block"),

@@ -2265,7 +2265,47 @@ cell AS (
 n AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM cell GROUP BY 1)
 SELECT c.doc_id, c.idx, round(c.v / n.nrm, 6) AS val
 FROM cell c JOIN n USING (doc_id)
-WHERE round(c.v / n.nrm, 6) <> 0.0
+WHERE n.nrm > 0 AND round(c.v / n.nrm, 6) <> 0.0
+"""
+
+
+# --------------------------------------------------------------------------
+# x51 hashed BoW with the REGEX tokenizer (text.BPE_ISH_PATTERN — what real
+# corpora want instead of x49's single-space split; punctuation splits off,
+# runs of letters/digits tokenize separately). Same exact-integer hashing
+# contract, same long-form output, oracle mirrors the tokenization with
+# DuckDB regexp_extract_all.
+# --------------------------------------------------------------------------
+
+def x51_hashed_embeddings_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hashed_bow_embeddings
+
+    emb = hashed_bow_embeddings(_docs(spark, sf_dir), dim=_X49_DIM, tokenizer="regex")
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("idx", "val"))
+        .filter(F.col("val") != 0.0)
+        .select("doc_id", F.col("idx").cast("bigint").alias("idx"), "val")
+    )
+
+
+X51_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+),
+cell AS (
+  SELECT doc_id, hv % {_X49_DIM} AS idx,
+         CAST(SUM(1 - 2 * ((hv // {_X49_DIM}) % 2)) AS DOUBLE) AS v
+  FROM h GROUP BY 1, 2
+),
+n AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM cell GROUP BY 1)
+SELECT c.doc_id, c.idx, round(c.v / n.nrm, 6) AS val
+FROM cell c JOIN n USING (doc_id)
+WHERE n.nrm > 0 AND round(c.v / n.nrm, 6) <> 0.0
 """
 
 
@@ -2370,6 +2410,7 @@ VARIANT_QUERIES = {
     "x48_multimodal_decode": x48_multimodal_decode,
     "x49_hashed_embeddings": x49_hashed_embeddings,
     "x50_text_semantic_dedup": x50_text_semantic_dedup,
+    "x51_hashed_embeddings_regex": x51_hashed_embeddings_regex,
 }
 
 VARIANT_ORACLES = {
@@ -2398,4 +2439,5 @@ VARIANT_ORACLES = {
     "x48_multimodal_decode": X48_SQL,
     "x49_hashed_embeddings": X49_SQL,
     "x50_text_semantic_dedup": X50_SQL,
+    "x51_hashed_embeddings_regex": X51_SQL,
 }

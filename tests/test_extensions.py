@@ -269,6 +269,88 @@ def test_hashed_bow_embeddings_bridge_text_to_vectors(spark, docs):
     assert next(r.n_id for r in top if r.rnk == 1) == 3
 
 
+def test_hashed_bow_zero_norm_and_tokenizers(spark):
+    """(a) a doc whose cells ALL cancel gets a NULL embedding (not NaN
+    values poisoning downstream cosine); (b) the regex tokenizer splits
+    punctuation the space tokenizer can't; (c) a Column tokenizer
+    expression is accepted; (d) unknown names raise."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        hashed_bow_embeddings,
+    )
+
+    # "t17" and "t30" hash to the same cell with opposite signs (found by
+    # exhaustive search over the md5 scheme at dim=64) — their sum is the
+    # all-cancelled zero-norm document
+    base = spark.createDataFrame(
+        [(1, "t17 t30"), (2, "hello world")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.embedding for r in hashed_bow_embeddings(base).collect()}
+    assert out[1] is None
+    assert np.linalg.norm(out[2]) == pytest.approx(1.0, abs=1e-5)
+
+    punct = spark.createDataFrame(
+        [(1, "hello, world! hello,world"), (2, "hello world hello world")],
+        "doc_id long, text string",
+    )
+    sp = {r.doc_id: np.array(r.embedding) for r in hashed_bow_embeddings(punct).collect()}
+    rx = {
+        r.doc_id: np.array(r.embedding)
+        for r in hashed_bow_embeddings(punct, tokenizer="regex").collect()
+    }
+    # space-split sees "hello," / "hello,world" as opaque tokens -> low sim;
+    # the regex tokenizer recovers hello/world (plus ,/! tokens) -> high sim
+    assert float(rx[1] @ rx[2]) > float(sp[1] @ sp[2])
+    assert float(rx[1] @ rx[2]) > 0.7
+
+    col = {
+        r.doc_id: np.array(r.embedding)
+        for r in hashed_bow_embeddings(
+            punct, tokenizer=F.split(F.col("text"), "[ ,!]+")
+        ).collect()
+    }
+    assert float(col[1] @ col[2]) > 0.9
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        hashed_bow_embeddings(punct, tokenizer="words")
+
+
+def test_pq_train_seed_edge_cases(spark):
+    """Auto-seed selection survives the regimes that broke the id-modulo
+    scheme: (a) n < 2k (seed_mod=1 previously selected ZERO seeds — id%1==1
+    never holds); (b) sparse non-dense ids (hashed selection has no
+    0..n-1 assumption); (c) the bounded probe raises loudly past the cap
+    instead of running a full-corpus count."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators import similarity as sim
+    from crypto_market_data_etl_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(3)
+    dim, m, kc = 8, 2, 8
+    # (a) n=10 < 2k=16; (b) ids sparse (stride 1000, offset 7)
+    X = rng.normal(size=(10, dim))
+    df = spark.createDataFrame(
+        [(7 + 1000 * i, [float(v) for v in X[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(df, m=m, k=kc, n_iters=1, dim=dim)
+    rows = books.collect()
+    assert {r.block for r in rows} == {0, 1}
+    codes = pq_encode(df, books).collect()
+    assert len(codes) == 10 and all(len(r.codes) == m for r in codes)
+    # (c) probe cap: shrink it so the guard fires without a big frame
+    old = sim.PQ_TRAIN_PROBE_CAP
+    sim.PQ_TRAIN_PROBE_CAP = 5
+    try:
+        with pytest.raises(ValueError, match="probe cap"):
+            pq_train(df, m=m, k=kc, n_iters=1, dim=dim)
+        pq_train(df, m=m, k=kc, n_iters=1, dim=dim, seed_mod=3).collect()
+    finally:
+        sim.PQ_TRAIN_PROBE_CAP = old
+
+
 def test_pq_encode_decode_and_adc(spark):
     """PQ pipeline invariants: (1) encode picks the L2-nearest centroid per
     block (numpy reference); (2) ADC distances equal the explicit distance
@@ -330,7 +412,7 @@ def test_pq_encode_decode_and_adc(spark):
         pq_encode(df.unionByName(dup), books_df),
         dup,
         books_df,
-        k=3,
+        k=30,  # wide enough to hold the whole same-code tie group
     ).collect()
     by_rank = {r.rnk: r for r in got}
     q_err = float(((X[42] - recon[42]) ** 2).sum())
@@ -422,6 +504,14 @@ def test_decode_png_gray_all_filter_types():
     assert out is not None and (out == img).all()
     # non-grayscale / truncated payloads decline instead of raising
     assert decode_png_gray(b"\xff\xd8junk") is None
+    # CORRUPT payloads with a valid signature degrade to None, never raise
+    # (one bad blob must not fail the whole Arrow batch / Spark task):
+    # bit-flipped IDAT byte → zlib error; truncated IHDR → struct error
+    flipped = bytearray(png)
+    flipped[len(png) - 30] ^= 0xFF  # lands inside the IDAT payload
+    assert decode_png_gray(bytes(flipped)) is None
+    assert decode_png_gray(png[:20]) is None
+    assert decode_png_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 6) is None
 
 
 def test_multimodal_real_decode(spark, docs):
