@@ -1275,6 +1275,183 @@ def pq_topk_rerank(
     return _rerank_candidates(cand, corpus, id_col, vec_col, k, q_vecs=queries)
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Build the IVF+PQ index in ONE corpus pass: ``(id, c_id, codes)`` —
+    each vector's coarse cell (argmax cosine against the broadcast
+    ``coarse_centroids``, ties to the lowest ``c_id``, exactly
+    :func:`assign_centroids_np` semantics) plus its PQ code
+    (:func:`pq_encode` semantics: per block, the L2-nearest centroid of the
+    unit-normalized vector).
+
+    Fusing assignment + encoding into a single ``mapInPandas`` scan avoids
+    the second corpus pass AND the id-on-id join the two-operator
+    composition would shuffle — the build-once artifact for
+    :func:`ivfpq_topk` is 1 scan, 0 shuffles. At 100 TB the raw vectors
+    stream through exactly once and never again (queries touch only this
+    index + the shortlist)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books, m = _pq_codebook_tensor(codebooks)
+    cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
+    c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, n_cells)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = c_ids[(Vn @ Cn).argmax(axis=1)]
+            E = Vn if normalize else V
+            dsub = E.shape[1] // m
+            codes = np.empty((len(E), m), dtype=np.int32)
+            for b in range(m):
+                sub = E[:, b * dsub : (b + 1) * dsub]
+                B = books[b]
+                d = -2.0 * (sub @ B.T) + (B * B).sum(axis=1)[None, :]
+                codes[:, b] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "c_id": cell, "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(batches, schema=schema)
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+    k: int = 10,
+    shortlist: int = 200,
+    normalize: bool = True,
+) -> DataFrame:
+    """IVF + PQ + exact rerank composed — the full IVFADC+R query shape
+    (Jégou et al. 2011 §V): each query probes its ``n_probe`` nearest
+    coarse cells, ADC-scans ONLY the PQ codes in those cells, and the
+    exact rerank scores the surviving ``shortlist`` against raw vectors.
+
+    Where the savings stack (vs :func:`pq_topk_rerank`, which ADC-scans
+    the WHOLE code table): the per-batch gather loop groups rows by
+    ``c_id`` and touches a cell only for the queries probing it, so the
+    ADC work drops from ``n_queries x n`` to
+    ``~(n_probe / n_cells) x n_queries x n`` — and the rerank input is
+    identical. Probe selection is driver-side numpy over the broadcast-
+    small centroid table (``n_queries x n_cells`` cosines). The index
+    (``index_df`` = :func:`ivfpq_index`) is build-once; queries stream
+    against codes only.
+
+    Recall characteristics: on CLUSTERED corpora (the production regime)
+    the coarse probe concentrates near-neighbors into few cells, so at
+    equal shortlist the composition matches pq_rerank recall at a fraction
+    of the cost; uniform vectors are the floor (neighbors spread across
+    cells — raise ``n_probe``). Measured: tools/scale_ann_run.py --sweep,
+    SCALE_r08 ``ann`` section.
+
+    Output: the exact tiers' ``(q_id, n_id, rnk, sim)`` contract.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books, m = _pq_codebook_tensor(codebooks)
+    cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
+    c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qe = Qn if normalize else Q
+
+    # probe selection: top-n_probe cells per query (cosine, ties to the
+    # lowest c_id via stable argsort over -sim)
+    sims = Qn @ Cn.T  # (nq, n_cells)
+    n_take = min(n_probe, sims.shape[1])
+    part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for ci in part[qi]:
+            cell_to_q.setdefault(int(c_ids[ci]), []).append(qi)
+    cell_to_q_np = {c: np.array(v, dtype=np.int64) for c, v in cell_to_q.items()}
+
+    dsub = Qe.shape[1] // m
+    luts = []
+    for b in range(m):
+        sub = Qe[:, b * dsub : (b + 1) * dsub]
+        B = books[b]
+        luts.append(
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ B.T)
+            + (B * B).sum(axis=1)[None, :]
+        )  # (nq, k_b)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out_q, out_n, out_d = [], [], []
+            for cell, grp in pdf.groupby("c_id"):
+                qs = cell_to_q_np.get(int(cell))
+                if qs is None:
+                    continue  # nobody probes this cell — the IVF saving
+                ids = grp[id_col].to_numpy()
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                d = np.zeros((len(qs), len(ids)))
+                for b in range(m):
+                    d += luts[b][qs][:, codes[:, b]]
+                kk = min(shortlist, d.shape[1])
+                sel = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(qs):
+                    cols = sel[row]
+                    out_q.extend([q_ids[qi]] * len(cols))
+                    out_n.extend(ids[cols].tolist())
+                    out_d.extend(d[row, cols].tolist())
+            if out_q:
+                yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "dist": out_d})
+
+    partial = index_df.mapInPandas(batches, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id"))
+    cand = (
+        partial.filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= shortlist)
+        .select("q_id", "n_id")
+    )
+    return _rerank_candidates(cand, corpus, id_col, vec_col, k, q_vecs=queries)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -433,6 +433,75 @@ def test_pq_encode_decode_and_adc(spark):
     assert top1.n_id == 42 and top1.sim == 1.0
 
 
+def test_ivfpq_index_and_topk(spark):
+    """IVF+PQ composition invariants: (1) the fused one-pass index agrees
+    with its two constituent operators (assign_centroids_np coarse cell +
+    pq_encode codes); (2) with every cell probed and an exhaustive
+    shortlist the composition degenerates to EXACT brute-force top-k;
+    (3) a planted identical duplicate is found at sim 1.0 under a narrow
+    probe (its cell is by construction the query's nearest)."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        assign_centroids_np,
+        cosine_topk,
+        ivfpq_index,
+        ivfpq_topk,
+        kmeans_train,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, m, kc, n = 16, 4, 8, 300
+    # clustered corpus (the regime IVF exploits): 6 centers + small noise
+    centers = rng.normal(size=(6, dim))
+    X = centers[np.arange(n) % 6] + 0.15 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2)
+    books = pq_train(df, m=m, k=kc, n_iters=2, dim=dim)
+    idx = ivfpq_index(df, cents, books)
+    idx_rows = {r.vec_id: (r.c_id, list(r.codes)) for r in idx.collect()}
+    assert len(idx_rows) == n
+
+    # (1) fused index == assign + encode run separately
+    assigned = {
+        r.vec_id: r.c_id
+        for r in assign_centroids_np(
+            df.select("vec_id", "embedding"), cents, "vec_id", "embedding", n=1
+        ).collect()
+    }
+    encoded = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    for i in range(n):
+        assert idx_rows[i] == (assigned[i], encoded[i]), i
+
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 37]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    n_cells = cents.count()
+
+    # (2) exhaustive probe + shortlist == exact brute force
+    exact = cosine_topk(df, qs, k=4).collect()
+    full = ivfpq_topk(
+        idx, qs, cents, books, df, n_probe=n_cells, k=4, shortlist=n
+    ).collect()
+    assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in full) == sorted(
+        (r.q_id, r.rnk, r.n_id, r.sim) for r in exact
+    )
+
+    # (3) planted duplicate under a narrow probe
+    narrow = ivfpq_topk(idx, qs, cents, books, df, n_probe=1, k=4, shortlist=50)
+    rows = narrow.collect()
+    top1 = {r.q_id: (r.n_id, r.sim) for r in rows if r.rnk == 1}
+    for i in range(5):
+        assert top1[10_000 + i] == (i * 37, 1.0)
+    assert len(rows) <= len(full)  # narrow probe never widens the result
+
+
 def test_parse_image_header_known_bytes():
     """Byte-structure parsers against independently-constructed payloads —
     including the canonical 1x1 transparent PNG (a public constant) and

@@ -15,8 +15,17 @@ variant at the driver's correctness scale and writes
 Variants with no oracle (none today) would record a rows-only row with
 ``hash_match: null``, mirroring the driver's weaker check.
 
-Usage: python tools/record_selfcheck.py <round> [sf_dir]
-       (writes /root/repo/SELFCHECK_r{round:02d}.json)
+Round 7 proved scale-DEPENDENT correctness bugs exist (q28's
+applyInPandasWithState cross-chunk ordering passed seven rounds of sf0.01
+gates and failed only at sf0.1, where groups straddle Arrow chunk
+boundaries), so this also records an ``sf01_sweep`` section: the SAME
+compare over BOTH registries (gate 50 + variants) at sf0.1 — the
+round-7 verdict's #1 ask, now a committed per-round artifact instead of an
+ad-hoc builder run.
+
+Usage: python tools/record_selfcheck.py <round> [sf_dir] [sf01_dir]
+       (writes /root/repo/SELFCHECK_r{round:02d}.json; pass an empty
+       string as sf01_dir to skip the sf0.1 section)
 """
 
 from __future__ import annotations
@@ -80,51 +89,87 @@ def run_one(spark, con, fn, sql):
     return row
 
 
+def _is_green(r: dict) -> bool:
+    return bool(
+        r["rows_match"] and r["schema_match"] and r["hash_match"] in (True, None)
+    )
+
+
+def _sweep(spark, sf_dir: str, queries: dict, oracles: dict) -> dict:
+    """Run every query in ``queries`` through the driver-faithful compare
+    against ``sf_dir``; returns {name: CORRECTNESS-row}."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    results: dict[str, dict] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        results[name] = run_one(
+            spark, con, lambda s, fn=fn: fn(s, sf_dir), oracles.get(name)
+        )
+        r = results[name]
+        print(f"{'PASS' if _is_green(r) else 'FAIL'}  {name}: {r}", flush=True)
+    con.close()
+    return results
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
     rnd = int(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    sf01_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     out_path = f"/root/repo/SELFCHECK_r{rnd:02d}.json"
 
-    import duckdb
-
     spark = get_spark(cpus=8, shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import __spark_entry__ as e
     from crypto_market_data_etl_spark import plans
 
     vq, vo = plans.variant_queries(), plans.variant_oracles()
-    results: dict[str, dict] = {}
     t0 = time.time()
-    for name in sorted(vq):
-        fn = vq[name]
-        results[name] = run_one(
-            spark, con, lambda s, fn=fn: fn(s, sf_dir), vo.get(name)
-        )
-        r = results[name]
-        ok = r["rows_match"] and r["schema_match"] and r["hash_match"] in (True, None)
-        print(f"{'PASS' if ok else 'FAIL'}  {name}: {r}", flush=True)
+    results = _sweep(spark, sf_dir, vq, vo)
     payload = {
         "sf_dir": sf_dir,
         "n_variants": len(vq),
         "wall_sec": round(time.time() - t0, 1),
         "rows": results,
     }
+
+    all_green = all(_is_green(r) for r in results.values())
+    if sf01_dir:
+        # scale sweep: gate + variants at 10x the driver's gate scale —
+        # the regime where groups straddle Arrow chunk boundaries,
+        # buckets overflow caps, and per-partition state actually carries
+        gq, go = dict(e.queries()), dict(e.oracle_sql())
+        gq.update(vq)
+        go.update(vo)
+        t0 = time.time()
+        print(f"\n=== sf0.1 scale sweep ({len(gq)} queries) ===", flush=True)
+        s_results = _sweep(spark, sf01_dir, gq, go)
+        payload["sf01_sweep"] = {
+            "sf_dir": sf01_dir,
+            "registries": "gate+variants",
+            "n_queries": len(gq),
+            "wall_sec": round(time.time() - t0, 1),
+            "rows": s_results,
+        }
+        all_green = all_green and all(_is_green(r) for r in s_results.values())
+
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
     spark.stop()
-    n_green = sum(
-        1
-        for r in results.values()
-        if r["rows_match"] and r["schema_match"] and r["hash_match"] in (True, None)
-    )
-    print(f"\n{out_path}: {n_green}/{len(results)} green")
-    return 0 if n_green == len(results) else 1
+    n_green = sum(1 for r in results.values() if _is_green(r))
+    msg = f"\n{out_path}: {n_green}/{len(results)} variants green"
+    if sf01_dir:
+        sg = sum(1 for r in payload["sf01_sweep"]["rows"].values() if _is_green(r))
+        msg += f"; sf0.1 sweep {sg}/{payload['sf01_sweep']['n_queries']} green"
+    print(msg)
+    return 0 if all_green else 1
 
 
 if __name__ == "__main__":
