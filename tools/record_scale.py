@@ -59,7 +59,7 @@ def run(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r07.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r08.json")
     artifact: dict = {
         "host": "local[32]", "market": [], "corpus": [], "skew": {}, "bpe": [],
     }
@@ -176,6 +176,65 @@ def main() -> None:
             d = json.loads(line)
             if "job" in d:
                 ann["sweep"][d.pop("job")] = d
+    # clustered fixture: the production regime for centroid-based tiers
+    # (uniform above is their floor)
+    ann["sweep_clustered"] = {
+        "note": (
+            "same sweep, --clustered 200 fixture (200 cluster centers + "
+            "±0.25 spread) — the regime centroid/bucket-based tiers are "
+            "built for; the uniform sweep above is their floor"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "100000", "--queries", "200", "--clustered", "200",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_clustered"]["jobs"][d.pop("job")] = d
+    # Zipf hashed-BoW fixture: NATURALLY clustered text vectors (the text →
+    # vector bridge applied to the Zipf corpus; queries are near-dup TEXTS)
+    ann["sweep_bow"] = {
+        "note": (
+            "--bow fixture: hashed_bow_embeddings over zipf_docs — "
+            "naturally clustered vectors from raw text (universal stop "
+            "words + 2000-word mid body), queries re-embed source text + "
+            "one extra token; the measured production regime rather than "
+            "a simulated one"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "100000", "--queries", "200", "--bow",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow"]["jobs"][d.pop("job")] = d
+    # IVF+PQ composition rung: 400k vectors — the regime where the ADC
+    # gather dominates and cell-restriction pays (at 100k it is a wash;
+    # the sweeps above show that honestly)
+    ann["ivfpq_400k"] = {
+        "note": (
+            "tools/scale_ivfpq_run.py — interleaved best-of-2 at 400k "
+            "clustered vectors: ivfpq probe4+rerank400 returns the "
+            "bit-identical result of pq_m8k64_rerank400 at a fraction of "
+            "the wall, and the probe4 shortlist ladder dominates the "
+            "recall-cost segment below the full-scan point"
+        ),
+        "jobs": {},
+    }
+    stdout = run([sys.executable, "tools/scale_ivfpq_run.py"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d and "_rep" not in d["job"]:
+                ann["ivfpq_400k"]["jobs"][d.pop("job")] = d
     artifact["ann"] = ann
 
     # stateful key-cardinality rung: per-key vs bucketed update forms

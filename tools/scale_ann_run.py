@@ -101,35 +101,46 @@ def main() -> None:
         "±0.25 spread) — the regime centroid-based tiers (IVF, PQ) are "
         "built for; uniform is their floor",
     )
+    ap.add_argument(
+        "--bow",
+        action="store_true",
+        help="vectors = hashed_bow_embeddings of the Zipf corpus "
+        "(tools/corpus_fixtures.zipf_docs) — NATURALLY clustered text "
+        "vectors, the production regime; queries are near-dup texts "
+        "(source doc + one extra token)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale_ann")
-    corpus = (
-        spark.range(args.vectors)
-        .select(
-            F.col("id").alias("vec_id"),
-            _vec(F.col("id"), clusters=args.clustered).alias("embedding"),
+    if args.bow:
+        corpus, queries = _bow_fixture(spark, args)
+    else:
+        corpus = (
+            spark.range(args.vectors)
+            .select(
+                F.col("id").alias("vec_id"),
+                _vec(F.col("id"), clusters=args.clustered).alias("embedding"),
+            )
+            .repartition(32)
+            .localCheckpoint()
         )
-        .repartition(32)
-        .localCheckpoint()
-    )
-    corpus.count()
-    stride = max(1, args.vectors // args.queries)
-    # query ids are OFFSET past the corpus ids: cosine_topk (and the rerank
-    # tiers) exclude identical-id pairs, so a query that reused its source
-    # vector's id would have its planted neighbor filtered out of every
-    # result
-    queries = (
-        spark.range(args.queries)
-        .select(
-            (F.col("id") * stride + args.vectors).alias("vec_id"),
-            _vec(F.col("id") * stride, jitter=1, clusters=args.clustered).alias(
-                "embedding"
-            ),
+        corpus.count()
+        stride = max(1, args.vectors // args.queries)
+        # query ids are OFFSET past the corpus ids: cosine_topk (and the
+        # rerank tiers) exclude identical-id pairs, so a query that reused
+        # its source vector's id would have its planted neighbor filtered
+        # out of every result
+        queries = (
+            spark.range(args.queries)
+            .select(
+                (F.col("id") * stride + args.vectors).alias("vec_id"),
+                _vec(F.col("id") * stride, jitter=1, clusters=args.clustered).alias(
+                    "embedding"
+                ),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    queries.count()
+        queries.count()
 
     if args.sweep:
         _sweep(spark, corpus, queries, args)
@@ -206,6 +217,49 @@ def _emit_tier(name, wall, n, rec, out, planted_pred, args) -> None:
         ),
         flush=True,
     )
+
+
+def _bow_fixture(spark, args):
+    """Zipf-corpus hashed-BoW vectors (round-7 verdict ask #3): the text →
+    vector bridge applied to the Zipf fixture gives NATURALLY clustered
+    embeddings — the 6 universal stop words put a large shared component in
+    every vector and the 2000-word mid body groups docs by token overlap —
+    i.e. the regime real embedding corpora live in, measured instead of
+    simulated. Queries re-embed every stride-th doc's text plus ONE extra
+    token (a true near-dup in TEXT space, not a vector-space jitter)."""
+    from corpus_fixtures import zipf_docs
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        hashed_bow_embeddings,
+    )
+
+    docs = zipf_docs(spark, args.vectors)
+    corpus = (
+        hashed_bow_embeddings(docs, dim=DIM)
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(32)
+        .localCheckpoint()
+    )
+    n = corpus.count()
+    stride = max(1, args.vectors // args.queries)
+    q_docs = docs.filter(F.col("doc_id") % stride == 0).select(
+        (F.col("doc_id") + args.vectors).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqueryextra")).alias("text"),
+    )
+    queries = (
+        hashed_bow_embeddings(q_docs, dim=DIM)
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint()
+    )
+    nq = queries.count()
+    args.queries = nq  # planted fractions normalize by the real count
+    print(
+        json.dumps({"job": "bow_fixture", "corpus_vecs": n, "query_vecs": nq}),
+        flush=True,
+    )
+    return corpus, queries
 
 
 def _sweep(spark, corpus, queries, args) -> None:
@@ -322,6 +376,38 @@ def _sweep(spark, corpus, queries, args) -> None:
                 f"pq_m{m}k{kc}_rerank400",
                 lambda b=books, c=codes: pq_topk_rerank(
                     c, queries, b, corpus, k=args.k, shortlist=400
+                ),
+            )
+        )
+        if (m, kc) == (8, 64):
+            books64 = books
+
+    # IVF+PQ composed (round-8): kmeans coarse cells + m8k64 codes + exact
+    # rerank. The fused index is one corpus pass (build-once, reported
+    # separately); the ADC gather then touches only probed cells, so the
+    # scan cost is ~n_probe/n_cells of pq_m8k64's full-table ADC at equal
+    # shortlist.
+    from crypto_market_data_etl_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    t0 = time.time()
+    ivfpq_idx = ivfpq_index(corpus, trained, books64).localCheckpoint()
+    ivfpq_idx.count()
+    print(
+        json.dumps(
+            {"job": "ivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
+        ),
+        flush=True,
+    )
+    for n_probe in (8, 16, 32, 64):
+        configs.append(
+            (
+                f"ivfpq_m8k64_probe{n_probe}_rerank400",
+                lambda p=n_probe: ivfpq_topk(
+                    ivfpq_idx, queries, trained, books64, corpus,
+                    n_probe=p, k=args.k, shortlist=400,
                 ),
             )
         )
