@@ -55,6 +55,58 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
+def embedding_mean(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Elementwise corpus mean of an embedding column, as a plain list.
+
+    One corpus pass (posexplode → per-dimension avg, map-side partial agg);
+    the driver collect is DIM-bounded, never corpus-bounded. This is the
+    center vector for :func:`center_embeddings` / the ``center`` knobs on
+    the IVF family — at 100 TB you compute it once on a sample alongside
+    the centroid training and reuse it (it is part of the index artifact,
+    like the centroids themselves)."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"embedding_mean: no vectors in column {vec_col!r}")
+    return [float(r["m"]) for r in rows]
+
+
+def center_embeddings(
+    df: DataFrame,
+    mean: list[float],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Subtract a (broadcast-literal) mean vector elementwise.
+
+    Why this exists: corpora whose vectors share a large common component —
+    hashed-BoW text vectors are the canonical case, where universal stop
+    words put the SAME direction into every vector — defeat cosine cell
+    assignment: every vector is nearest the handful of centroids aligned
+    with the shared direction, so IVF cells skew catastrophically (measured
+    on the Zipf/BoW fixture: max cell occupancy 593 vs the ideal 100 at 200
+    cells / 20k vectors; probing then scans most of the corpus, SCALE_r07/8
+    ann.sweep_bow). Centering removes the shared component so assignment
+    spreads by each vector's DISTINCTIVE content (max occupancy 172 on the
+    same fixture) — the standard IR/embedding-pipeline move.
+
+    Use it for the ASSIGNMENT space only (cell choice is a recall
+    heuristic): train centroids on the centered column, assign and probe
+    centered, but score/rerank on the raw vectors so the returned metric is
+    still raw-vector cosine — exactly how the ``center`` knobs of
+    :func:`ivf_ann_topk` / :func:`ivfpq_index` / :func:`ivfpq_topk` wire it.
+    """
+    m_lit = F.array(*[F.lit(float(x)) for x in mean])
+    return df.withColumn(
+        out_col or vec_col, F.zip_with(F.col(vec_col), m_lit, lambda x, y: x - y)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -528,6 +580,8 @@ def ivf_ann_topk(
     centroid_filter=None,
     numpy_assign: bool = False,
     centroids: DataFrame | None = None,
+    center: bool = False,
+    center_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
 
@@ -575,11 +629,27 @@ def ivf_ann_topk(
     to find; on real embedding corpora (which cluster hard) the k-means
     lift is the difference that makes IVF standard practice — the sampled-
     centroid numbers are the floor, and the override is how you cash in.
+
+    ``center=True`` (or an explicit ``center_vec``) assigns cells in
+    MEAN-CENTERED space: corpus, queries, and the default sampled
+    centroids are shifted by the corpus mean before the cosine argmax,
+    while the final rerank stays on raw vectors — the output metric is
+    unchanged (exhaustive-probe degeneracy to brute force holds, see
+    tests). This is the fix for shared-component corpora (hashed-BoW text:
+    universal stop words align every vector, cells skew to uselessness —
+    :func:`center_embeddings` has the measured occupancy numbers). An
+    EXPLICIT ``centroids`` table is used as-is in assignment space: train
+    it on the centered column (``kmeans_train(center_embeddings(df, m))``)
+    and pass the same ``center_vec=m``.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
-    # explicit (c_id, c_vec) centroid table (e.g. kmeans_train output)
-    # overrides the sampled-from-corpus default
+    mean = None
+    if center or center_vec is not None:
+        mean = center_vec if center_vec is not None else embedding_mean(df, vec_col)
+    # explicit (c_id, c_vec) centroid table (e.g. kmeans_train output, in
+    # assignment space) overrides the sampled-from-corpus default (raw
+    # corpus rows — centered here when the assignment space is centered)
     cent_src = (
         centroids.select("c_id", "c_vec")
         if centroids is not None
@@ -587,11 +657,17 @@ def ivf_ann_topk(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         )
     )
+    if mean is not None and centroids is None:
+        cent_src = center_embeddings(cent_src, mean, "c_vec")
     cents = F.broadcast(cent_src)
 
     def nearest_cells(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
-        sim = _dot(F.col(svec), F.col("c_vec")) / (
-            F.sqrt(_dot(F.col(svec), F.col(svec)))
+        av = F.col(svec)  # assignment-space vector; scoring stays on svec
+        if mean is not None:
+            m_lit = F.array(*[F.lit(float(x)) for x in mean])
+            av = F.zip_with(av, m_lit, lambda x, y: x - y)
+        sim = _dot(av, F.col("c_vec")) / (
+            F.greatest(F.sqrt(_dot(av, av)), F.lit(1e-12))
             * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
         )
         w = Window.partitionBy(sid).orderBy(F.col("c_sim").desc(), F.col("c_id"))
@@ -606,9 +682,20 @@ def ivf_ann_topk(
     corpus_side = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     query_side = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     if numpy_assign:
-        # Arrow+BLAS tier: the corpus-wide assignment is the dominant cost
-        inv = assign_centroids_np(corpus_side, cent_src, "n_id", "n_vec", n=1)
-        probes = assign_centroids_np(query_side, cent_src, "q_id", "q_vec", n=n_probe)
+        # Arrow+BLAS tier: the corpus-wide assignment is the dominant cost.
+        # Centered assignment rides a temp column so scoring stays raw.
+        if mean is not None:
+            ci = center_embeddings(corpus_side, mean, "n_vec", "__av")
+            qi = center_embeddings(query_side, mean, "q_vec", "__av")
+            inv = assign_centroids_np(ci, cent_src, "n_id", "__av", n=1).drop("__av")
+            probes = assign_centroids_np(
+                qi, cent_src, "q_id", "__av", n=n_probe
+            ).drop("__av")
+        else:
+            inv = assign_centroids_np(corpus_side, cent_src, "n_id", "n_vec", n=1)
+            probes = assign_centroids_np(
+                query_side, cent_src, "q_id", "q_vec", n=n_probe
+            )
     else:
         inv = nearest_cells(corpus_side, "n_id", "n_vec", 1)
         probes = nearest_cells(query_side, "q_id", "q_vec", n_probe)
@@ -670,6 +757,7 @@ def assign_centroids_np(
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, m)
+    n = min(n, len(c_ids))  # probing every cell == exhaustive, not an error
 
     schema = T.StructType(list(df.schema.fields) + [T.StructField("c_id", T.LongType())])
 
@@ -1282,6 +1370,7 @@ def ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    center_vec: list[float] | None = None,
 ) -> DataFrame:
     """Build the IVF+PQ index in ONE corpus pass: ``(id, c_id, codes)`` —
     each vector's coarse cell (argmax cosine against the broadcast
@@ -1295,7 +1384,14 @@ def ivfpq_index(
     composition would shuffle — the build-once artifact for
     :func:`ivfpq_topk` is 1 scan, 0 shuffles. At 100 TB the raw vectors
     stream through exactly once and never again (queries touch only this
-    index + the shortlist)."""
+    index + the shortlist).
+
+    ``center_vec`` switches CELL assignment to mean-centered space (the
+    shared-component fix — :func:`center_embeddings`); ``coarse_centroids``
+    are then expected in that space (``kmeans_train`` over the centered
+    column) and the PQ codes stay on the raw (normalized) vectors, so ADC
+    and rerank semantics are untouched. Pass the SAME ``center_vec`` to
+    :func:`ivfpq_topk`."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1304,6 +1400,7 @@ def ivfpq_index(
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, n_cells)
+    mean_np = None if center_vec is None else np.asarray(center_vec, dtype=np.float64)
 
     schema = T.StructType(
         [
@@ -1319,7 +1416,10 @@ def ivfpq_index(
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cell = c_ids[(Vn @ Cn).argmax(axis=1)]
+            A = Vn if mean_np is None else V - mean_np[None, :]
+            if mean_np is not None:
+                A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            cell = c_ids[(A @ Cn).argmax(axis=1)]
             E = Vn if normalize else V
             dsub = E.shape[1] // m
             codes = np.empty((len(E), m), dtype=np.int32)
@@ -1347,6 +1447,7 @@ def ivfpq_topk(
     k: int = 10,
     shortlist: int = 200,
     normalize: bool = True,
+    center_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF + PQ + exact rerank composed — the full IVFADC+R query shape
     (Jégou et al. 2011 §V): each query probes its ``n_probe`` nearest
@@ -1388,8 +1489,14 @@ def ivfpq_topk(
     Qe = Qn if normalize else Q
 
     # probe selection: top-n_probe cells per query (cosine, ties to the
-    # lowest c_id via stable argsort over -sim)
-    sims = Qn @ Cn.T  # (nq, n_cells)
+    # lowest c_id via stable argsort over -sim); with center_vec the probe
+    # runs in the same centered assignment space the index was built in
+    # (ADC/rerank below stay on raw vectors)
+    Qa = Qn
+    if center_vec is not None:
+        Qc = Q - np.asarray(center_vec, dtype=np.float64)[None, :]
+        Qa = Qc / np.maximum(np.linalg.norm(Qc, axis=1, keepdims=True), 1e-12)
+    sims = Qa @ Cn.T  # (nq, n_cells)
     n_take = min(n_probe, sims.shape[1])
     part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
     cell_to_q: dict[int, list[int]] = {}

@@ -2342,6 +2342,29 @@ def x52_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x53 centered-assignment degeneracy: IVF with the MEAN-CENTERED assignment
+# space (the shared-component fix for hashed-BoW-like corpora — see
+# center_embeddings) probing every cell must still reproduce brute-force
+# cosine top-k on RAW vectors under x05's oracle: centering may only move
+# vectors between cells, never touch the returned metric. Runs the
+# Arrow+BLAS assignment tier — at the exhaustive point cell choice is
+# irrelevant, so the float-noise-prone step is provably out of the result
+# path and the numpy tier gets oracle coverage it otherwise can't have.
+# --------------------------------------------------------------------------
+
+def x53_ivf_centered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_ann_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_ann_topk(
+        embs, queries, n_probe=10**9, k=5,
+        center=True, numpy_assign=True,
+        centroid_filter=F.col("vec_id") % 50 == 1,
+    )
+
+
+# --------------------------------------------------------------------------
 # x50 semantic dedup over RAW TEXT: hashed_bow_embeddings (x49's featurizer,
 # UNNORMALIZED — cosine is scale-invariant, and integer cell sums keep every
 # pre-round quantity exact cross-engine) composed into semantic_dedup
@@ -2444,6 +2467,7 @@ VARIANT_QUERIES = {
     "x50_text_semantic_dedup": x50_text_semantic_dedup,
     "x51_hashed_embeddings_regex": x51_hashed_embeddings_regex,
     "x52_ivfpq_exhaustive": x52_ivfpq_exhaustive,
+    "x53_ivf_centered_exhaustive": x53_ivf_centered_exhaustive,
 }
 
 VARIANT_ORACLES = {
@@ -2474,4 +2498,5 @@ VARIANT_ORACLES = {
     "x50_text_semantic_dedup": X50_SQL,
     "x51_hashed_embeddings_regex": X51_SQL,
     "x52_ivfpq_exhaustive": X05_SQL,
+    "x53_ivf_centered_exhaustive": X05_SQL,
 }

@@ -502,6 +502,136 @@ def test_ivfpq_index_and_topk(spark):
     assert len(rows) <= len(full)  # narrow probe never widens the result
 
 
+def test_centered_assignment_space(spark):
+    """Mean-centered cell assignment (the shared-component fix):
+    (1) embedding_mean / center_embeddings numerics; (2) centered IVF with
+    every cell probed degenerates to EXACT brute force on raw vectors, on
+    BOTH physical tiers (the output metric must be untouched by the
+    assignment-space change); (3) the same degeneracy for the composed
+    IVF+PQ with a centered coarse quantizer; (4) on a corpus whose vectors
+    share one dominant direction, raw assignment collapses cells while
+    centered assignment spreads them — the measured pathology
+    (SCALE ann.sweep_bow) in miniature."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        assign_centroids_np,
+        center_embeddings,
+        cosine_topk,
+        embedding_mean,
+        ivf_ann_topk,
+        ivfpq_index,
+        ivfpq_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    # (1) numerics on a hand case
+    small = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (1, [3.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    m = embedding_mean(small)
+    assert m == [2.0, 4.0]
+    cen = {
+        r.vec_id: r.cvec
+        for r in center_embeddings(small, m, out_col="cvec").collect()
+    }
+    assert cen == {0: [-1.0, -1.0], 1: [1.0, 1.0]}
+
+    # shared-component corpus: big common direction + small distinct part
+    rng = np.random.default_rng(5)
+    dim, n = 16, 240
+    common = np.ones(dim) * 4.0
+    X = common[None, :] + 0.3 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(9000 + i, [float(v) for v in X[i * 31]]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        (r.q_id, r.rnk, r.n_id, r.sim) for r in cosine_topk(df, qs, k=4).collect()
+    )
+
+    # (2) centered + exhaustive == brute, both tiers
+    for tier in (False, True):
+        got = ivf_ann_topk(
+            df, qs, n_probe=10**9, k=4, center=True, numpy_assign=tier,
+            centroid_filter=F.col("vec_id") % 40 == 1,
+        ).collect()
+        assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in got) == exact, tier
+
+    # (3) composed IVF+PQ, centered coarse quantizer, exhaustive == brute
+    mean = embedding_mean(df)
+    cents_c = kmeans_train(
+        center_embeddings(df, mean, out_col="cvec"),
+        vec_col="cvec",
+        centroid_filter=F.col("vec_id") % 40 == 1,
+        n_iters=2,
+    )
+    books = pq_train(df, m=4, k=8, n_iters=2, dim=dim)
+    idx = ivfpq_index(df, cents_c, books, center_vec=mean)
+    full = ivfpq_topk(
+        idx, qs, cents_c, books, df,
+        n_probe=10**9, k=4, shortlist=10**9, center_vec=mean,
+    ).collect()
+    assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in full) == exact
+
+    # (4) hashed-BoW miniature (the regime the fix is FOR — deterministic:
+    # xxhash64 over fixed ids): 6 universal stop words + 2-5 mid words, so
+    # every vector shares the stop-word direction and content mass varies.
+    # Raw cosine assignment hubs onto the most stop-word-dominated sampled
+    # centroid; centered assignment spreads by content. Measured at 20k
+    # docs: max occupancy 593 raw vs 172 centered (200 cells); this pins
+    # the miniature (240 docs, 6 cells: 94 raw vs 51 centered).
+    from crypto_market_data_etl_spark.operators.similarity import (
+        hashed_bow_embeddings,
+    )
+
+    docs = spark.range(240).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the of and to in a"),
+            F.concat_ws(
+                " ",
+                F.lit(""),
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("id") % 4) + 2),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id") * 37 + i), F.lit(30)),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    embs = (
+        hashed_bow_embeddings(docs, dim=16)
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint()
+    )
+    cents_raw = embs.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    bow_mean = embedding_mean(embs)
+
+    def max_occupancy(side, cents, vcol):
+        occ = assign_centroids_np(side, cents, vec_col=vcol, n=1).groupBy("c_id")
+        return occ.count().agg(F.max("count")).collect()[0][0]
+
+    raw_max = max_occupancy(embs, cents_raw, "embedding")
+    cen_max = max_occupancy(
+        center_embeddings(embs, bow_mean, out_col="__av"),
+        center_embeddings(cents_raw, bow_mean, "c_vec"),
+        "__av",
+    )
+    assert cen_max < raw_max  # the hub collapse the fix exists for
+    assert raw_max == 94 and cen_max == 51  # deterministic fixture pin
+
+
 def test_parse_image_header_known_bytes():
     """Byte-structure parsers against independently-constructed payloads —
     including the canonical 1x1 transparent PNG (a public constant) and

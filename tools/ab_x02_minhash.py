@@ -4,22 +4,31 @@ lanes buy the same planted recall cheaper?
 
 Protocol (the judge-accepted form): interleaved best-of-3 walls on the SAME
 box in one process, plus QUALITY measured on a planted-near-dup Zipf corpus
-— every 10th doc gets a copy with one mid-word replaced (true 2-shingle
-jaccard ~ 0.86), and recall = fraction of planted (src, dup) pairs that
-survive into the candidate output. Candidate volume is recorded because
-cheaper configs that flood candidates just move the cost into the verify
-join (and at 100 TB, into the shuffle).
+— every 10th doc gets a copy with ONE rare token replaced (changes 2 of the
+24 5-shingles: true jaccard ~ 22/26 ~ 0.846), and recall = fraction of
+planted (src, dup) pairs that survive into the candidate output. Candidate
+volume is recorded because cheaper configs that flood candidates just move
+the cost into the verify join (and at 100 TB, into the shuffle).
+
+shingle_n defaults to 5 — the production setting for boilerplate-heavy
+corpora (SCALE_r07 corpus_zipf: shingle_n=5 kills stop-word collisions).
+At shingle_n=2 this fixture is the stop-word-collision regime itself and
+the A/B measures cap-stress, not config cost: a first run at 22k docs /
+2-shingles flooded config A to 54.5M candidate pairs (seeds whose min is
+captured by a universal shingle collapse whole bands; see the band-probe
+note in COVERAGE.md) and OOMed the box.
 
 Configs:
   A  15 hashes, 3 rows/band (5 bands)  — shipped x02
   B   9 hashes, 3 rows/band (3 bands)  — fewer lanes, fewer bands
   C   8 hashes, 2 rows/band (4 bands)  — fewer lanes, shallow bands
 
-Analytic expectation at planted j=0.86 (P[pair] = 1-(1-j^r)^b):
-  A 0.994, B 0.953, C 0.995 — but C's shallow bands collide at j^2 on the
-  stop-word floor, flooding candidates. The run verifies all three.
+Analytic expectation at planted j=0.846 (P[pair] = 1-(1-j^r)^b):
+  A 0.990, B 0.938, C 0.993 — but C's shallow bands collide at j^2 on the
+  corpus floor, so its candidate volume is the number to watch.
 
 Usage: python tools/ab_x02_minhash.py [--docs 20000] [--reps 3]
+       [--shingle-n 5]
 Emits one JSON line per (rep, config) and a summary line.
 """
 
@@ -53,15 +62,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=20_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--shingle-n", type=int, default=5)
     args = ap.parse_args()
 
     spark = get_spark(app_name="ab_x02")
     docs = zipf_docs(spark, args.docs)
-    # planted near-dups: copy every 10th doc, replace ONE mid word (the
-    # first w-token) -> true 2-shingle jaccard ~ 25/29 ~ 0.86
+    # planted near-dups: copy every 10th doc, replace its FIRST rare token
+    # (the tail r-token) -> changes 2 of the 24 5-shingles: jaccard ~ 0.846
     dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + args.docs).alias("doc_id"),
-        F.regexp_replace(F.col("text"), r"w\d+", "zchanged", 1).alias("text"),
+        F.regexp_replace(F.col("text"), r" r\d+ ", " zchanged ").alias("text"),
     )
     corpus = docs.unionByName(dupes).repartition(32).localCheckpoint()
     n = corpus.count()
@@ -76,7 +86,7 @@ def main() -> None:
         for name, nh, rpb in CONFIGS:  # interleaved: every config, every rep
             t0 = time.time()
             out = minhash_jaccard_pairs(
-                corpus, n_hashes=nh, rows_per_band=rpb
+                corpus, shingle_n=args.shingle_n, n_hashes=nh, rows_per_band=rpb
             ).localCheckpoint()
             n_pairs = out.count()
             wall = round(time.time() - t0, 3)
@@ -92,7 +102,7 @@ def main() -> None:
     summary = {
         "job": "summary",
         "docs": n,
-        "planted_jaccard_approx": 0.86,
+        "planted_jaccard_approx": 0.846,
         "configs": {
             name: {
                 "best_sec": min(r["walls"]),

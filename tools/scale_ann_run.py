@@ -336,6 +336,42 @@ def _sweep(spark, corpus, queries, args) -> None:
                 ),
             )
         )
+    if args.bow:
+        # mean-CENTERED assignment space (the shared-component fix for
+        # hashed-BoW vectors — see center_embeddings): centroids trained on
+        # the centered column, probe centered, rerank raw. One-off costs
+        # (mean + centered kmeans) reported separately like the others.
+        from crypto_market_data_etl_spark.operators.similarity import (
+            center_embeddings,
+            embedding_mean,
+        )
+
+        t0 = time.time()
+        bow_mean = embedding_mean(corpus)
+        trained_cen = kmeans_train(
+            center_embeddings(corpus, bow_mean, out_col="cvec"),
+            vec_col="cvec",
+            centroid_filter=F.col("vec_id") % 400 == 1,
+            n_iters=4,
+        )
+        trained_cen.count()
+        print(
+            json.dumps(
+                {"job": "ivf_centered_mean+kmeans", "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+        for n_probe in (4, 16, 48):
+            configs.append(
+                (
+                    f"ivf_cen_km4_{n_cells}c_probe{n_probe}",
+                    lambda p=n_probe: ivf_ann_topk(
+                        corpus, queries, n_probe=p, k=args.k,
+                        centroids=trained_cen, center_vec=bow_mean,
+                        numpy_assign=True,
+                    ),
+                )
+            )
     # product quantization: codes are 64x smaller than the raw vectors, so
     # the top-k scan touches codes + per-query LUTs only. Train/encode are
     # build-once index costs, reported separately.
