@@ -1347,6 +1347,7 @@ def pq_topk_rerank(
     vec_col: str = "embedding",
     k: int = 10,
     shortlist: int = 200,
+    rerank_queries: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-shortlist + exact rerank (the IVFADC+R shape): :func:`pq_topk`
     scans the 64x-compressed codes for a ``shortlist``-sized candidate set
@@ -1356,11 +1357,26 @@ def pq_topk_rerank(
     a far weaker demand than PQ top-k — so recall approaches exact while
     the raw-vector reads stay O(queries x shortlist). Output: the exact
     tiers' ``(q_id, n_id, rnk, sim)`` contract.
+
+    ``rerank_queries`` splits the ADC space from the scoring space: the
+    codes/LUTs come from ``queries`` while the exact rerank scores
+    ``rerank_queries`` (default: same frame). This is how the CENTERED-PQ
+    composition runs on shared-component corpora — train/encode/shortlist
+    on :func:`center_embeddings` output, rerank on the raw frames, so the
+    shortlist heuristic sees distinctive content while the returned metric
+    stays raw cosine. Measured on the 100k Zipf-BoW fixture (m8k64 +
+    rerank400): raw-ADC recall@10 0.25 at 0.78x brute → centered-ADC
+    **0.72 at 0.51x brute** (the shared stop-word mass otherwise dominates
+    every per-block codebook, so raw ADC distances can't separate
+    content; SCALE_r08 ann.sweep_bow).
     """
     cand = pq_topk(
         codes_df, queries, codebooks, id_col, vec_col, k=shortlist
     ).select("q_id", "n_id")
-    return _rerank_candidates(cand, corpus, id_col, vec_col, k, q_vecs=queries)
+    return _rerank_candidates(
+        cand, corpus, id_col, vec_col, k,
+        q_vecs=queries if rerank_queries is None else rerank_queries,
+    )
 
 
 def ivfpq_index(
@@ -1448,6 +1464,7 @@ def ivfpq_topk(
     shortlist: int = 200,
     normalize: bool = True,
     center_vec: list[float] | None = None,
+    rerank_queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ + exact rerank composed — the full IVFADC+R query shape
     (Jégou et al. 2011 §V): each query probes its ``n_probe`` nearest
@@ -1470,6 +1487,15 @@ def ivfpq_topk(
     of the cost; uniform vectors are the floor (neighbors spread across
     cells — raise ``n_probe``). Measured: tools/scale_ann_run.py --sweep,
     SCALE_r08 ``ann`` section.
+
+    ``rerank_queries`` splits ADC space from scoring space (same contract
+    as :func:`pq_topk_rerank`): for the FULLY-centered composition on
+    shared-component corpora, build the index from pre-centered frames
+    (``ivfpq_index(centered_corpus, centered_centroids, centered_books)``,
+    no ``center_vec`` needed), query with centered ``queries``, and pass
+    the raw frame as ``rerank_queries`` with the raw ``corpus`` — cells,
+    codes, and LUTs all see distinctive content; the returned metric stays
+    raw cosine.
 
     Output: the exact tiers' ``(q_id, n_id, rnk, sim)`` contract.
     """
@@ -1556,7 +1582,10 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= shortlist)
         .select("q_id", "n_id")
     )
-    return _rerank_candidates(cand, corpus, id_col, vec_col, k, q_vecs=queries)
+    return _rerank_candidates(
+        cand, corpus, id_col, vec_col, k,
+        q_vecs=queries if rerank_queries is None else rerank_queries,
+    )
 
 
 def semantic_dedup(

@@ -447,6 +447,56 @@ def _sweep(spark, corpus, queries, args) -> None:
                 ),
             )
         )
+    if args.bow:
+        # FULLY-centered PQ/IVF+PQ (shared-component corpora): train,
+        # encode, assign, and ADC on the centered frames; rerank raw via
+        # rerank_queries. Raw-ADC can't separate content when the stop-word
+        # mass dominates every codebook block — this is the measured fix.
+        t0 = time.time()
+        ccorp = (
+            center_embeddings(corpus, bow_mean, out_col="cvec")
+            .select("vec_id", F.col("cvec").alias("embedding"))
+            .localCheckpoint()
+        )
+        ccorp.count()
+        cq = (
+            center_embeddings(queries, bow_mean, out_col="cvec")
+            .select("vec_id", F.col("cvec").alias("embedding"))
+            .localCheckpoint()
+        )
+        cq.count()
+        books_cen = pq_train(ccorp, m=8, k=64, n_iters=3, dim=DIM)
+        books_cen.count()
+        codes_cen = pq_encode(ccorp, books_cen).localCheckpoint()
+        codes_cen.count()
+        cen_idx = ivfpq_index(ccorp, trained_cen, books_cen).localCheckpoint()
+        cen_idx.count()
+        print(
+            json.dumps(
+                {"job": "centered_pq_build", "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+        configs.append(
+            (
+                "cpq_m8k64_rerank400",
+                lambda: pq_topk_rerank(
+                    codes_cen, cq, books_cen, corpus,
+                    k=args.k, shortlist=400, rerank_queries=queries,
+                ),
+            )
+        )
+        for n_probe in (8, 32):
+            configs.append(
+                (
+                    f"civfpq_m8k64_probe{n_probe}_rerank400",
+                    lambda p=n_probe: ivfpq_topk(
+                        cen_idx, cq, trained_cen, books_cen, corpus,
+                        n_probe=p, k=args.k, shortlist=400,
+                        rerank_queries=queries,
+                    ),
+                )
+            )
 
     for name, fn in configs:
         t0 = time.time()
