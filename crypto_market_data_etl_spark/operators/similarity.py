@@ -1597,6 +1597,7 @@ def semantic_dedup(
     max_reps: int = 256,
     round_dp: int = 6,
     numpy_assign: bool = False,
+    center_vec: list[float] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then inside each cluster drop any
@@ -1633,6 +1634,16 @@ def semantic_dedup(
     scale assignment). Within-cluster verification stays on the exact
     expression tier either way, so claimed drops are never BLAS-rounded;
     only the cluster boundary can drift on a near-tie (equivalence-tested).
+
+    ``center_vec`` moves step 1 (assignment ONLY) into mean-centered space
+    — the shared-component fix (:func:`center_embeddings`): on hashed-BoW
+    text the universal stop-word direction hubs whole corpora into a few
+    mega-clusters, and the ``max_reps`` bound then means most members are
+    never compared against their true near-dups (recall loss, not a
+    blow-up). Step 3's verdict cosine stays on RAW vectors, so what counts
+    as a duplicate is unchanged — centering only redraws cluster
+    boundaries. Pass a pre-rounded mean (``[round(v, 6) for v in
+    embedding_mean(df)]``) when oracle parity matters.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
@@ -1656,22 +1667,45 @@ def semantic_dedup(
             "row needs a cluster; pass a filter that matches this corpus's "
             "ids (or feed kmeans_step output)"
         )
+    m_lit = (
+        None
+        if center_vec is None
+        else F.array(*[F.lit(float(x)) for x in center_vec])
+    )
     if numpy_assign:
-        assign = assign_centroids_np(vecs, cent_side, id_col, "ev", n=1).select(
-            F.col(id_col), "ev", F.col("c_id").alias("cluster_id")
-        )
+        if m_lit is not None:
+            vecs_a = vecs.withColumn(
+                "__av", F.zip_with(F.col("ev"), m_lit, lambda x, y: x - y)
+            )
+            cent_a = center_embeddings(
+                cent_side.select(
+                    "c_id", F.col("c_vec").cast("array<double>").alias("c_vec")
+                ),
+                list(center_vec),
+                "c_vec",
+            )
+            assign = assign_centroids_np(vecs_a, cent_a, id_col, "__av", n=1).select(
+                F.col(id_col), "ev", F.col("c_id").alias("cluster_id")
+            )
+        else:
+            assign = assign_centroids_np(vecs, cent_side, id_col, "ev", n=1).select(
+                F.col(id_col), "ev", F.col("c_id").alias("cluster_id")
+            )
     else:
         cents = F.broadcast(
             cent_side.select(
                 "c_id", F.col("c_vec").cast("array<double>").alias("cv")
             )
         )
+        # assignment-space vectors: centered when center_vec is given (the
+        # verdict sim below always stays on the raw `ev`)
+        ev_a, cv_a = F.col("ev"), F.col("cv")
+        if m_lit is not None:
+            ev_a = F.zip_with(ev_a, m_lit, lambda x, y: x - y)
+            cv_a = F.zip_with(cv_a, m_lit, lambda x, y: x - y)
         c_sim = F.round(
-            _dot(F.col("ev"), F.col("cv"))
-            / (
-                F.sqrt(_dot(F.col("ev"), F.col("ev")))
-                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-            ),
+            _dot(ev_a, cv_a)
+            / (F.sqrt(_dot(ev_a, ev_a)) * F.sqrt(_dot(cv_a, cv_a))),
             round_dp,
         )
         # argmax as a hash agg, not a rank window: max_by with the ordering

@@ -2365,6 +2365,92 @@ def x53_ivf_centered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x54 CENTERED semantic dedup: x32's exact fixture with the assignment
+# stage moved into mean-centered space (the shared-component fix —
+# center_embeddings). Unlike x53's degenerate-point gate, this oracles the
+# centered assignment ITSELF: the DuckDB twin recomputes the per-dimension
+# mean (rounded to 6dp on both sides so cross-engine avg noise can't leak
+# into the 6dp sim rounding), re-derives every centered cosine, and must
+# agree on cluster_id AND keep for every row. The verdict stage stays on
+# raw vectors in both engines — centering may redraw cluster boundaries,
+# never what counts as a duplicate.
+# --------------------------------------------------------------------------
+
+def x54_semantic_dedup_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_mean, semantic_dedup
+
+    embs = _embs(spark, sf_dir)
+    dupes = (
+        embs.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(_id_offset(embs, "vec_id"))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__off"))
+        .drop("__off")
+        .withColumn("__orig", F.lit(False))
+    )
+    allv = embs.withColumn("__orig", F.lit(True)).unionByName(dupes)
+    mean = [round(v, 6) for v in embedding_mean(allv)]
+    return semantic_dedup(
+        allv,
+        threshold=SEMDEDUP_THRESHOLD,
+        centroid_filter=(F.col("vec_id") % 50 == 1) & F.col("__orig"),
+        max_reps=SEMDEDUP_MAX_REPS,
+        center_vec=mean,
+    )
+
+
+X54_SQL = f"""
+WITH all_vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+  WHERE vec_id % 50 = 1
+),
+m AS (
+  SELECT pos, round(avg(ev[pos]), 6) AS mv
+  FROM all_vecs CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+  GROUP BY pos
+),
+cen AS (
+  SELECT a.vec_id, list(a.ev[m.pos] - m.mv ORDER BY m.pos) AS cev
+  FROM all_vecs a CROSS JOIN m GROUP BY a.vec_id
+),
+ccen AS (
+  SELECT c.c_id, list(c.cv[m.pos] - m.mv ORDER BY m.pos) AS ccv
+  FROM c CROSS JOIN m GROUP BY c.c_id
+),
+assign AS (
+  SELECT a.vec_id, a.ev, x.c_id
+  FROM all_vecs a JOIN cen ce USING (vec_id) CROSS JOIN ccen x
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY round(list_dot_product(ce.cev, x.ccv) /
+                   (sqrt(list_dot_product(ce.cev, ce.cev)) *
+                    sqrt(list_dot_product(x.ccv, x.ccv))), 6) DESC,
+             x.c_id
+  ) <= 1
+),
+reps AS (
+  SELECT vec_id AS rep_id, ev AS rv, c_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY c_id ORDER BY vec_id) <= {SEMDEDUP_MAX_REPS}
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN reps r ON r.c_id = a.c_id AND r.rep_id < a.vec_id
+  WHERE round(list_dot_product(a.ev, r.rv) /
+              (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(r.rv, r.rv))), 6)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.c_id AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # x50 semantic dedup over RAW TEXT: hashed_bow_embeddings (x49's featurizer,
 # UNNORMALIZED — cosine is scale-invariant, and integer cell sums keep every
 # pre-round quantity exact cross-engine) composed into semantic_dedup
@@ -2468,6 +2554,7 @@ VARIANT_QUERIES = {
     "x51_hashed_embeddings_regex": x51_hashed_embeddings_regex,
     "x52_ivfpq_exhaustive": x52_ivfpq_exhaustive,
     "x53_ivf_centered_exhaustive": x53_ivf_centered_exhaustive,
+    "x54_semantic_dedup_centered": x54_semantic_dedup_centered,
 }
 
 VARIANT_ORACLES = {
@@ -2499,4 +2586,5 @@ VARIANT_ORACLES = {
     "x51_hashed_embeddings_regex": X51_SQL,
     "x52_ivfpq_exhaustive": X05_SQL,
     "x53_ivf_centered_exhaustive": X05_SQL,
+    "x54_semantic_dedup_centered": X54_SQL,
 }

@@ -688,6 +688,49 @@ def test_centered_adc_rerank_split(spark):
         assert top1[9000 + i] == (i * 23, 1.0)
 
 
+def test_semantic_dedup_centered_assignment(spark):
+    """semantic_dedup(center_vec=...): the verdict metric is untouched —
+    an exact planted duplicate lands in its source's cluster (identical
+    vector → identical centered vector) and is dropped at raw sim 1.0 on
+    BOTH assignment tiers. (Cluster-balance lift on shared-component
+    corpora is pinned in test_centered_assignment_space; the full centered
+    pipeline is oracle-gated by x54.)"""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        embedding_mean,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n = 16, 120
+    common = np.full(dim, 5.0)
+    X = common[None, :] + rng.normal(size=(n, dim))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(n)]
+    rows += [(1000 + i, [float(v) for v in X[i * 17]]) for i in range(4)]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean = [round(v, 6) for v in embedding_mean(df)]
+
+    for tier in (False, True):
+        out = {
+            r.vec_id: (r.cluster_id, r.keep)
+            for r in semantic_dedup(
+                df,
+                threshold=0.99,
+                centroid_filter=F.col("vec_id") % 30 == 1,
+                max_reps=256,
+                center_vec=mean,
+                numpy_assign=tier,
+            ).collect()
+        }
+        assert len(out) == n + 4
+        for i in range(4):
+            src, dup = out[i * 17], out[1000 + i]
+            # identical vector -> identical centered vector -> same cluster,
+            # and the higher-id copy is dropped at raw sim 1.0
+            assert dup[0] == src[0] and dup[1] is False, (tier, i)
+
+
 def test_parse_image_header_known_bytes():
     """Byte-structure parsers against independently-constructed payloads —
     including the canonical 1x1 transparent PNG (a public constant) and
