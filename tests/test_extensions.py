@@ -688,6 +688,44 @@ def test_centered_adc_rerank_split(spark):
         assert top1[9000 + i] == (i * 23, 1.0)
 
 
+def test_center_auto_decision(spark):
+    """center="auto" measures shared_component_ratio and centers iff it
+    clears CENTER_AUTO_RATIO: the ratio separates the measured regimes
+    (BoW-style shared direction ~0.46+ vs <=0.06 for spread vectors), and
+    the auto path reproduces the explicit center=True/False results."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        CENTER_AUTO_RATIO,
+        ivf_ann_topk,
+        shared_component_ratio,
+    )
+
+    rng = np.random.default_rng(31)
+    dim, n = 16, 200
+    shared = np.full(dim, 6.0)[None, :] + rng.normal(size=(n, dim))
+    spread = rng.normal(size=(n, dim))
+    mk = lambda X: spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    df_s, df_u = mk(shared), mk(spread)
+    r_s, _ = shared_component_ratio(df_s)
+    r_u, _ = shared_component_ratio(df_u)
+    assert r_s > CENTER_AUTO_RATIO > r_u, (r_s, r_u)
+
+    qs = mk(spread[:3]).withColumn("vec_id", F.col("vec_id") + 9000)
+    kw = dict(n_probe=2, k=3, centroid_filter=F.col("vec_id") % 40 == 1)
+    rows = lambda out: sorted(map(tuple, out.collect()))
+    # auto == explicit True where the ratio clears, == False where it doesn't
+    assert rows(ivf_ann_topk(df_s, qs, center="auto", **kw)) == rows(
+        ivf_ann_topk(df_s, qs, center=True, **kw)
+    )
+    assert rows(ivf_ann_topk(df_u, qs, center="auto", **kw)) == rows(
+        ivf_ann_topk(df_u, qs, center=False, **kw)
+    )
+
+
 def test_semantic_dedup_centered_assignment(spark):
     """semantic_dedup(center_vec=...): the verdict metric is untouched —
     an exact planted duplicate lands in its source's cluster (identical
