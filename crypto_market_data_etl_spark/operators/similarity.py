@@ -1406,10 +1406,11 @@ def pq_topk_rerank(
     on :func:`center_embeddings` output, rerank on the raw frames, so the
     shortlist heuristic sees distinctive content while the returned metric
     stays raw cosine. Measured on the 100k Zipf-BoW fixture (m8k64 +
-    rerank400): raw-ADC recall@10 0.25 at 0.78x brute → centered-ADC
-    **0.72 at 0.51x brute** (the shared stop-word mass otherwise dominates
-    every per-block codebook, so raw ADC distances can't separate
-    content; SCALE_r08 ann.sweep_bow).
+    rerank400, SCALE_r08 ann.sweep_bow): raw-ADC recall@10 0.25 →
+    centered-ADC **0.72 at equal-or-lower cost** (0.45x → 0.42x brute
+    committed; 0.78x → 0.51x dev run) — the shared stop-word mass
+    otherwise dominates every per-block codebook, so raw ADC distances
+    can't separate content.
     """
     cand = pq_topk(
         codes_df, queries, codebooks, id_col, vec_col, k=shortlist
