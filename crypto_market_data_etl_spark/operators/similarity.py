@@ -1640,6 +1640,7 @@ def semantic_dedup(
     round_dp: int = 6,
     numpy_assign: bool = False,
     center_vec: list[float] | None = None,
+    center: bool | str = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then inside each cluster drop any
@@ -1685,7 +1686,10 @@ def semantic_dedup(
     blow-up). Step 3's verdict cosine stays on RAW vectors, so what counts
     as a duplicate is unchanged — centering only redraws cluster
     boundaries. Pass a pre-rounded mean (``[round(v, 6) for v in
-    embedding_mean(df)]``) when oracle parity matters.
+    embedding_mean(df)]``) when oracle parity matters. ``center=True``
+    computes the mean itself; ``center="auto"`` probes
+    :func:`shared_component_ratio` and centers iff it clears
+    :data:`CENTER_AUTO_RATIO` (same contract as :func:`ivf_ann_topk`).
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
@@ -1709,6 +1713,12 @@ def semantic_dedup(
             "row needs a cluster; pass a filter that matches this corpus's "
             "ids (or feed kmeans_step output)"
         )
+    if center_vec is None:
+        if center == "auto":
+            ratio, probed_mean = shared_component_ratio(df, vec_col)
+            center_vec = probed_mean if ratio > CENTER_AUTO_RATIO else None
+        elif center:
+            center_vec = embedding_mean(df, vec_col)
     m_lit = (
         None
         if center_vec is None

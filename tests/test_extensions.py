@@ -725,6 +725,22 @@ def test_center_auto_decision(spark):
         ivf_ann_topk(df_u, qs, center=False, **kw)
     )
 
+    # same contract on semantic_dedup (assignment-only centering)
+    from crypto_market_data_etl_spark.operators.similarity import (
+        embedding_mean,
+        semantic_dedup,
+    )
+
+    sd = lambda df, **k: rows(
+        semantic_dedup(
+            df, threshold=0.99, centroid_filter=F.col("vec_id") % 40 == 1, **k
+        )
+    )
+    assert sd(df_s, center="auto") == sd(
+        df_s, center_vec=embedding_mean(df_s)
+    )
+    assert sd(df_u, center="auto") == sd(df_u)
+
 
 def test_semantic_dedup_centered_assignment(spark):
     """semantic_dedup(center_vec=...): the verdict metric is untouched —

@@ -102,6 +102,14 @@ def main() -> None:
         "built for; uniform is their floor",
     )
     ap.add_argument(
+        "--tiers",
+        default=None,
+        help="comma-separated config-name PREFIXES: run only matching sweep "
+        "tiers (builds still run and are reported separately — they are "
+        "one-off index costs). E.g. --tiers pq_m8k64_rerank,cpq,civfpq for "
+        "a 400k BoW crossover rung without the 400k band-OR/IVF walls.",
+    )
+    ap.add_argument(
         "--bow",
         action="store_true",
         help="vectors = hashed_bow_embeddings of the Zipf corpus "
@@ -498,6 +506,14 @@ def _sweep(spark, corpus, queries, args) -> None:
                 )
             )
 
+    if args.tiers:
+        prefixes = tuple(p.strip() for p in args.tiers.split(",") if p.strip())
+        skipped = [n for n, _ in configs if not n.startswith(prefixes)]
+        configs = [(n, f) for n, f in configs if n.startswith(prefixes)]
+        print(
+            json.dumps({"job": "tier_filter", "kept": len(configs), "skipped": skipped}),
+            flush=True,
+        )
     for name, fn in configs:
         t0 = time.time()
         out = fn().localCheckpoint()
