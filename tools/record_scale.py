@@ -216,6 +216,30 @@ def main() -> None:
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_bow"]["jobs"][d.pop("job")] = d
+    # centered-ADC crossover rung: 400k BoW vectors, filtered to the PQ
+    # family (the 400k band-OR/IVF walls are not worth recording twice) —
+    # raw-ADC recall degrades with N while centered-ADC holds usable
+    # recall at ~1/3 brute cost
+    ann["sweep_bow_400k"] = {
+        "note": (
+            "--bow --vectors 400000 --tiers pq_m8k64_rerank,cpq,civfpq,"
+            "ivf_cen_km4 — the centered-ADC crossover rung: raw-ADC recall "
+            "degrades with N (0.25@100k -> 0.19@400k) while centered-ADC "
+            "holds 0.64 at ~0.34x brute — the only sub-brute tier with "
+            "usable recall on shared-component text vectors at scale"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "400000", "--queries", "200", "--bow",
+        "--tiers", "pq_m8k64_rerank,cpq,civfpq,ivf_cen_km4",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow_400k"]["jobs"][d.pop("job")] = d
     # IVF+PQ composition rung: 400k vectors — the regime where the ADC
     # gather dominates and cell-restriction pays (at 100k it is a wash;
     # the sweeps above show that honestly)
