@@ -684,6 +684,18 @@ def ivf_ann_topk(
         centroid_filter = F.col(id_col) % 50 == 1
     mean = None
     if center == "auto" and center_vec is None:
+        if centroids is not None:
+            # an explicit centroid table is used AS-IS in assignment space;
+            # a data-dependent auto decision could silently probe centered
+            # queries against raw-space centroids (or vice versa) — make
+            # the caller pick the space that matches their training run
+            raise ValueError(
+                "ivf_ann_topk: center='auto' with an explicit centroids "
+                "table is ambiguous — the table is used as-is in assignment "
+                "space. Decide the space yourself: pass center_vec=m with "
+                "centroids trained on center_embeddings(df, m), or "
+                "center=False with raw-trained centroids."
+            )
         ratio, probed_mean = shared_component_ratio(df, vec_col)
         mean = probed_mean if ratio > CENTER_AUTO_RATIO else None
     elif center or center_vec is not None:

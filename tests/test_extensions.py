@@ -725,6 +725,15 @@ def test_center_auto_decision(spark):
         ivf_ann_topk(df_u, qs, center=False, **kw)
     )
 
+    # auto + explicit centroids is ambiguous (whose space?) — refused
+    import pytest as _pytest
+
+    cents = df_s.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        ivf_ann_topk(df_s, qs, n_probe=2, k=3, center="auto", centroids=cents)
+
     # same contract on semantic_dedup (assignment-only centering)
     from crypto_market_data_etl_spark.operators.similarity import (
         embedding_mean,
