@@ -601,6 +601,33 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center_vec: list[float] | None = None,
+) -> DataFrame:
+    """Build the exact-IVF inverted file ONCE: ``(c_id, n_id, n_vec)`` —
+    each corpus vector tagged with its nearest centroid (Arrow+BLAS
+    assignment, :func:`assign_centroids_np` semantics; ``center_vec``
+    moves the assignment into centered space, vectors stored raw).
+
+    This is the build/query split the raw-vector tier was missing (the
+    PQ tier always had it via :func:`ivfpq_index`): persist this table
+    partitioned/bucketed by ``c_id`` and every query batch through
+    :func:`ivf_ann_topk`'s ``index=`` parameter pays probe selection +
+    the probed-cell rerank only — the corpus is never re-assigned. At
+    100 TB the assignment pass runs exactly once per centroid
+    generation."""
+    side = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    cents = centroids.select("c_id", "c_vec")
+    if center_vec is not None:
+        side = center_embeddings(side, list(center_vec), "n_vec", "__av")
+        return assign_centroids_np(side, cents, "n_id", "__av", n=1).drop("__av")
+    return assign_centroids_np(side, cents, "n_id", "n_vec", n=1)
+
+
 def ivf_ann_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -613,6 +640,7 @@ def ivf_ann_topk(
     centroids: DataFrame | None = None,
     center: bool | str = False,
     center_vec: list[float] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
 
@@ -679,22 +707,30 @@ def ivf_ann_topk(
     centroid training; at 100 TB run the probe on a sample). The same
     auto-vs-measured pattern as the as-of join's density-probed ``"auto"``
     crossover.
+
+    ``index=`` accepts a prebuilt :func:`ivf_index` table
+    ``(c_id, n_id, n_vec)`` and skips the corpus assignment entirely —
+    the build-once form: per query batch the work is probe selection
+    (|Q| x n_cells dots) + the probed-cell rerank. Pass the SAME
+    ``centroids`` (and ``center_vec``, if any) the index was built with;
+    ``df`` is then only a fallback for auto-probing and is never scanned.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
     mean = None
     if center == "auto" and center_vec is None:
-        if centroids is not None:
-            # an explicit centroid table is used AS-IS in assignment space;
-            # a data-dependent auto decision could silently probe centered
-            # queries against raw-space centroids (or vice versa) — make
-            # the caller pick the space that matches their training run
+        if centroids is not None or index is not None:
+            # an explicit centroid/index table is used AS-IS in assignment
+            # space; a data-dependent auto decision could silently probe
+            # centered queries against raw-space cells (or vice versa) —
+            # make the caller pick the space that matches their build
             raise ValueError(
-                "ivf_ann_topk: center='auto' with an explicit centroids "
-                "table is ambiguous — the table is used as-is in assignment "
-                "space. Decide the space yourself: pass center_vec=m with "
-                "centroids trained on center_embeddings(df, m), or "
-                "center=False with raw-trained centroids."
+                "ivf_ann_topk: center='auto' with an explicit centroids/"
+                "index table is ambiguous — those are used as-is in "
+                "assignment space. Decide the space yourself: pass "
+                "center_vec=m matching the build (centroids trained on "
+                "center_embeddings(df, m) / ivf_index(..., center_vec=m)), "
+                "or center=False for a raw-space build."
             )
         ratio, probed_mean = shared_component_ratio(df, vec_col)
         mean = probed_mean if ratio > CENTER_AUTO_RATIO else None
@@ -734,7 +770,22 @@ def ivf_ann_topk(
 
     corpus_side = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     query_side = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    if numpy_assign:
+    if index is not None:
+        # prebuilt inverted file (ivf_index): the corpus is never touched
+        inv = index.select("c_id", "n_id", "n_vec")
+        if numpy_assign:
+            if mean is not None:
+                qi = center_embeddings(query_side, mean, "q_vec", "__av")
+                probes = assign_centroids_np(
+                    qi, cent_src, "q_id", "__av", n=n_probe
+                ).drop("__av")
+            else:
+                probes = assign_centroids_np(
+                    query_side, cent_src, "q_id", "q_vec", n=n_probe
+                )
+        else:
+            probes = nearest_cells(query_side, "q_id", "q_vec", n_probe)
+    elif numpy_assign:
         # Arrow+BLAS tier: the corpus-wide assignment is the dominant cost.
         # Centered assignment rides a temp column so scoring stays raw.
         if mean is not None:

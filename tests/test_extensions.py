@@ -751,6 +751,71 @@ def test_center_auto_decision(spark):
     assert sd(df_u, center="auto") == sd(df_u)
 
 
+def test_ivf_prebuilt_index(spark):
+    """ivf_index + ivf_ann_topk(index=...) — the build-once split for the
+    raw-vector tier: the prebuilt inverted file must reproduce the inline
+    numpy-assign result exactly, raw AND centered, and the query plan over
+    the prebuilt index must not rescan the corpus frame."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        embedding_mean,
+        ivf_ann_topk,
+        ivf_index,
+        kmeans_train,
+        center_embeddings,
+    )
+
+    rng = np.random.default_rng(41)
+    dim, n = 16, 240
+    X = np.full(dim, 4.0)[None, :] + rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(9000 + i, [float(v) for v in X[i * 31]]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = lambda out: sorted(map(tuple, out.collect()))
+
+    # raw space
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 40 == 1, n_iters=2)
+    idx = ivf_index(df, cents).localCheckpoint()
+    inline = ivf_ann_topk(
+        df, qs, n_probe=3, k=4, centroids=cents, numpy_assign=True
+    )
+    prebuilt = ivf_ann_topk(
+        df, qs, n_probe=3, k=4, centroids=cents, numpy_assign=True, index=idx
+    )
+    assert rows(prebuilt) == rows(inline)
+
+    # centered space (same center_vec threaded through build and query)
+    mean = embedding_mean(df)
+    cents_c = kmeans_train(
+        center_embeddings(df, mean, out_col="cvec"),
+        vec_col="cvec",
+        centroid_filter=F.col("vec_id") % 40 == 1,
+        n_iters=2,
+    )
+    idx_c = ivf_index(df, cents_c, center_vec=mean).localCheckpoint()
+    inline_c = ivf_ann_topk(
+        df, qs, n_probe=3, k=4, centroids=cents_c, center_vec=mean,
+        numpy_assign=True,
+    )
+    prebuilt_c = ivf_ann_topk(
+        df, qs, n_probe=3, k=4, centroids=cents_c, center_vec=mean,
+        numpy_assign=True, index=idx_c,
+    )
+    assert rows(prebuilt_c) == rows(inline_c)
+
+    # auto + prebuilt index refused (whose space?)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ambiguous"):
+        ivf_ann_topk(df, qs, n_probe=2, k=3, center="auto", index=idx)
+
+
 def test_semantic_dedup_centered_assignment(spark):
     """semantic_dedup(center_vec=...): the verdict metric is untouched —
     an exact planted duplicate lands in its source's cluster (identical
