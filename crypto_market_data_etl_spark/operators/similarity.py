@@ -711,12 +711,32 @@ def ivf_ann_topk(
     ``index=`` accepts a prebuilt :func:`ivf_index` table
     ``(c_id, n_id, n_vec)`` and skips the corpus assignment entirely —
     the build-once form: per query batch the work is probe selection
-    (|Q| x n_cells dots) + the probed-cell rerank. Pass the SAME
-    ``centroids`` (and ``center_vec``, if any) the index was built with;
-    ``df`` is then only a fallback for auto-probing and is never scanned.
+    (|Q| x n_cells dots) + the probed-cell rerank. The SAME explicit
+    ``centroids`` (and ``center_vec``, if any) the index was built with
+    are REQUIRED — sampling fresh centroids from ``df`` would silently
+    probe cells that don't match the prebuilt assignment, and
+    ``center=True`` would re-derive the mean with a full corpus pass the
+    build-once form exists to avoid. With those passed, ``df`` is never
+    scanned.
     """
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
+    if index is not None:
+        if centroids is None:
+            raise ValueError(
+                "ivf_ann_topk: index= requires the explicit centroids table "
+                "the index was built with — freshly sampled centroids would "
+                "not match the prebuilt cell assignment and queries would "
+                "silently probe the wrong cells"
+            )
+        if center is True and center_vec is None:
+            raise ValueError(
+                "ivf_ann_topk: center=True with index= would recompute the "
+                "corpus mean (a full scan the build-once form avoids) and "
+                "may not match the mean the index was built with — pass the "
+                "build's center_vec explicitly (or center=False for a "
+                "raw-space build)"
+            )
     mean = None
     if center == "auto" and center_vec is None:
         if centroids is not None or index is not None:
@@ -1144,7 +1164,11 @@ def hashed_bow_embeddings(
     elif tokenizer == "regex":
         from .text import BPE_ISH_PATTERN
 
-        tok_arr = F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")
+        # column API, not f-string SQL: survives column names needing
+        # backticks and patterns containing quotes/backslashes
+        tok_arr = F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)
+        )
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r} (space|regex|Column)")
     staged = df.select(F.col(id_col), F.explode(tok_arr).alias("tok")).select(
@@ -1262,8 +1286,10 @@ def pq_train(
                     n_iters=n_iters,
                 )
                 break
-            except ValueError:
-                if residue == 2:
+            except ValueError as e:
+                # only the empty-seed miss is retryable; anything else
+                # (e.g. the _collect_small_side cap) re-raises immediately
+                if "no seed rows" not in str(e) or residue == 2:
                     raise
         w = Window.orderBy("c_id")
         dense = cents.select(
@@ -1629,7 +1655,11 @@ def ivfpq_topk(
         Qa = Qc / np.maximum(np.linalg.norm(Qc, axis=1, keepdims=True), 1e-12)
     sims = Qa @ Cn.T  # (nq, n_cells)
     n_take = min(n_probe, sims.shape[1])
-    part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+    # full stable argsort (the centroid table is broadcast-small by
+    # contract): ties at the probe boundary break to the lowest column =
+    # lowest c_id on every numpy version, where bare argpartition would
+    # leave them to introselect's arbitrary order
+    part = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
     cell_to_q: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
         for ci in part[qi]:
@@ -1818,9 +1848,16 @@ def semantic_dedup(
         if m_lit is not None:
             ev_a = F.zip_with(ev_a, m_lit, lambda x, y: x - y)
             cv_a = F.zip_with(cv_a, m_lit, lambda x, y: x - y)
+        # zero-norm guard (a vector exactly equal to the corpus mean centers
+        # to the zero vector): floor both denominators like nearest_cells —
+        # sims become 0.0 and max_by falls to the lowest c_id, matching the
+        # numpy tier's NaN-argmax behavior instead of NULLing the cluster
         c_sim = F.round(
             _dot(ev_a, cv_a)
-            / (F.sqrt(_dot(ev_a, ev_a)) * F.sqrt(_dot(cv_a, cv_a))),
+            / (
+                F.greatest(F.sqrt(_dot(ev_a, ev_a)), F.lit(1e-12))
+                * F.greatest(F.sqrt(_dot(cv_a, cv_a)), F.lit(1e-12))
+            ),
             round_dp,
         )
         # argmax as a hash agg, not a rank window: max_by with the ordering

@@ -813,7 +813,19 @@ def test_ivf_prebuilt_index(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="ambiguous"):
-        ivf_ann_topk(df, qs, n_probe=2, k=3, center="auto", index=idx)
+        ivf_ann_topk(
+            df, qs, n_probe=2, k=3, center="auto", centroids=cents, index=idx
+        )
+    # index without the build's centroid table refused (fresh samples would
+    # probe cells that don't match the prebuilt assignment)
+    with _pytest.raises(ValueError, match="explicit centroids"):
+        ivf_ann_topk(df, qs, n_probe=2, k=3, index=idx)
+    # center=True with an index refused (full-scan mean recompute, and the
+    # mean may not match the build) — pass the build's center_vec
+    with _pytest.raises(ValueError, match="center_vec explicitly"):
+        ivf_ann_topk(
+            df, qs, n_probe=2, k=3, center=True, centroids=cents_c, index=idx_c
+        )
 
 
 def test_semantic_dedup_centered_assignment(spark):
