@@ -1510,6 +1510,62 @@ def pq_topk_rerank(
     )
 
 
+def coarse_residuals(
+    df: DataFrame,
+    coarse_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "resid",
+    center_vec: list[float] | None = None,
+) -> DataFrame:
+    """Each vector's coarse residual: ``(id, resid)`` where ``resid =
+    a - c(a)`` — the assignment-space UNIT vector minus its nearest coarse
+    centroid (argmax cosine, :func:`assign_centroids_np` semantics; the
+    centroid is used as-is, e.g. a ``kmeans_train`` mean).
+
+    This is the IVFADC training frame (Jégou et al., TPAMI 2011 §V-A: PQ
+    codebooks are learned on residuals, not raw vectors). Residuals
+    concentrate within cells — the coarse quantizer has already removed the
+    between-cell structure — so each sub-codebook's k centroids spend their
+    bits on what distinguishes NEIGHBORS instead of re-encoding the shared
+    mass every cell-mate carries. On shared-component corpora (hashed-BoW
+    text) this is the next rung past mean-centering: centering removes ONE
+    global direction, residual coding removes each cell's own mean
+    direction.
+
+    ``center_vec`` puts assignment (and hence the residual frame) in
+    mean-centered space — pass the SAME value to
+    :func:`ivfpq_index`/:func:`ivfpq_topk`. One corpus pass, no shuffle
+    (broadcast centroid matmul per Arrow batch)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
+    C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, n_cells)
+    mean_np = None if center_vec is None else np.asarray(center_vec, dtype=np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            A = V if mean_np is None else V - mean_np[None, :]
+            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            pos = (A @ Cn).argmax(axis=1)
+            R = A - C[pos]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out: list(R)})
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=schema)
+
+
 def ivfpq_index(
     corpus: DataFrame,
     coarse_centroids: DataFrame,
@@ -1518,6 +1574,7 @@ def ivfpq_index(
     vec_col: str = "embedding",
     normalize: bool = True,
     center_vec: list[float] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Build the IVF+PQ index in ONE corpus pass: ``(id, c_id, codes)`` —
     each vector's coarse cell (argmax cosine against the broadcast
@@ -1538,7 +1595,18 @@ def ivfpq_index(
     are then expected in that space (``kmeans_train`` over the centered
     column) and the PQ codes stay on the raw (normalized) vectors, so ADC
     and rerank semantics are untouched. Pass the SAME ``center_vec`` to
-    :func:`ivfpq_topk`."""
+    :func:`ivfpq_topk`.
+
+    ``residual=True`` is true IVFADC (Jégou et al. 2011 §V): the PQ code is
+    computed over ``a - c(a)`` — the assignment-space unit vector minus its
+    coarse centroid — with ``codebooks`` trained on :func:`coarse_residuals`
+    of the same corpus/centroids. Residuals concentrate within cells, so
+    per-block bits encode what distinguishes neighbors instead of the mass
+    every cell-mate shares; pass ``residual=True`` (same centroids/books/
+    center_vec) to :func:`ivfpq_topk`, whose ADC tables then shift by each
+    probed cell's centroid. ``normalize`` is ignored for the code space in
+    this mode (assignment-space unit vectors are what the residual is taken
+    against)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1566,8 +1634,12 @@ def ivfpq_index(
             A = Vn if mean_np is None else V - mean_np[None, :]
             if mean_np is not None:
                 A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-            cell = c_ids[(A @ Cn).argmax(axis=1)]
-            E = Vn if normalize else V
+            pos = (A @ Cn).argmax(axis=1)
+            cell = c_ids[pos]
+            if residual:
+                E = A - C[pos]  # the IVFADC code space: per-cell residuals
+            else:
+                E = Vn if normalize else V
             dsub = E.shape[1] // m
             codes = np.empty((len(E), m), dtype=np.int32)
             for b in range(m):
@@ -1596,6 +1668,7 @@ def ivfpq_topk(
     normalize: bool = True,
     center_vec: list[float] | None = None,
     rerank_queries: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ + exact rerank composed — the full IVFADC+R query shape
     (Jégou et al. 2011 §V): each query probes its ``n_probe`` nearest
@@ -1627,6 +1700,16 @@ def ivfpq_topk(
     the raw frame as ``rerank_queries`` with the raw ``corpus`` — cells,
     codes, and LUTs all see distinctive content; the returned metric stays
     raw cosine.
+
+    ``residual=True`` queries a ``residual=True`` :func:`ivfpq_index` (true
+    IVFADC): the ADC table is built per (query, probed cell) over the query
+    residual ``q_a - c`` — distances approximate
+    ``||q_a - (c + code)||^2``, comparable ACROSS cells because the
+    per-cell constant stays in. ``coarse_centroids``/``codebooks``/
+    ``center_vec`` must match the build (books from
+    :func:`coarse_residuals`). LUT cost rises from ``n_q x m x k`` to
+    ``n_q x n_probe x m x k`` — still driver-side-tiny — in exchange for
+    codes that encode within-cell geometry.
 
     Output: the exact tiers' ``(q_id, n_id, rnk, sim)`` contract.
     """
@@ -1667,15 +1750,36 @@ def ivfpq_topk(
     cell_to_q_np = {c: np.array(v, dtype=np.int64) for c, v in cell_to_q.items()}
 
     dsub = Qe.shape[1] // m
-    luts = []
-    for b in range(m):
-        sub = Qe[:, b * dsub : (b + 1) * dsub]
-        B = books[b]
-        luts.append(
-            (sub * sub).sum(axis=1)[:, None]
-            - 2.0 * (sub @ B.T)
-            + (B * B).sum(axis=1)[None, :]
-        )  # (nq, k_b)
+
+    def _block_luts(X):
+        """Per-block squared-L2 tables from row vectors X to every centroid:
+        list of m arrays (len(X), k_b)."""
+        out = []
+        for b in range(m):
+            sub = X[:, b * dsub : (b + 1) * dsub]
+            B = books[b]
+            out.append(
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ B.T)
+                + (B * B).sum(axis=1)[None, :]
+            )
+        return out
+
+    if residual:
+        # true IVFADC: one LUT set per (probed cell, its queries) over the
+        # query residual q_a - c. Rows align with cell_to_q_np[cell], so the
+        # gather below indexes by LOCAL position. The per-cell constant
+        # ||q_a - c||^2 components stay in — distances are the genuine
+        # approximate ||q_a - (c + code)||^2, comparable across cells when
+        # the shortlist window merges candidates.
+        c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
+        cell_luts = {
+            cell: _block_luts(Qa[qs] - C[c_pos[cell]][None, :])
+            for cell, qs in cell_to_q_np.items()
+        }
+        luts = None
+    else:
+        luts = _block_luts(Qe)  # (nq, k_b) per block
 
     schema = T.StructType(
         [
@@ -1697,8 +1801,13 @@ def ivfpq_topk(
                 ids = grp[id_col].to_numpy()
                 codes = np.array(grp["codes"].tolist(), dtype=np.int64)
                 d = np.zeros((len(qs), len(ids)))
-                for b in range(m):
-                    d += luts[b][qs][:, codes[:, b]]
+                if residual:
+                    cl = cell_luts[int(cell)]  # rows already in qs order
+                    for b in range(m):
+                        d += cl[b][:, codes[:, b]]
+                else:
+                    for b in range(m):
+                        d += luts[b][qs][:, codes[:, b]]
                 kk = min(shortlist, d.shape[1])
                 sel = np.argpartition(d, kk - 1, axis=1)[:, :kk]
                 for row, qi in enumerate(qs):

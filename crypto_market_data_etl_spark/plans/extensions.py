@@ -2525,6 +2525,38 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# x55 residual-coded IVF+PQ (true IVFADC — Jégou et al. 2011 §V) exhaustive
+# degeneracy: codebooks trained on coarse_residuals, codes over a - c(a),
+# per-(query, probed-cell) ADC tables — with every cell probed and an uncut
+# shortlist the whole residual machinery must be invisible under x05's
+# brute-force oracle (the x52 pattern). Approximation quality vs the
+# centered-ADC point is measured separately: SCALE_r09 ann.sweep_bow_400k.
+# --------------------------------------------------------------------------
+
+def x55_ivfpq_residual_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        coarse_residuals,
+        ivfpq_index,
+        ivfpq_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    cents = kmeans_train(embs, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2)
+    books = pq_train(
+        coarse_residuals(embs, cents), vec_col="resid", m=8, k=16, n_iters=2, dim=DIM
+    )
+    idx = ivfpq_index(embs, cents, books, residual=True)
+    exhaustive = 10**9  # > any cell/corpus count: probe all, cut nothing
+    return ivfpq_topk(
+        idx, queries, cents, books, embs,
+        n_probe=exhaustive, k=5, shortlist=exhaustive, residual=True,
+    )
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2555,6 +2587,7 @@ VARIANT_QUERIES = {
     "x52_ivfpq_exhaustive": x52_ivfpq_exhaustive,
     "x53_ivf_centered_exhaustive": x53_ivf_centered_exhaustive,
     "x54_semantic_dedup_centered": x54_semantic_dedup_centered,
+    "x55_ivfpq_residual_exhaustive": x55_ivfpq_residual_exhaustive,
 }
 
 VARIANT_ORACLES = {
@@ -2587,4 +2620,5 @@ VARIANT_ORACLES = {
     "x52_ivfpq_exhaustive": X05_SQL,
     "x53_ivf_centered_exhaustive": X05_SQL,
     "x54_semantic_dedup_centered": X54_SQL,
+    "x55_ivfpq_residual_exhaustive": X05_SQL,
 }

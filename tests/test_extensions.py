@@ -502,6 +502,99 @@ def test_ivfpq_index_and_topk(spark):
     assert len(rows) <= len(full)  # narrow probe never widens the result
 
 
+def test_ivfpq_residual_coding(spark):
+    """True-IVFADC residual coding (Jégou 2011 §V) invariants:
+    (1) coarse_residuals reconstructs — resid + assigned centroid == the
+    assignment-space unit vector; (2) residual index + topk with every cell
+    probed and an uncut shortlist degenerates to EXACT brute-force top-k
+    (the x52 pattern: the whole residual machinery proven invisible at the
+    exhaustive point); (3) same degeneracy for the centered composition
+    (center_vec on residual build + query); (4) a planted identical
+    duplicate is found at sim 1.0 under a narrow probe."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        assign_centroids_np,
+        coarse_residuals,
+        cosine_topk,
+        embedding_mean,
+        center_embeddings,
+        ivfpq_index,
+        ivfpq_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, m, kc, n = 16, 4, 8, 300
+    centers = rng.normal(size=(6, dim))
+    X = centers[np.arange(n) % 6] + 0.15 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2)
+
+    # (1) resid + centroid == unit vector
+    cent_vecs = {r.c_id: np.array(r.c_vec) for r in cents.collect()}
+    assigned = {
+        r.vec_id: r.c_id
+        for r in assign_centroids_np(df, cents, "vec_id", "embedding", n=1).collect()
+    }
+    resid = {r.vec_id: np.array(r.resid) for r in coarse_residuals(df, cents).collect()}
+    assert len(resid) == n
+    for i in range(0, n, 17):
+        unit = X[i] / np.linalg.norm(X[i])
+        np.testing.assert_allclose(
+            resid[i] + cent_vecs[assigned[i]], unit, atol=1e-9
+        )
+
+    # (2) residual-coded exhaustive == brute
+    books_r = pq_train(
+        coarse_residuals(df, cents), vec_col="resid", m=m, k=kc, n_iters=2, dim=dim
+    )
+    idx_r = ivfpq_index(df, cents, books_r, residual=True)
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 37]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        (r.q_id, r.rnk, r.n_id, r.sim) for r in cosine_topk(df, qs, k=4).collect()
+    )
+    full = ivfpq_topk(
+        idx_r, qs, cents, books_r, df,
+        n_probe=10**9, k=4, shortlist=10**9, residual=True,
+    ).collect()
+    assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in full) == exact
+
+    # (3) centered residual composition, exhaustive == brute
+    mean = embedding_mean(df)
+    cents_c = kmeans_train(
+        center_embeddings(df, mean, out_col="cvec"),
+        vec_col="cvec",
+        centroid_filter=F.col("vec_id") % 50 == 1,
+        n_iters=2,
+    )
+    books_cr = pq_train(
+        coarse_residuals(df, cents_c, center_vec=mean),
+        vec_col="resid", m=m, k=kc, n_iters=2, dim=dim,
+    )
+    idx_cr = ivfpq_index(df, cents_c, books_cr, center_vec=mean, residual=True)
+    full_c = ivfpq_topk(
+        idx_cr, qs, cents_c, books_cr, df,
+        n_probe=10**9, k=4, shortlist=10**9, center_vec=mean, residual=True,
+    ).collect()
+    assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in full_c) == exact
+
+    # (4) planted duplicate under a narrow probe
+    narrow = ivfpq_topk(
+        idx_r, qs, cents, books_r, df, n_probe=1, k=4, shortlist=50, residual=True
+    )
+    top1 = {r.q_id: (r.n_id, r.sim) for r in narrow.collect() if r.rnk == 1}
+    for i in range(5):
+        assert top1[10_000 + i] == (i * 37, 1.0)
+
+
 def test_centered_assignment_space(spark):
     """Mean-centered cell assignment (the shared-component fix):
     (1) embedding_mean / center_embeddings numerics; (2) centered IVF with
