@@ -51,6 +51,20 @@ def _dot(a, b):
     )
 
 
+def _once(expr, fn):
+    """Bind ``expr`` as a lambda variable so ``fn`` can reference it many
+    times with ONE evaluation: ``transform(array(e), x -> body)[0]``.
+
+    The staged-column alternative (withColumn) is undone by CollapseProject
+    wherever no explode/agg boundary intervenes — the re-evaluation trap
+    measured in sampling.py — and a column reference inside a higher-order
+    lambda re-evaluates its whole subtree per element. A lambda VARIABLE is
+    evaluated once when the singleton array is built; pure-projection
+    pipelines (streams before their watermarked agg) get expression reuse
+    with no staging boundary at all."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
@@ -1157,20 +1171,7 @@ def hashed_bow_embeddings(
     ``text.BPE_ISH_PATTERN``, what real corpora want; oracle x51), or any
     Column expression yielding ``array<string>``.
     """
-    if isinstance(tokenizer, Column):
-        tok_arr = tokenizer
-    elif tokenizer == "space":
-        tok_arr = F.split(F.col(text_col), " ")
-    elif tokenizer == "regex":
-        from .text import BPE_ISH_PATTERN
-
-        # column API, not f-string SQL: survives column names needing
-        # backticks and patterns containing quotes/backslashes
-        tok_arr = F.regexp_extract_all(
-            F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)
-        )
-    else:
-        raise ValueError(f"unknown tokenizer {tokenizer!r} (space|regex|Column)")
+    tok_arr = _bow_tokens(text_col, tokenizer)
     staged = df.select(F.col(id_col), F.explode(tok_arr).alias("tok")).select(
         id_col,
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
@@ -1208,6 +1209,152 @@ def hashed_bow_embeddings(
             F.transform("embedding", lambda x: F.round(x / norm, round_dp)),
         ).alias("embedding"),
     )
+
+
+def _bow_tokens(text_col: str, tokenizer: str | Column) -> Column:
+    """The shared text→tokens rule for the hashed-BoW family: ``"space"``
+    (single-space split — the x49 oracle's verbatim mirror), ``"regex"``
+    (``text.BPE_ISH_PATTERN``, oracle x51), or any ``array<string>``
+    Column."""
+    if isinstance(tokenizer, Column):
+        return tokenizer
+    if tokenizer == "space":
+        return F.split(F.col(text_col), " ")
+    if tokenizer == "regex":
+        from .text import BPE_ISH_PATTERN
+
+        # column API, not f-string SQL: survives column names needing
+        # backticks and patterns containing quotes/backslashes
+        return F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)
+        )
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (space|regex|Column)")
+
+
+def bow_embedding_expr(
+    toks: Column,
+    dim: int = 64,
+    normalize: bool = True,
+    round_dp: int = 6,
+) -> Column:
+    """:func:`hashed_bow_embeddings` as ONE pure-projection Column — no
+    explode, no shuffle, no aggregation — so it runs unchanged on a STREAM
+    before its watermarked aggregation (the in-row-signature contract of
+    ``dedup.minhash_sig_cols``). Bit-identical to the batch operator
+    (equality-tested): same md5→integer hash, same index/sign derivation
+    (sign parity via ``hv % (2·dim) >= dim`` — exactly ``(hv div dim) % 2``
+    for non-negative ``hv``, with every quantity exact in bigint), same
+    ±1-integer cell sums (order-free: exact in double far below 2^53), same
+    normalize-and-round, same NULL-not-NaN zero-norm contract.
+
+    Cost is O(dim · tokens) per row (each output cell folds the token-hash
+    array once); the hash array, the raw cell array, and the norm are each
+    evaluated ONCE via :func:`_once` lambda binding — immune to the
+    CollapseProject re-evaluation trap a staged column hits on
+    projection-only (stream) pipelines. For batch corpora prefer the
+    explode-based :func:`hashed_bow_embeddings` (one shuffle, but
+    O(tokens) per row)."""
+    hv_arr = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+
+    def raw_cells(hv):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.aggregate(
+                hv,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + F.when(
+                    h % dim == d,
+                    F.lit(1) - F.lit(2) * (h % (2 * dim) >= dim).cast("int"),
+                ).otherwise(F.lit(0)),
+            ).cast("double"),
+        )
+
+    def normalized(raw):
+        return _once(
+            F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)),
+            lambda nrm: F.when(
+                nrm > 0, F.transform(raw, lambda x: F.round(x / nrm, round_dp))
+            ),
+        )
+
+    if not normalize:
+        return _once(hv_arr, raw_cells)
+    return _once(hv_arr, lambda hv: _once(raw_cells(hv), normalized))
+
+
+def probe_cells_expr(
+    vec: Column,
+    cent_rows,
+    n_probe: int,
+    center_vec: list[float] | None = None,
+    round_dp: int = 6,
+) -> Column:
+    """Per-row IVF probe selection as ONE pure-projection Column: the
+    ``n_probe`` nearest cells (cosine desc, 6dp-rounded, ties to the lowest
+    ``c_id`` — exactly :func:`ivf_ann_topk`'s ``nearest_cells`` rank rule,
+    equality-tested) as ``array<bigint>`` of cell ids.
+
+    ``cent_rows`` is the COLLECTED centroid table (rows with ``c_id`` /
+    ``c_vec`` — small by the same broadcast contract as
+    :func:`_collect_small_side`); centroid norms are precomputed into the
+    literal, so the per-row cost is one dim-wide dot per centroid. No
+    window, no shuffle — usable on a stream where rank-over-partition is
+    unavailable. ``center_vec`` moves the match into centered assignment
+    space (the vector is shifted; centroids are expected already in that
+    space, the :func:`ivf_index` contract). A NULL vector yields NULL (the
+    caller's explode_outer keeps the row with zero hits)."""
+    import math
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["c_id"])).alias("c_id"),
+                F.array(*[F.lit(float(v)) for v in r["c_vec"]]).alias("cv"),
+                F.lit(
+                    math.sqrt(sum(float(v) * float(v) for v in r["c_vec"]))
+                ).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+    av = vec
+    if center_vec is not None:
+        m_lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        av = F.zip_with(vec, m_lit, lambda x, y: x - y)
+
+    def ranked(a):
+        return _once(
+            F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-12)),
+            lambda an: F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            cent_lit,
+                            lambda c: F.struct(
+                                (
+                                    -F.round(
+                                        _dot(a, c["cv"]) / (an * c["cn"]), round_dp
+                                    )
+                                ).alias("negsim"),
+                                c["c_id"].alias("c_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["c_id"],
+            ),
+        )
+
+    # NULL-vector guard inside the binding (greatest() would swallow the
+    # NULL norm and return the epsilon, yielding a c_id-ordered probe list
+    # for a vectorless row instead of NULL)
+    return _once(av, lambda a: F.when(a.isNotNull(), ranked(a)))
 
 
 #: pq_train's auto-seed probe reads at most this many rows to size the seed

@@ -194,3 +194,106 @@ def stream_neardup_flag(
         .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_band_hits"))
         .withColumn("neardup", F.col("n_band_hits") > 0)
     )
+
+
+def stream_embedding_neardup_flag(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    dim: int = 64,
+    n_probe: int = 4,
+    threshold: float = 0.9,
+    center_vec: list[float] | None = None,
+    watermark: str = "10 seconds",
+    tokenizer: str = "space",
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Flag streamed documents that are SEMANTIC (embedding-cosine)
+    near-duplicates of a static historical corpus — the embedding arm of
+    :func:`stream_neardup_flag`, closing the "near-dup canonicalization
+    stays batch" gap for the re-crawl case: an edited re-post whose token
+    swaps dodge the MinHash bands still lands next to its source in
+    embedding space.
+
+    Index side (batch, build-once): ``index`` is an
+    :func:`~..operators.similarity.ivf_index` inverted file ``(c_id, n_id,
+    n_vec)`` and ``centroids`` the table it was built with — the SAME
+    x53-oracle-gated operators the batch ANN tier runs, with the same
+    space contract (``center_vec`` must match the build; centered
+    assignment, raw-vector verdicts). The file is materialized once and
+    re-joined per trigger; ``broadcast_index=False`` drops the hint for
+    corpus-scale files (the stream-static equi-join on ``c_id`` then
+    shuffles the static side — correctness is join-strategy-independent,
+    same note as the MinHash gate).
+
+    Stream side — every step a PURE PROJECTION until the single
+    watermarked aggregation (the in-row-signature contract): the hashed-BoW
+    embedding (:func:`~..operators.similarity.bow_embedding_expr`,
+    bit-identical to the batch featurizer), the probe-cell selection
+    (:func:`~..operators.similarity.probe_cells_expr` — the
+    ``nearest_cells`` rank rule without the window a stream can't run),
+    an explode over the ``n_probe`` probed cells, the c_id equi-join, and
+    one per-document agg emitting ``(ts, id, n_hits, best_sim, neardup)``
+    exactly once in append mode. The verdict cosine runs on RAW vectors
+    (6dp-rounded) — what counts as a duplicate is identical to the batch
+    :func:`~..operators.similarity.semantic_dedup`/ANN contract; zero-norm
+    or empty documents emit with zero hits and NULL ``best_sim``.
+
+    At 100 TB: the per-trigger verify work is
+    ``docs × (probed cell volume)`` — bounded by ``n_probe`` and the
+    centroid granularity, never the corpus; point ``index`` at the recent
+    window (crawl dedup is usually against it) or re-build per centroid
+    generation, exactly like the batch IVF artifact."""
+    from ..materialize import materialize
+    from ..operators.similarity import (
+        _bow_tokens,
+        _collect_small_side,
+        _dot,
+        bow_embedding_expr,
+        probe_cells_expr,
+    )
+
+    cent_rows = _collect_small_side(
+        centroids.select("c_id", "c_vec").orderBy("c_id"), "centroid"
+    )
+    inv = materialize(index.select("c_id", "n_id", "n_vec"))
+    if broadcast_index:
+        inv = F.broadcast(inv)
+    toks = _bow_tokens(text_col, tokenizer)
+    staged = (
+        stream_docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .withWatermark(ts_col, watermark)
+        .withColumn("__emb", bow_embedding_expr(toks, dim=dim))
+        .withColumn(
+            "__cells",
+            probe_cells_expr(F.col("__emb"), cent_rows, n_probe, center_vec),
+        )
+        .select(
+            id_col, ts_col, "__emb", F.explode_outer("__cells").alias("c_id")
+        )
+    )
+    sim = F.round(
+        _dot(F.col("__emb"), F.col("n_vec"))
+        / (
+            F.greatest(F.sqrt(_dot(F.col("__emb"), F.col("__emb"))), F.lit(1e-12))
+            * F.sqrt(_dot(F.col("n_vec"), F.col("n_vec")))
+        ),
+        6,
+    )
+    probed = staged.join(inv, "c_id", "left").filter(
+        F.col("n_id").isNull() | (F.col("n_id") != F.col(id_col))
+    )
+    return (
+        probed.withColumn("__sim", sim)
+        .groupBy(ts_col, id_col)
+        .agg(
+            F.max("__sim").alias("best_sim"),
+            F.sum(
+                F.when(F.col("__sim") >= threshold, 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .withColumn("neardup", F.col("n_hits") > 0)
+    )

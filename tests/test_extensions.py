@@ -2060,3 +2060,116 @@ def test_ann_external_query_frame_reranks(spark):
             assert top1.get(q_id) == want, (
                 f"{fn.__name__}: query {q_id} top-1 {top1.get(q_id)} != planted {want}"
             )
+
+
+def test_bow_embedding_expr_matches_batch(spark):
+    """bow_embedding_expr (the in-row, pure-projection form a stream can
+    run) is bit-identical to hashed_bow_embeddings on both tokenizers,
+    including repeated tokens, punctuation, empty text, and NULL text."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        _bow_tokens,
+        bow_embedding_expr,
+        hashed_bow_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox the quick"),
+            (1, "a1 b2 c3! d4? e5"),
+            (2, ""),
+            (3, None),
+            (4, "solo"),
+            (5, "x " * 50 + "tail"),
+        ],
+        "doc_id long, text string",
+    )
+    for tok in ("space", "regex"):
+        batch = {
+            r.doc_id: r.embedding
+            for r in hashed_bow_embeddings(
+                docs.filter(F.col("text").isNotNull()), dim=32, tokenizer=tok
+            ).collect()
+        }
+        inrow = {
+            r.doc_id: r.emb
+            for r in docs.select(
+                "doc_id",
+                bow_embedding_expr(_bow_tokens("text", tok), dim=32).alias("emb"),
+            ).collect()
+        }
+        assert inrow[3] is None  # NULL text -> NULL embedding in-row
+        for did, want in batch.items():
+            assert inrow[did] == want, (tok, did)
+        # unnormalized twin
+        batch_u = {
+            r.doc_id: r.embedding
+            for r in hashed_bow_embeddings(
+                docs.filter(F.col("text").isNotNull()),
+                dim=32, tokenizer=tok, normalize=False,
+            ).collect()
+        }
+        inrow_u = {
+            r.doc_id: r.emb
+            for r in docs.select(
+                "doc_id",
+                bow_embedding_expr(
+                    _bow_tokens("text", tok), dim=32, normalize=False
+                ).alias("emb"),
+            ).collect()
+        }
+        for did, want in batch_u.items():
+            assert inrow_u[did] == want, (tok, did)
+
+
+def test_probe_cells_expr_matches_rank_rule(spark):
+    """probe_cells_expr == the nearest_cells rank rule (cosine desc,
+    6dp-rounded, ties to lowest c_id), incl. an exact-tie pair, the
+    centered space, n_probe past the cell count, and NULL vectors."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        probe_cells_expr,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_cells, n = 8, 6, 40
+    C = rng.normal(size=(n_cells, dim))
+    C[3] = C[1]  # exact tie: c_id 1 must rank before c_id 3
+    cent_rows = [
+        {"c_id": i, "c_vec": [float(v) for v in C[i]]} for i in range(n_cells)
+    ]
+    X = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)]
+        + [(n, None)],
+        "vec_id long, embedding array<double>",
+    )
+    for center in (None, [0.3] * dim):
+        got = {
+            r.vec_id: r.cells
+            for r in df.select(
+                "vec_id",
+                probe_cells_expr(
+                    F.col("embedding"), cent_rows, 3, center_vec=center
+                ).alias("cells"),
+            ).collect()
+        }
+        assert got[n] is None  # NULL vector -> NULL probe list
+        A = X if center is None else X - np.array(center)[None, :]
+        for i in range(n):
+            sims = np.round(
+                (A[i] @ C.T)
+                / (max(np.linalg.norm(A[i]), 1e-12) * np.linalg.norm(C, axis=1)),
+                6,
+            )
+            order = sorted(range(n_cells), key=lambda c: (-sims[c], c))
+            assert got[i] == order[:3], (center, i)
+        if C[1] @ A[0] != 0:  # the planted tie: 1 always precedes 3
+            full = df.filter(F.col("embedding").isNotNull()).select(
+                probe_cells_expr(
+                    F.col("embedding"), cent_rows, n_cells + 5, center_vec=center
+                ).alias("cells")
+            ).collect()
+            for r in full:
+                assert len(r.cells) == n_cells  # n_probe past cell count: all
+                assert r.cells.index(1) < r.cells.index(3)

@@ -1353,3 +1353,79 @@ def test_stream_neardup_flag_against_static_corpus(spark, tmp_path):
         assert not rows[3].neardup and rows[3].n_band_hits == 0
     finally:
         q.stop()
+
+
+def test_stream_embedding_neardup_flag(spark, tmp_path):
+    """Stream-static SEMANTIC near-dup gate over a prebuilt ivf_index: an
+    edited re-post of a corpus document (one token appended — high raw
+    cosine in hashed-BoW space) is flagged; an unrelated doc is not; a
+    same-id exact re-post is excluded by the id filter; and the batch
+    verdict (semantic_dedup-style raw cosine at 6dp) is what decides."""
+    import time as _t
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        hashed_bow_embeddings,
+        ivf_index,
+    )
+    from crypto_market_data_etl_spark.streaming.corpus import (
+        stream_embedding_neardup_flag,
+    )
+
+    corpus_docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely different historical content about markets and trades"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = hashed_bow_embeddings(corpus_docs, dim=32)
+    cents = embs.select(
+        F.col("doc_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    idx = ivf_index(embs, cents, id_col="doc_id").localCheckpoint()
+
+    path = str(tmp_path / "docs")
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts_s long, text string"
+        ).withColumn(
+            "ingest_ts", F.timestamp_seconds(F.col("ts_s"))
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+        _t.sleep(1.1)
+
+    write_docs(
+        [
+            # edited re-post of corpus doc 100 (one appended token):
+            # raw BoW cosine ~ 0.96 — past the MinHash bands' reach at
+            # shingle level, caught in embedding space
+            (1, 1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, 2, "totally unrelated fresh crawl text with novel vocabulary"),
+            # SAME id as corpus doc 100, exact text: the n_id != id filter
+            # leaves only the dissimilar doc 101 to compare against
+            (100, 3, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (9, 100, "late watermark pusher words"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_embedding_neardup_flag(
+        stream, idx, cents, dim=32, n_probe=2, threshold=0.9,
+        watermark="10 seconds",
+    )
+    q = run_to_memory(out, "emb_neardup_stream", output_mode="append")
+    try:
+        rows = {
+            r.doc_id: r
+            for r in spark.sql("SELECT * FROM emb_neardup_stream").collect()
+        }
+        assert sorted(rows) == [1, 2, 100]  # doc 9's event time hasn't expired
+        assert rows[1].neardup and rows[1].n_hits >= 1
+        assert rows[1].best_sim >= 0.9
+        assert not rows[2].neardup and rows[2].n_hits == 0
+        assert not rows[100].neardup  # self-id excluded, 101 dissimilar
+    finally:
+        q.stop()

@@ -455,6 +455,36 @@ def _sweep(spark, corpus, queries, args) -> None:
                 ),
             )
         )
+    # residual-coded IVFADC (round-9): codebooks trained on coarse
+    # residuals, codes over a - c(a), per-(query, cell) ADC tables.
+    from crypto_market_data_etl_spark.operators.similarity import (
+        coarse_residuals,
+    )
+
+    t0 = time.time()
+    books_res = pq_train(
+        coarse_residuals(corpus, trained), vec_col="resid", m=8, k=64,
+        n_iters=3, dim=DIM,
+    )
+    books_res.count()
+    res_idx = ivfpq_index(corpus, trained, books_res, residual=True).localCheckpoint()
+    res_idx.count()
+    print(
+        json.dumps(
+            {"job": "rivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
+        ),
+        flush=True,
+    )
+    for n_probe in (8, 32):
+        configs.append(
+            (
+                f"rivfpq_m8k64_probe{n_probe}_rerank400",
+                lambda p=n_probe: ivfpq_topk(
+                    res_idx, queries, trained, books_res, corpus,
+                    n_probe=p, k=args.k, shortlist=400, residual=True,
+                ),
+            )
+        )
     if args.bow:
         # FULLY-centered PQ/IVF+PQ (shared-component corpora): train,
         # encode, assign, and ADC on the centered frames; rerank raw via
@@ -502,6 +532,37 @@ def _sweep(spark, corpus, queries, args) -> None:
                         cen_idx, cq, trained_cen, books_cen, corpus,
                         n_probe=p, k=args.k, shortlist=400,
                         rerank_queries=queries,
+                    ),
+                )
+            )
+        # CENTERED-residual IVFADC: assignment centered (trained_cen +
+        # bow_mean), codebooks on residuals in THAT space — the next rung
+        # past centered-ADC (which removes one global direction; residuals
+        # remove each cell's own mean direction).
+        t0 = time.time()
+        books_cres = pq_train(
+            coarse_residuals(corpus, trained_cen, center_vec=bow_mean),
+            vec_col="resid", m=8, k=64, n_iters=3, dim=DIM,
+        )
+        books_cres.count()
+        cres_idx = ivfpq_index(
+            corpus, trained_cen, books_cres, center_vec=bow_mean, residual=True
+        ).localCheckpoint()
+        cres_idx.count()
+        print(
+            json.dumps(
+                {"job": "crivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+        for n_probe in (4, 8, 16, 32):
+            configs.append(
+                (
+                    f"crivfpq_m8k64_probe{n_probe}_rerank400",
+                    lambda p=n_probe: ivfpq_topk(
+                        cres_idx, queries, trained_cen, books_cres, corpus,
+                        n_probe=p, k=args.k, shortlist=400,
+                        center_vec=bow_mean, residual=True,
                     ),
                 )
             )
