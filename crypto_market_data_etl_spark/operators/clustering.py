@@ -48,6 +48,7 @@ it, the distributed loop runs unchanged. The tier choice is logged.
 from __future__ import annotations
 
 import logging
+import time
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -107,6 +108,7 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 25,
     driver_threshold: int | None = DRIVER_EDGE_THRESHOLD,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Component label (min node id in the component) per node.
 
@@ -118,6 +120,13 @@ def connected_components(
     Edge lists of at most ``driver_threshold`` distinct edges contract on
     the driver (see module docstring); pass ``driver_threshold=0``/``None``
     to force the distributed loop.
+
+    ``round_stats``: pass a list and the distributed tier appends one dict
+    per star-contraction round — ``{"round", "edges_in", "sec"}`` (directed
+    edge count entering the round) plus a final ``{"cutover_edges"}`` entry
+    when the numpy kernel finishes the residue. This is how the geometric
+    edge-shrink claim is measured (SCALE ``cc_distributed``), not an
+    execution knob.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
     if driver_threshold:
@@ -172,7 +181,8 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        t_round = time.time()
         n_edges = edges.count()
         if n_edges == 0:
             return mapping
@@ -182,6 +192,8 @@ def connected_components(
         # directed count against the threshold engaged the cut-over at
         # roughly half the intended budget (ADVICE r6).
         if driver_threshold and n_edges <= 2 * driver_threshold:
+            if round_stats is not None:
+                round_stats.append({"cutover_edges": n_edges})
             fin = _cc_numpy(mapping.sparkSession, edges, max_rounds)
             out = mapping.join(
                 fin.select(
@@ -243,6 +255,14 @@ def connected_components(
             ).select("node", F.coalesce("new", F.col("comp")).alias("comp")),
             eager=True,
         )
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "round": rnd,
+                    "edges_in": n_edges,
+                    "sec": round(time.time() - t_round, 2),
+                }
+            )
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 

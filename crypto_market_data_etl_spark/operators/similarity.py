@@ -1919,6 +1919,21 @@ def ivfpq_topk(
         # ||q_a - c||^2 components stay in — distances are the genuine
         # approximate ||q_a - (c + code)||^2, comparable across cells when
         # the shortlist window merges candidates.
+        #
+        # LUT memory is n_q x n_probe x m x k doubles — n_probe x the
+        # non-residual path's tables, and the tensor ships to every task
+        # with the closure. Bound it loudly: past the cap, batch the query
+        # side (the tables are per-query-batch artifacts, so splitting
+        # queries is exact, not approximate).
+        k_max = max(b.shape[0] for b in books)
+        lut_cells = len(q_ids) * min(n_probe, len(c_ids)) * m * k_max
+        if lut_cells > 200_000_000:  # ~1.6 GB of float64
+            raise ValueError(
+                f"ivfpq_topk(residual=True): per-(query, cell) ADC tables "
+                f"would hold {lut_cells} doubles (> 2e8 cap) — split the "
+                f"query batch (results are exact under query batching) or "
+                f"lower n_probe"
+            )
         c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
         cell_luts = {
             cell: _block_luts(Qa[qs] - C[c_pos[cell]][None, :])

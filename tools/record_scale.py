@@ -59,7 +59,7 @@ def run(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r08.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r09.json")
     artifact: dict = {
         "host": "local[32]", "market": [], "corpus": [], "skew": {}, "bpe": [],
     }
@@ -223,23 +223,49 @@ def main() -> None:
     ann["sweep_bow_400k"] = {
         "note": (
             "--bow --vectors 400000 --tiers pq_m8k64_rerank,cpq,civfpq,"
-            "ivf_cen_km4 — the centered-ADC crossover rung: raw-ADC recall "
-            "degrades with N (0.25@100k -> 0.19@400k) while centered-ADC "
-            "holds 0.64 at ~0.34x brute — the only sub-brute tier with "
-            "usable recall on shared-component text vectors at scale"
+            "rivfpq,crivfpq — the centered-ADC crossover rung plus the "
+            "round-9 residual-coded IVFADC ladder (crivfpq = centered "
+            "assignment + PQ over per-cell residuals): residual ADC "
+            "recovers ~95% of the probe-limited recall ceiling, so the "
+            "high-probe rungs pass the full-scan centered-ADC point "
+            "(see the crivfpq probe64/96 entries) at sub-brute cost"
         ),
         "jobs": {},
     }
     stdout = run([
         sys.executable, "tools/scale_ann_run.py", "--sweep",
         "--vectors", "400000", "--queries", "200", "--bow",
-        "--tiers", "pq_m8k64_rerank,cpq,civfpq,ivf_cen_km4",
+        "--tiers", "pq_m8k64_rerank,cpq,civfpq,rivfpq,crivfpq",
     ])
     for line in stdout.splitlines():
         if line.strip().startswith("{"):
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_bow_400k"]["jobs"][d.pop("job")] = d
+    # residual-IVFADC interleaved A/B (round-9): brute runs IN the rotation
+    # (the sweep's single-shot brute reference varied 6-20 s same-box —
+    # session warmth; here the denominator is best-of-N on identical state),
+    # plus the controlled code-space ablation civfpq-vs-crivfpq at equal
+    # cells/probes/shortlist
+    ann["ab_bow_residual_400k"] = {
+        "note": (
+            "tools/ab_bow_residual.py — interleaved best-of-3 at 400k BoW: "
+            "WARM brute is ~1 s at this scale (the sweeps' sub-brute ratios "
+            "ride a cold denominator — recorded honestly); the residual "
+            "ladder's value is the RECALL headroom: per-cell residual codes "
+            "rank candidates better than centered-global codes at equal "
+            "cells/probes/shortlist, and the high-probe rungs reach recall "
+            "the full-scan centered-ADC point cannot"
+        ),
+        "jobs": {},
+    }
+    stdout = run([sys.executable, "tools/ab_bow_residual.py"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d and "_rep" not in d["job"]:
+                ann["ab_bow_residual_400k"]["jobs"][d.pop("job")] = d
+
     # IVF+PQ composition rung: 400k vectors — the regime where the ADC
     # gather dominates and cell-restriction pays (at 100k it is a wash;
     # the sweeps above show that honestly)
@@ -260,6 +286,28 @@ def main() -> None:
             if "job" in d and "_rep" not in d["job"]:
                 ann["ivfpq_400k"]["jobs"][d.pop("job")] = d
     artifact["ann"] = ann
+
+    # connected-components distributed-tier rung (round-9): per-round edge
+    # shrink + wall of the star-contraction loop on a 6M-edge mixed-topology
+    # fixture, with the numpy-kernel ground truth asserted identical
+    artifact["cc_distributed"] = {
+        "note": (
+            "tools/scale_cc_run.py — chains (depth) + cliques (volume) + "
+            "random blocks above the driver threshold; round_stats from the "
+            "operator itself; label equality vs the numpy fixpoint asserted"
+        ),
+        "jobs": {},
+        "rounds": [],
+    }
+    stdout = run([sys.executable, "tools/scale_cc_run.py"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if d.get("job") == "cc_round":
+                d.pop("job")
+                artifact["cc_distributed"]["rounds"].append(d)
+            elif "job" in d:
+                artifact["cc_distributed"]["jobs"][d.pop("job")] = d
 
     # stateful key-cardinality rung: per-key vs bucketed update forms
     stdout = run([sys.executable, "tools/scale_stateful_run.py"])

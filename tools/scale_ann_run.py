@@ -462,10 +462,12 @@ def _sweep(spark, corpus, queries, args) -> None:
     )
 
     t0 = time.time()
-    books_res = pq_train(
-        coarse_residuals(corpus, trained), vec_col="resid", m=8, k=64,
-        n_iters=3, dim=DIM,
-    )
+    # checkpoint the residual frame: pq_train's per-block kmeans re-reads
+    # its input ~8 x (1 + n_iters) times, and recomputing the corpus
+    # assignment pass each time quadrupled the build wall (84 s -> ~25 s)
+    resid = coarse_residuals(corpus, trained).localCheckpoint()
+    resid.count()
+    books_res = pq_train(resid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
     books_res.count()
     res_idx = ivfpq_index(corpus, trained, books_res, residual=True).localCheckpoint()
     res_idx.count()
@@ -540,10 +542,11 @@ def _sweep(spark, corpus, queries, args) -> None:
         # past centered-ADC (which removes one global direction; residuals
         # remove each cell's own mean direction).
         t0 = time.time()
-        books_cres = pq_train(
-            coarse_residuals(corpus, trained_cen, center_vec=bow_mean),
-            vec_col="resid", m=8, k=64, n_iters=3, dim=DIM,
-        )
+        cresid = coarse_residuals(
+            corpus, trained_cen, center_vec=bow_mean
+        ).localCheckpoint()
+        cresid.count()
+        books_cres = pq_train(cresid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
         books_cres.count()
         cres_idx = ivfpq_index(
             corpus, trained_cen, books_cres, center_vec=bow_mean, residual=True
@@ -555,13 +558,30 @@ def _sweep(spark, corpus, queries, args) -> None:
             ),
             flush=True,
         )
-        for n_probe in (4, 8, 16, 32):
+        # extended probe ladder: residual ADC nearly saturates the
+        # probe-limited recall ceiling (probe16: 0.494 vs the exact-IVF
+        # 0.522 ceiling at 1/24 its cost), so the high-probe rungs are
+        # where it passes the full-scan centered-ADC point — per-probe
+        # marginal cost is an ADC gather over codes, not a raw-vector
+        # rerank of whole cells
+        for n_probe in (4, 8, 16, 32, 64, 96):
             configs.append(
                 (
                     f"crivfpq_m8k64_probe{n_probe}_rerank400",
                     lambda p=n_probe: ivfpq_topk(
                         cres_idx, queries, trained_cen, books_cres, corpus,
                         n_probe=p, k=args.k, shortlist=400,
+                        center_vec=bow_mean, residual=True,
+                    ),
+                )
+            )
+        for n_probe in (64, 96):
+            configs.append(
+                (
+                    f"crivfpq_m8k64_probe{n_probe}_rerank1600",
+                    lambda p=n_probe: ivfpq_topk(
+                        cres_idx, queries, trained_cen, books_cres, corpus,
+                        n_probe=p, k=args.k, shortlist=1600,
                         center_vec=bow_mean, residual=True,
                     ),
                 )
