@@ -1855,8 +1855,31 @@ def ivfpq_topk(
     per-cell constant stays in. ``coarse_centroids``/``codebooks``/
     ``center_vec`` must match the build (books from
     :func:`coarse_residuals`). LUT cost rises from ``n_q x m x k`` to
-    ``n_q x n_probe x m x k`` — still driver-side-tiny — in exchange for
-    codes that encode within-cell geometry.
+    ``n_q x n_probe x m x k`` (hard-capped — split query batches past it)
+    in exchange for codes that encode within-cell geometry.
+
+    Measured on the 400k Zipf-BoW rung (``tools/ab_bow_residual.py``,
+    interleaved best-of-3, SCALE_r09 ``ann.ab_bow_residual_400k``; centered
+    assignment space, m8k64):
+
+    ===========================  =========  ===========================
+    config                       recall@10  note
+    ===========================  =========  ===========================
+    centered-ADC full rerank400  0.64       the r8 champion point
+    residual probe64 rerank1600  0.744      ~0.36x sweep-protocol cost
+    residual probe96 rerank1600  0.804      sub-brute in-protocol
+    centered-ADC full rerank1600 0.831      +~30% wall vs probe96
+    ===========================  =========  ===========================
+
+    The controlled ablation (same cells/probes/shortlist, only the code
+    space differs) attributes +1–2 recall pts to the residual codes
+    themselves (0.744 vs 0.735 @ probe64, 0.804 vs 0.785 @ probe96); the
+    rest is probe/shortlist headroom the cell-restricted gather makes
+    affordable. Protocol honesty: a WARM 400k x 200 brute matmul is ~1 s
+    on local[32] (single-shot brute references varied 6–20 s with session
+    warmth), so local cost ratios are protocol-relative — the 100 TB edge
+    of this family is codes-only IO (64x smaller than raw vectors) and
+    probe-bounded scans, not local FLOPs.
 
     Output: the exact tiers' ``(q_id, n_id, rnk, sim)`` contract.
     """
