@@ -1953,9 +1953,9 @@ def ivfpq_topk(
         if lut_cells > 200_000_000:  # ~1.6 GB of float64
             raise ValueError(
                 f"ivfpq_topk(residual=True): per-(query, cell) ADC tables "
-                f"would hold {lut_cells} doubles (> 2e8 cap) — split the "
-                f"query batch (results are exact under query batching) or "
-                f"lower n_probe"
+                f"would hold {lut_cells} doubles (> 2e8 cap) — use "
+                f"ivfpq_topk_batched (results are exact under query "
+                f"batching) or lower n_probe"
             )
         c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
         cell_luts = {
@@ -2015,6 +2015,60 @@ def ivfpq_topk(
         cand, corpus, id_col, vec_col, k,
         q_vecs=queries if rerank_queries is None else rerank_queries,
     )
+
+
+def ivfpq_topk_batched(
+    index_df: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_rows: int = 2048,
+    rerank_queries: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """:func:`ivfpq_topk` over driver-chunked query batches — the form to
+    reach for when the residual path's per-(query, cell) ADC-table cap
+    trips (its error message points here): top-k is PER QUERY, so chunking
+    the query side and unioning results is exact, not approximate.
+
+    The query table is collected once (it is driver-side in ivfpq_topk
+    anyway, same ``_collect_small_side`` cap), id-chunked into
+    ``batch_rows`` slices, and each slice runs the full probe/ADC/rerank
+    pipeline; results union. At 100 TB this is also the natural service
+    shape: query batches stream against the build-once index at a bounded
+    per-batch table footprint. Extra cost vs one shot: one corpus-code
+    scan per chunk — size ``batch_rows`` to the LUT cap
+    (``2e8 / (n_probe * m * k)`` rows), not smaller."""
+    import math
+
+    q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")
+    if not q_rows:
+        return ivfpq_topk(
+            index_df, queries, coarse_centroids, codebooks, corpus,
+            id_col, vec_col, rerank_queries=rerank_queries, **kwargs,
+        )
+    spark = queries.sparkSession
+    schema = queries.select(id_col, vec_col).schema
+    out = None
+    for i in range(math.ceil(len(q_rows) / batch_rows)):
+        chunk = spark.createDataFrame(
+            q_rows[i * batch_rows : (i + 1) * batch_rows], schema
+        )
+        ids = {r[0] for r in q_rows[i * batch_rows : (i + 1) * batch_rows]}
+        rq = (
+            None
+            if rerank_queries is None
+            else rerank_queries.filter(F.col(id_col).isin(list(ids)))
+        )
+        part = ivfpq_topk(
+            index_df, chunk, coarse_centroids, codebooks, corpus,
+            id_col, vec_col, rerank_queries=rq, **kwargs,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def semantic_dedup(

@@ -2173,3 +2173,48 @@ def test_probe_cells_expr_matches_rank_rule(spark):
             for r in full:
                 assert len(r.cells) == n_cells  # n_probe past cell count: all
                 assert r.cells.index(1) < r.cells.index(3)
+
+
+def test_ivfpq_topk_batched_equals_unbatched(spark):
+    """Query-chunked ivfpq_topk (the residual LUT-cap escape hatch) is
+    EXACT: per-query top-k is independent of which batch a query rides in,
+    so tiny batches must reproduce the one-shot result bit-for-bit — on
+    both the residual and plain paths."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        coarse_residuals,
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_batched,
+        kmeans_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(31)
+    dim, m, kc, n = 16, 4, 8, 240
+    centers = rng.normal(size=(5, dim))
+    X = centers[np.arange(n) % 5] + 0.2 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 40 == 1, n_iters=2)
+    books = pq_train(
+        coarse_residuals(df, cents), vec_col="resid", m=m, k=kc, n_iters=2, dim=dim
+    )
+    idx = ivfpq_index(df, cents, books, residual=True).localCheckpoint()
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 29]]) for i in range(7)],
+        "vec_id long, embedding array<double>",
+    )
+    one = ivfpq_topk(
+        idx, qs, cents, books, df, n_probe=3, k=4, shortlist=60, residual=True
+    ).collect()
+    batched = ivfpq_topk_batched(
+        idx, qs, cents, books, df, batch_rows=2,
+        n_probe=3, k=4, shortlist=60, residual=True,
+    ).collect()
+    key = lambda r: (r.q_id, r.rnk, r.n_id, r.sim)  # noqa: E731
+    assert sorted(map(key, batched)) == sorted(map(key, one))
+    assert len(one) > 0
