@@ -2557,6 +2557,78 @@ def x55_ivfpq_residual_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# x56 in-row hashed-BoW embeddings: bow_embedding_expr (the pure-projection
+# form a STREAM runs before its watermarked agg — no explode, no shuffle,
+# no agg) must reproduce x49's batch featurizer under x49's own DuckDB
+# oracle. Same result, different physical plan — the variant registry's
+# charter; this promotes the stream gate's embedding stage from
+# pytest-equality to oracle-gated.
+# --------------------------------------------------------------------------
+
+def x56_hashed_embeddings_inrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import bow_embedding_expr
+
+    emb = _docs(spark, sf_dir).select(
+        "doc_id",
+        bow_embedding_expr(F.split(F.col("text"), " "), dim=_X49_DIM).alias(
+            "embedding"
+        ),
+    )
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("idx", "val"))
+        .filter(F.col("val") != 0.0)
+        .select("doc_id", F.col("idx").cast("bigint").alias("idx"), "val")
+    )
+
+
+# --------------------------------------------------------------------------
+# x57 in-row IVF probe selection: probe_cells_expr (the pure-projection
+# nearest-cells rank rule the stream gate uses — no window, no shuffle)
+# must reproduce the 6dp-rounded cosine-desc/ties-to-lowest-c_id ordering
+# against a DuckDB rank-window oracle over the same sampled centroid set.
+# With x56 this puts BOTH stream-gate projection stages under oracles.
+# --------------------------------------------------------------------------
+
+def x57_probe_cells_inrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _collect_small_side, probe_cells_expr
+
+    embs = _embs(spark, sf_dir)
+    cent_rows = _collect_small_side(
+        embs.filter(F.col("vec_id") % 50 == 1)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        .orderBy("c_id"),
+        "centroid",
+    )
+    return embs.select(
+        "vec_id",
+        F.posexplode(probe_cells_expr(F.col("embedding"), cent_rows, 3)).alias(
+            "prnk", "c_id"
+        ),
+    ).select("vec_id", F.col("prnk").cast("bigint").alias("prnk"), "c_id")
+
+
+X57_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+c AS (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+  WHERE vec_id % 50 = 1
+),
+r AS (
+  SELECT v.vec_id, c.c_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_dot_product(v.ev, c.cv) /
+                          (greatest(sqrt(list_dot_product(v.ev, v.ev)), 1e-12)
+                           * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                    c.c_id
+         ) AS rnk
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, rnk - 1 AS prnk, c_id FROM r WHERE rnk <= 3
+"""
+
+
 VARIANT_QUERIES = {
     "x18_bandor_ann": x18_bandor_ann,
     "x27_interval_join": x27_interval_join,
@@ -2588,6 +2660,8 @@ VARIANT_QUERIES = {
     "x53_ivf_centered_exhaustive": x53_ivf_centered_exhaustive,
     "x54_semantic_dedup_centered": x54_semantic_dedup_centered,
     "x55_ivfpq_residual_exhaustive": x55_ivfpq_residual_exhaustive,
+    "x56_hashed_embeddings_inrow": x56_hashed_embeddings_inrow,
+    "x57_probe_cells_inrow": x57_probe_cells_inrow,
 }
 
 VARIANT_ORACLES = {
@@ -2621,4 +2695,6 @@ VARIANT_ORACLES = {
     "x53_ivf_centered_exhaustive": X05_SQL,
     "x54_semantic_dedup_centered": X54_SQL,
     "x55_ivfpq_residual_exhaustive": X05_SQL,
+    "x56_hashed_embeddings_inrow": X49_SQL,
+    "x57_probe_cells_inrow": X57_SQL,
 }
