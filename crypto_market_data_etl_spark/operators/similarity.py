@@ -1657,6 +1657,26 @@ def pq_topk_rerank(
     )
 
 
+def _check_residual_centroid_scale(C, what: str) -> None:
+    """Refuse raw-scale centroid tables in residual mode: assignment
+    vectors are unit-normalized, so assignment-space centroids (means of
+    unit vectors, possibly centered) have norms ≤ ~1. A table whose max
+    norm exceeds 2 is provably not in that space; residuals would be
+    dominated by ``−c`` (measured recall collapse — see
+    :func:`coarse_residuals`)."""
+    import numpy as np
+
+    max_norm = float(np.linalg.norm(C, axis=1).max())
+    if max_norm > 2.0:
+        raise ValueError(
+            f"{what}: centroid table is not in the assignment space (max "
+            f"||c_vec|| = {max_norm:.2f} > 2; assignment vectors are unit-"
+            f"normalized, so residual-mode centroids must be means of the "
+            f"normalized/centered column — train kmeans_train on that "
+            f"column, not on raw vectors)"
+        )
+
+
 def coarse_residuals(
     df: DataFrame,
     coarse_centroids: DataFrame,
@@ -1683,12 +1703,25 @@ def coarse_residuals(
     ``center_vec`` puts assignment (and hence the residual frame) in
     mean-centered space — pass the SAME value to
     :func:`ivfpq_index`/:func:`ivfpq_topk`. One corpus pass, no shuffle
-    (broadcast centroid matmul per Arrow batch)."""
+    (broadcast centroid matmul per Arrow batch).
+
+    **Scale contract**: the centroid table must live in the ASSIGNMENT
+    space — i.e. be (approximately) means of the unit-normalized
+    (optionally centered) vectors, as ``kmeans_train`` over that column
+    produces. A centroid table on the RAW scale (e.g. k-means over
+    unnormalized vectors with norms ≫ 1) makes every residual
+    ``a − c ≈ −c``: the codebooks spend all their bits re-encoding cell
+    means and recall CRATERS — measured on the clustered fixture (raw
+    ~4.6-norm centroids: recall 0.93 plain → 0.32 residual at probe32,
+    non-monotone in probes). Means of unit vectors have norm ≤ 1, so a
+    table with ``max ||c|| > 2`` is provably not assignment-space and is
+    refused loudly."""
     import numpy as np
     from pyspark.sql import types as T
 
     cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    _check_residual_centroid_scale(C, "coarse_residuals")
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, n_cells)
     mean_np = None if center_vec is None else np.asarray(center_vec, dtype=np.float64)
 
@@ -1761,6 +1794,8 @@ def ivfpq_index(
     cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    if residual:
+        _check_residual_centroid_scale(C, "ivfpq_index(residual=True)")
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, n_cells)
     mean_np = None if center_vec is None else np.asarray(center_vec, dtype=np.float64)
 
@@ -1875,11 +1910,21 @@ def ivfpq_topk(
     space differs) attributes +1–2 recall pts to the residual codes
     themselves (0.744 vs 0.735 @ probe64, 0.804 vs 0.785 @ probe96); the
     rest is probe/shortlist headroom the cell-restricted gather makes
-    affordable. Protocol honesty: a WARM 400k x 200 brute matmul is ~1 s
-    on local[32] (single-shot brute references varied 6–20 s with session
-    warmth), so local cost ratios are protocol-relative — the 100 TB edge
-    of this family is codes-only IO (64x smaller than raw vectors) and
-    probe-bounded scans, not local FLOPs.
+    affordable. On the CLUSTERED fixture (the production regime, SCALE_r09
+    ``ann.sweep_clustered_rivfpq_fix``) residual codes strictly dominate:
+    recall ceiling **0.929 → 0.998 at LOWER cost** (probe8 0.346x vs plain
+    probe8 0.416x) — within-cluster residuals are the noise term, so ADC
+    is nearly exact. Protocol honesty: a WARM 400k x 200 brute matmul is
+    ~1 s on local[32] (single-shot brute references varied 6–20 s with
+    session warmth), so local cost ratios are protocol-relative — the
+    100 TB edge of this family is codes-only IO (64x smaller than raw
+    vectors) and probe-bounded scans, not local FLOPs.
+
+    **Centroid-scale contract** (measured pathology, refused loudly): the
+    centroid table must hold assignment-space means — kmeans over the
+    normalized (optionally centered) column. Raw-scale centroids make
+    every residual ``≈ −c`` and recall craters non-monotonically (0.93 →
+    0.32 on the clustered fixture before the guard).
 
     Output: the exact tiers' ``(q_id, n_id, rnk, sim)`` contract.
     """
@@ -1890,6 +1935,8 @@ def ivfpq_topk(
     cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    if residual:
+        _check_residual_centroid_scale(C, "ivfpq_topk(residual=True)")
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")

@@ -529,11 +529,24 @@ def test_ivfpq_residual_coding(spark):
     dim, m, kc, n = 16, 4, 8, 300
     centers = rng.normal(size=(6, dim))
     X = centers[np.arange(n) % 6] + 0.15 * rng.normal(size=(n, dim))
+    # residual-mode contract: centroids must be assignment-space means, so
+    # the fixture corpus is unit-normalized (raw-scale centroid tables are
+    # refused loudly — tested below)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
     df = spark.createDataFrame(
         [(i, [float(v) for v in X[i]]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
     cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2)
+
+    # raw-scale centroid table (norms ~4 on normal(16d) vectors) refused
+    import pytest as _pytest
+
+    raw_cents = spark.createDataFrame(
+        [(0, [2.5] * dim)], "c_id long, c_vec array<double>"
+    )
+    with _pytest.raises(ValueError, match="assignment space"):
+        coarse_residuals(df, raw_cents).collect()
 
     # (1) resid + centroid == unit vector
     cent_vecs = {r.c_id: np.array(r.c_vec) for r in cents.collect()}
@@ -2195,6 +2208,7 @@ def test_ivfpq_topk_batched_equals_unbatched(spark):
     dim, m, kc, n = 16, 4, 8, 240
     centers = rng.normal(size=(5, dim))
     X = centers[np.arange(n) % 5] + 0.2 * rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)  # assignment-space fixture
     df = spark.createDataFrame(
         [(i, [float(v) for v in X[i]]) for i in range(n)],
         "vec_id long, embedding array<double>",

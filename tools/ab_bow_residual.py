@@ -123,6 +123,43 @@ def main() -> None:
             corpus, trained_cen, books_cres, center_vec=bow_mean, residual=True
         ).localCheckpoint(),
     )
+    # strict-contract variant: cells trained on the NORMALIZED centered
+    # column, so centroids are exactly assignment-space means (the
+    # residual-mode contract; trained_cen above is centered-unnormalized —
+    # scale ~1, within tolerance, but not exact means of what assignment
+    # actually compares)
+    from crypto_market_data_etl_spark.operators.similarity import with_norm
+
+    ccorp_n = (
+        with_norm(ccorp)
+        .select(
+            "vec_id", F.expr("transform(embedding, x -> x / norm)").alias("embedding")
+        )
+        .localCheckpoint()
+    )
+    ccorp_n.count()
+    trained_cen_n = build(
+        "build_centered_norm_kmeans_4iter",
+        lambda: kmeans_train(
+            ccorp_n, centroid_filter=F.col("vec_id") % 400 == 1, n_iters=4
+        ),
+    )
+    cresid_n = build(
+        "build_coarse_residuals_norm",
+        lambda: coarse_residuals(
+            corpus, trained_cen_n, center_vec=bow_mean
+        ).localCheckpoint(),
+    )
+    books_cres_n = build(
+        "build_residual_norm_pq_train",
+        lambda: pq_train(cresid_n, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM),
+    )
+    cres_n_idx = build(
+        "build_residual_norm_ivfpq_index",
+        lambda: ivfpq_index(
+            corpus, trained_cen_n, books_cres_n, center_vec=bow_mean, residual=True
+        ).localCheckpoint(),
+    )
 
     configs = [
         ("brute_exact", lambda: cosine_topk_np(corpus, queries, k=args.k)),
@@ -157,6 +194,17 @@ def main() -> None:
                 f"crivfpq_probe{n_probe}_rerank{shortlist}",
                 lambda p=n_probe, s=shortlist: ivfpq_topk(
                     cres_idx, queries, trained_cen, books_cres, corpus,
+                    n_probe=p, k=args.k, shortlist=s,
+                    center_vec=bow_mean, residual=True,
+                ),
+            )
+        )
+    for n_probe, shortlist in [(64, 1600), (96, 1600)]:
+        configs.append(
+            (
+                f"crivfpqn_probe{n_probe}_rerank{shortlist}",
+                lambda p=n_probe, s=shortlist: ivfpq_topk(
+                    cres_n_idx, queries, trained_cen_n, books_cres_n, corpus,
                     n_probe=p, k=args.k, shortlist=s,
                     center_vec=bow_mean, residual=True,
                 ),

@@ -457,19 +457,37 @@ def _sweep(spark, corpus, queries, args) -> None:
         )
     # residual-coded IVFADC (round-9): codebooks trained on coarse
     # residuals, codes over a - c(a), per-(query, cell) ADC tables.
+    # RESIDUAL-MODE CONTRACT: centroids must be assignment-space means —
+    # kmeans over the NORMALIZED column. Raw-scale centroids (norm ~4.6 on
+    # this fixture) made every residual ~ -c and recall CRATERED
+    # (clustered rung: 0.93 plain -> 0.32 at probe32, non-monotone in
+    # probes — the measured pathology the operator now refuses loudly).
     from crypto_market_data_etl_spark.operators.similarity import (
         coarse_residuals,
+        with_norm,
     )
 
     t0 = time.time()
+    corpus_n = (
+        with_norm(corpus)
+        .select(
+            "vec_id", F.expr("transform(embedding, x -> x / norm)").alias("embedding")
+        )
+        .localCheckpoint()
+    )
+    corpus_n.count()
+    trained_n = kmeans_train(
+        corpus_n, centroid_filter=F.col("vec_id") % 400 == 1, n_iters=3
+    )
+    trained_n.count()
     # checkpoint the residual frame: pq_train's per-block kmeans re-reads
     # its input ~8 x (1 + n_iters) times, and recomputing the corpus
     # assignment pass each time quadrupled the build wall (84 s -> ~25 s)
-    resid = coarse_residuals(corpus, trained).localCheckpoint()
+    resid = coarse_residuals(corpus, trained_n).localCheckpoint()
     resid.count()
     books_res = pq_train(resid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
     books_res.count()
-    res_idx = ivfpq_index(corpus, trained, books_res, residual=True).localCheckpoint()
+    res_idx = ivfpq_index(corpus, trained_n, books_res, residual=True).localCheckpoint()
     res_idx.count()
     print(
         json.dumps(
@@ -482,7 +500,7 @@ def _sweep(spark, corpus, queries, args) -> None:
             (
                 f"rivfpq_m8k64_probe{n_probe}_rerank400",
                 lambda p=n_probe: ivfpq_topk(
-                    res_idx, queries, trained, books_res, corpus,
+                    res_idx, queries, trained_n, books_res, corpus,
                     n_probe=p, k=args.k, shortlist=400, residual=True,
                 ),
             )
