@@ -621,6 +621,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     center_vec: list[float] | None = None,
+    assign_r: int = 1,
 ) -> DataFrame:
     """Build the exact-IVF inverted file ONCE: ``(c_id, n_id, n_vec)`` —
     each corpus vector tagged with its nearest centroid (Arrow+BLAS
@@ -633,13 +634,20 @@ def ivf_index(
     :func:`ivf_ann_topk`'s ``index=`` parameter pays probe selection +
     the probed-cell rerank only — the corpus is never re-assigned. At
     100 TB the assignment pass runs exactly once per centroid
-    generation."""
+    generation.
+
+    ``assign_r > 1`` lists each vector in its ``r`` nearest cells
+    (multi-assignment — the coverage lever for fuzzy cell boundaries;
+    r× index size). Pass ``dedup_candidates=True`` to
+    :func:`ivf_ann_topk` when querying such an index: a neighbor probed
+    through two of its cells must be ranked once, not twice."""
     side = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     cents = centroids.select("c_id", "c_vec")
+    r = max(1, assign_r)
     if center_vec is not None:
         side = center_embeddings(side, list(center_vec), "n_vec", "__av")
-        return assign_centroids_np(side, cents, "n_id", "__av", n=1).drop("__av")
-    return assign_centroids_np(side, cents, "n_id", "n_vec", n=1)
+        return assign_centroids_np(side, cents, "n_id", "__av", n=r).drop("__av")
+    return assign_centroids_np(side, cents, "n_id", "n_vec", n=r)
 
 
 def ivf_ann_topk(
@@ -655,6 +663,7 @@ def ivf_ann_topk(
     center: bool | str = False,
     center_vec: list[float] | None = None,
     index: DataFrame | None = None,
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: inverted file over centroid cells + multi-probe rerank.
 
@@ -791,7 +800,7 @@ def ivf_ann_topk(
             av = F.zip_with(av, m_lit, lambda x, y: x - y)
         sim = _dot(av, F.col("c_vec")) / (
             F.greatest(F.sqrt(_dot(av, av)), F.lit(1e-12))
-            * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+            * F.greatest(F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))), F.lit(1e-12))
         )
         w = Window.partitionBy(sid).orderBy(F.col("c_sim").desc(), F.col("c_id"))
         return (
@@ -842,11 +851,20 @@ def ivf_ann_topk(
         * F.sqrt(_dot(F.col("n_vec"), F.col("n_vec")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
-    return (
+    probed = (
         probes.join(inv, "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("sim", F.round(sim, 6))
-        .withColumn("rnk", F.row_number().over(w))
+        .select("q_id", "n_id", "sim")
+    )
+    if dedup_candidates:
+        # multi-assigned index (ivf_index assign_r>1): a neighbor probed
+        # through two of its cells carries identical sim — dedup before the
+        # rank or it would occupy two top-k slots. Opt-in: the extra
+        # exchange is pure waste on a single-assignment index.
+        probed = probed.distinct()
+    return (
+        probed.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", "sim")
     )
@@ -894,7 +912,9 @@ def assign_centroids_np(
     cent_rows = _collect_small_side(centroids.orderBy("c_id"), "centroid")
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
-    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, m)
+    Cn = (
+        C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    ).T  # (dim, m); floored like the expression tiers for zero-norm centroids
     n = min(n, len(c_ids))  # probing every cell == exhaustive, not an error
 
     schema = T.StructType(list(df.schema.fields) + [T.StructField("c_id", T.LongType())])
@@ -1314,8 +1334,14 @@ def probe_cells_expr(
             F.struct(
                 F.lit(int(r["c_id"])).alias("c_id"),
                 F.array(*[F.lit(float(v)) for v in r["c_vec"]]).alias("cv"),
+                # floor like the query norm: a zero-norm centroid must rank
+                # sim-0 deterministically, not poison the whole array_sort
+                # with IEEE Inf/NaN (nearest_cells + the X57 oracle mirror)
                 F.lit(
-                    math.sqrt(sum(float(v) * float(v) for v in r["c_vec"]))
+                    max(
+                        math.sqrt(sum(float(v) * float(v) for v in r["c_vec"])),
+                        1e-12,
+                    )
                 ).alias("cn"),
             )
             for r in cent_rows
@@ -1361,6 +1387,14 @@ def probe_cells_expr(
 #: density — the bound that keeps the training path free of full-corpus
 #: actions. Past it, callers pass ``seed_mod`` or a sample (loudly).
 PQ_TRAIN_PROBE_CAP = 1_000_000
+
+#: residual IVFADC's per-(query, cell) LUT budget in float64 cells
+#: (~200 MB). The tables ride the mapInPandas CLOSURE — pickled and
+#: shipped per task — so the cap must trip well below the ~1-2 GB range
+#: where Spark's closure serialization itself starts failing opaquely;
+#: past it the loud error points at ivfpq_topk_batched (exact under
+#: query batching).
+RESIDUAL_LUT_CAP_DOUBLES = 25_000_000
 
 
 def pq_train(
@@ -1755,6 +1789,7 @@ def ivfpq_index(
     normalize: bool = True,
     center_vec: list[float] | None = None,
     residual: bool = False,
+    assign_r: int = 1,
 ) -> DataFrame:
     """Build the IVF+PQ index in ONE corpus pass: ``(id, c_id, codes)`` —
     each vector's coarse cell (argmax cosine against the broadcast
@@ -1776,6 +1811,15 @@ def ivfpq_index(
     column) and the PQ codes stay on the raw (normalized) vectors, so ADC
     and rerank semantics are untouched. Pass the SAME ``center_vec`` to
     :func:`ivfpq_topk`.
+
+    ``assign_r > 1`` is multi-assignment (the probe-coverage lever for
+    fuzzy cell boundaries, e.g. hashed-BoW corpora): each vector is
+    encoded into its ``r`` nearest cells — in residual mode each copy's
+    code is taken against ITS OWN cell's centroid, so every copy ranks
+    correctly from whichever cell a query probes it in. Index size grows
+    r×; :func:`ivfpq_topk` dedups candidates reached through more than
+    one probed cell before the exact rerank, so results stay a valid
+    top-k (a superset shortlist, never duplicates).
 
     ``residual=True`` is true IVFADC (Jégou et al. 2011 §V): the PQ code is
     computed over ``a - c(a)`` — the assignment-space unit vector minus its
@@ -1807,6 +1851,18 @@ def ivfpq_index(
         ]
     )
 
+    r = min(max(1, assign_r), len(c_ids))
+
+    def _encode(E):
+        dsub = E.shape[1] // m
+        codes = np.empty((len(E), m), dtype=np.int32)
+        for b in range(m):
+            sub = E[:, b * dsub : (b + 1) * dsub]
+            B = books[b]
+            d = -2.0 * (sub @ B.T) + (B * B).sum(axis=1)[None, :]
+            codes[:, b] = d.argmin(axis=1)
+        return codes
+
     def batches(it):
         for pdf in it:
             if pdf.empty:
@@ -1816,22 +1872,37 @@ def ivfpq_index(
             A = Vn if mean_np is None else V - mean_np[None, :]
             if mean_np is not None:
                 A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-            pos = (A @ Cn).argmax(axis=1)
-            cell = c_ids[pos]
-            if residual:
-                E = A - C[pos]  # the IVFADC code space: per-cell residuals
+            S = A @ Cn
+            if r == 1:
+                idx = S.argmax(axis=1)[:, None]
             else:
-                E = Vn if normalize else V
-            dsub = E.shape[1] // m
-            codes = np.empty((len(E), m), dtype=np.int32)
-            for b in range(m):
-                sub = E[:, b * dsub : (b + 1) * dsub]
-                B = books[b]
-                d = -2.0 * (sub @ B.T) + (B * B).sum(axis=1)[None, :]
-                codes[:, b] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "c_id": cell, "codes": list(codes)}
-            )
+                part = np.argpartition(-S, r - 1, axis=1)[:, :r]
+                order = np.take_along_axis(-S, part, axis=1).argsort(axis=1)
+                idx = np.take_along_axis(part, order, axis=1)  # (n, r) desc sim
+            frames = []
+            for j in range(r):
+                pos = idx[:, j]
+                if residual:
+                    # each copy's code against ITS OWN cell: the copy found
+                    # via cell c must rank under c's ADC tables
+                    E = A - C[pos]
+                elif j == 0:
+                    E = Vn if normalize else V
+                else:
+                    frames.append(
+                        frames[0].assign(c_id=c_ids[pos])  # same code, new cell
+                    )
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            "c_id": c_ids[pos],
+                            "codes": list(_encode(E)),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     return corpus.select(id_col, vec_col).mapInPandas(batches, schema=schema)
 
@@ -1997,12 +2068,14 @@ def ivfpq_topk(
         # queries is exact, not approximate).
         k_max = max(b.shape[0] for b in books)
         lut_cells = len(q_ids) * min(n_probe, len(c_ids)) * m * k_max
-        if lut_cells > 200_000_000:  # ~1.6 GB of float64
+        if lut_cells > RESIDUAL_LUT_CAP_DOUBLES:
             raise ValueError(
                 f"ivfpq_topk(residual=True): per-(query, cell) ADC tables "
-                f"would hold {lut_cells} doubles (> 2e8 cap) — use "
-                f"ivfpq_topk_batched (results are exact under query "
-                f"batching) or lower n_probe"
+                f"would hold {lut_cells} doubles "
+                f"(> {RESIDUAL_LUT_CAP_DOUBLES:.0e} cap, "
+                f"~{RESIDUAL_LUT_CAP_DOUBLES * 8 // 2**20} MB shipped in the "
+                f"mapInPandas closure) — use ivfpq_topk_batched (results are "
+                f"exact under query batching) or lower n_probe"
             )
         c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
         cell_luts = {
@@ -2056,7 +2129,12 @@ def ivfpq_topk(
         partial.filter(F.col("q_id") != F.col("n_id"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= shortlist)
+        # distinct: a multi-assigned index (ivfpq_index assign_r>1) can
+        # surface the same (q, n) from two probed cells with two ADC
+        # dists; the exact rerank must see it once. ≤ shortlist × n_q
+        # rows at this point — the exchange is noise.
         .select("q_id", "n_id")
+        .distinct()
     )
     return _rerank_candidates(
         cand, corpus, id_col, vec_col, k,
@@ -2088,7 +2166,7 @@ def ivfpq_topk_batched(
     shape: query batches stream against the build-once index at a bounded
     per-batch table footprint. Extra cost vs one shot: one corpus-code
     scan per chunk — size ``batch_rows`` to the LUT cap
-    (``2e8 / (n_probe * m * k)`` rows), not smaller."""
+    (``RESIDUAL_LUT_CAP_DOUBLES / (n_probe * m * k)`` rows), not smaller."""
     import math
 
     q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")

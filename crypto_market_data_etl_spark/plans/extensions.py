@@ -2620,7 +2620,7 @@ r AS (
            PARTITION BY v.vec_id
            ORDER BY round(list_dot_product(v.ev, c.cv) /
                           (greatest(sqrt(list_dot_product(v.ev, v.ev)), 1e-12)
-                           * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                           * greatest(sqrt(list_dot_product(c.cv, c.cv)), 1e-12)), 6) DESC,
                     c.c_id
          ) AS rnk
   FROM v CROSS JOIN c

@@ -263,9 +263,12 @@ def stream_embedding_neardup_flag(
     if broadcast_index:
         inv = F.broadcast(inv)
     toks = _bow_tokens(text_col, tokenizer)
+    # no NULL-text coalesce: NULL toks -> NULL embedding -> NULL cells ->
+    # explode_outer keeps the row with zero hits / NULL best_sim, exactly
+    # the docstring's zero-norm contract (md5("")-embedding would instead
+    # flag sim-1.0 near-dups against empty corpus docs)
     staged = (
-        stream_docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-        .withWatermark(ts_col, watermark)
+        stream_docs.withWatermark(ts_col, watermark)
         .withColumn("__emb", bow_embedding_expr(toks, dim=dim))
         .withColumn(
             "__cells",

@@ -2232,3 +2232,205 @@ def test_ivfpq_topk_batched_equals_unbatched(spark):
     key = lambda r: (r.q_id, r.rnk, r.n_id, r.sim)  # noqa: E731
     assert sorted(map(key, batched)) == sorted(map(key, one))
     assert len(one) > 0
+
+
+def test_ivfpq_multi_assignment(spark):
+    """Multi-assignment (assign_r=2) invariants: (1) the index lists every
+    vector in exactly r distinct cells, cell #1 identical to the
+    single-assignment cell; (2) exhaustive probe + uncut shortlist still
+    degenerates to EXACT brute-force top-k — the candidate dedup proven
+    (without it, a neighbor reached via both its cells would occupy two
+    top-k slots); (3) at a narrow probe the r=2 candidate set is a
+    SUPERSET of r=1's, so planted-duplicate coverage never drops; holds on
+    the residual path too (each copy coded against its own cell)."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        coarse_residuals,
+        cosine_topk,
+        ivfpq_index,
+        ivfpq_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(41)
+    dim, m, kc, n = 16, 4, 8, 240
+    centers = rng.normal(size=(6, dim))
+    X = centers[np.arange(n) % 6] + 0.25 * rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 40 == 1, n_iters=2)
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 29]]) for i in range(7)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = cosine_topk(df, qs, k=4).collect()
+    n_cells = cents.count()
+
+    for residual in (False, True):
+        if residual:
+            books = pq_train(
+                coarse_residuals(df, cents), vec_col="resid",
+                m=m, k=kc, n_iters=2, dim=dim,
+            )
+        else:
+            books = pq_train(df, m=m, k=kc, n_iters=2, dim=dim)
+        idx1 = ivfpq_index(df, cents, books, residual=residual).localCheckpoint()
+        idx2 = ivfpq_index(
+            df, cents, books, residual=residual, assign_r=2
+        ).localCheckpoint()
+
+        # (1) exactly 2 distinct cells per vector; first cell == r=1 cell
+        per_vec = idx2.groupBy("vec_id").agg(
+            F.count("*").alias("n"), F.countDistinct("c_id").alias("nc")
+        )
+        assert per_vec.filter("n != 2 OR nc != 2").count() == 0
+        cell1 = {r.vec_id: r.c_id for r in idx1.collect()}
+        cells2 = {}
+        for r in idx2.collect():
+            cells2.setdefault(r.vec_id, set()).add(r.c_id)
+        assert all(cell1[v] in cells2[v] for v in cell1)
+        if not residual:
+            # plain mode: both copies carry the SAME code (cell-independent)
+            codes = idx2.groupBy("vec_id").agg(
+                F.countDistinct(F.col("codes").cast("string")).alias("u")
+            )
+            assert codes.filter("u != 1").count() == 0
+
+        # (2) exhaustive degeneracy on the multi-assigned index
+        full = ivfpq_topk(
+            idx2, qs, cents, books, df,
+            n_probe=n_cells, k=4, shortlist=n, residual=residual,
+        ).collect()
+        assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in full) == sorted(
+            (r.q_id, r.rnk, r.n_id, r.sim) for r in exact
+        )
+
+        # (3) narrow probe: no duplicate neighbors, coverage never drops
+        r1 = ivfpq_topk(
+            idx1, qs, cents, books, df,
+            n_probe=1, k=4, shortlist=n, residual=residual,
+        ).collect()
+        r2 = ivfpq_topk(
+            idx2, qs, cents, books, df,
+            n_probe=1, k=4, shortlist=n, residual=residual,
+        ).collect()
+        per_q = {}
+        for r in r2:
+            per_q.setdefault(r.q_id, []).append(r.n_id)
+        assert all(len(v) == len(set(v)) for v in per_q.values())
+        exact_pairs = {(r.q_id, r.n_id) for r in exact}
+        hits1 = len({(r.q_id, r.n_id) for r in r1} & exact_pairs)
+        hits2 = len({(r.q_id, r.n_id) for r in r2} & exact_pairs)
+        assert hits2 >= hits1, (residual, hits1, hits2)
+
+
+def test_ivf_index_multi_assignment_dedup(spark):
+    """ivf_index(assign_r=2) + ivf_ann_topk(dedup_candidates=True): no
+    neighbor appears twice in a query's top-k even when both its cells are
+    probed, and the exhaustive-probe result equals exact brute force."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_index,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(43)
+    dim, n = 12, 150
+    X = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 30 == 1, n_iters=2)
+    idx = ivf_index(df, cents, assign_r=2).localCheckpoint()
+    assert idx.count() == 2 * n
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 17]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    n_cells = cents.count()
+    out = ivf_ann_topk(
+        df, qs, n_probe=n_cells, k=4, centroids=cents,
+        index=idx, dedup_candidates=True,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.n_id)
+    assert all(len(v) == len(set(v)) for v in per_q.values())
+    exact = cosine_topk(df, qs, k=4).collect()
+    assert sorted((r.q_id, r.rnk, r.n_id, r.sim) for r in out) == sorted(
+        (r.q_id, r.rnk, r.n_id, r.sim) for r in exact
+    )
+
+
+def test_zero_norm_centroid_is_floored(spark):
+    """A zero-norm centroid row must rank at sim 0 deterministically in
+    every assignment tier — probe_cells_expr (stream gate), nearest_cells
+    (expression tier via ivf_ann_topk), assign_centroids_np (numpy tier) —
+    not poison the ordering with Inf/NaN. All three tiers must agree."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        _collect_small_side,
+        assign_centroids_np,
+        ivf_ann_topk,
+        probe_cells_expr,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(47)
+    X = rng.normal(size=(6, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # centroid 2 is the all-zero vector; 0/1 are real corpus directions
+    cvecs = {0: list(X[0]), 1: list(X[3]), 2: [0.0] * dim}
+    cents = spark.createDataFrame(
+        [(c, [float(v) for v in vec]) for c, vec in cvecs.items()],
+        "c_id long, c_vec array<double>",
+    )
+    cent_rows = _collect_small_side(cents.orderBy("c_id"), "centroid")
+
+    # expected rank per vector (floored-norm cosine, 6dp, ties → low c_id)
+    def expected(v):
+        sims = {}
+        for c, cv in cvecs.items():
+            cn = max(np.linalg.norm(cv), 1e-12)
+            vn = max(np.linalg.norm(v), 1e-12)
+            sims[c] = round(float(np.dot(v, cv)) / (vn * cn), 6)
+        return sorted(cvecs, key=lambda c: (-sims[c], c))
+
+    probe = {
+        r.vec_id: list(r.cells)
+        for r in df.select(
+            "vec_id",
+            probe_cells_expr(F.col("embedding"), cent_rows, 3).alias("cells"),
+        ).collect()
+    }
+    top1_np = {
+        r.vec_id: r.c_id
+        for r in assign_centroids_np(df, cents, "vec_id", "embedding", n=1).collect()
+    }
+    for i in range(6):
+        exp = expected(X[i])
+        assert probe[i] == exp, (i, probe[i], exp)
+        assert top1_np[i] == exp[0]
+        assert not any(np.isnan(c) or c < 0 for c in probe[i])
+
+    # expression tier end-to-end: nearest_cells must not NaN-corrupt ranks
+    qs = df.filter("vec_id = 0").select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    out = ivf_ann_topk(
+        df, qs, n_probe=3, k=2, centroids=cents, numpy_assign=False
+    ).collect()
+    assert len(out) == 2 and out[0].sim is not None

@@ -1404,6 +1404,9 @@ def test_stream_embedding_neardup_flag(spark, tmp_path):
             # SAME id as corpus doc 100, exact text: the n_id != id filter
             # leaves only the dissimilar doc 101 to compare against
             (100, 3, "the quick brown fox jumps over the lazy dog near the river bank"),
+            # NULL text: must emit with zero hits / NULL best_sim (the
+            # zero-norm contract) — NOT embed as the md5("")-token vector
+            (3, 2, None),
             (9, 100, "late watermark pusher words"),
         ]
     )
@@ -1422,10 +1425,12 @@ def test_stream_embedding_neardup_flag(spark, tmp_path):
             r.doc_id: r
             for r in spark.sql("SELECT * FROM emb_neardup_stream").collect()
         }
-        assert sorted(rows) == [1, 2, 100]  # doc 9's event time hasn't expired
+        assert sorted(rows) == [1, 2, 3, 100]  # doc 9's event time hasn't expired
         assert rows[1].neardup and rows[1].n_hits >= 1
         assert rows[1].best_sim >= 0.9
         assert not rows[2].neardup and rows[2].n_hits == 0
         assert not rows[100].neardup  # self-id excluded, 101 dissimilar
+        assert not rows[3].neardup and rows[3].n_hits == 0
+        assert rows[3].best_sim is None  # NULL text → NULL embedding, no probes
     finally:
         q.stop()
