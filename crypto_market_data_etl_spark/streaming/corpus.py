@@ -113,6 +113,7 @@ def stream_neardup_flag(
     n_hashes: int = 15,
     rows_per_band: int = 3,
     watermark: str = "10 seconds",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Flag streamed documents that are MinHash-LSH near-duplicates of a
     STATIC historical corpus — the "dedup the new crawl against what we
@@ -134,8 +135,10 @@ def stream_neardup_flag(
     aggregation emits ``(id, ts, n_band_hits, neardup)`` exactly once in
     append mode. A collision in ANY band marks the document (the same
     candidate rule as the batch pipeline; the batch tier then
-    exact-verifies candidates — streaming callers wanting the verify step
-    join flagged docs back against the corpus in a foreachBatch).
+    exact-verifies candidates — :func:`stream_neardup_verified` wires that
+    verify step as a foreachBatch; ``keep_text=True`` carries the text
+    column through the aggregation so the verify arm can re-shingle the
+    flagged documents).
     """
     from ..materialize import materialize
     from ..operators.dedup import (
@@ -165,10 +168,13 @@ def stream_neardup_flag(
         )
     )
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    carried = [text_col] if keep_text else []
     sig = (
         stream_docs.withWatermark(ts_col, watermark)
         .withColumn("__grams", gram_array_expr(toks, shingle_n))
-        .select(id_col, ts_col, *minhash_sig_cols(F.col("__grams"), n_hashes))
+        .select(
+            id_col, ts_col, *carried, *minhash_sig_cols(F.col("__grams"), n_hashes)
+        )
     )
     bands = F.array(
         *[
@@ -184,13 +190,16 @@ def stream_neardup_flag(
     staged = sig.select(
         id_col,
         ts_col,
+        *carried,
         F.posexplode_outer(
             F.when(F.col("mh0").isNotNull(), bands)
         ).alias("band_idx", "band_sig"),
     )
     return (
         staged.join(index, ["band_idx", "band_sig"], "left")
-        .groupBy(ts_col, id_col)
+        # text rides the group keys (functionally dependent on the id
+        # within a trigger) so the verify arm can re-shingle the doc
+        .groupBy(ts_col, id_col, *carried)
         .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_band_hits"))
         .withColumn("neardup", F.col("n_band_hits") > 0)
     )
@@ -300,3 +309,155 @@ def stream_embedding_neardup_flag(
         )
         .withColumn("neardup", F.col("n_hits") > 0)
     )
+
+
+def verify_neardup_batch(
+    cand_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    n_hashes: int = 15,
+    rows_per_band: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact-verify a BATCH of gate-flagged candidate documents against the
+    static corpus — the batch rule the stream gate's band collisions only
+    estimate. One row per candidate: ``(id, best_match, best_jaccard,
+    verified)`` with ``verified = best_jaccard >= threshold`` (false, with
+    NULL best columns, when no banded corpus partner survives).
+
+    Shares the x04-gated comparators verbatim: the same
+    ``dedup.word_shingles`` gram rule, the same
+    ``minhash_signatures``/``lsh_bands`` candidate generation (here joined
+    stream-side × corpus-side instead of within one table), and the same
+    intersection-equi-join + inclusion-exclusion jaccard that
+    ``dedup.ngram_jaccard_pairs`` computes — a pair's ``best_jaccard`` here
+    is bit-identical to that operator's ``jaccard``. Same-id pairs are
+    excluded (a re-post of the same document id is an update, not a dup —
+    the embedding gate's rule).
+
+    Cost shape: candidates are the flagged slice of one micro-batch;
+    corpus shingles/bands are O(corpus) per call — persist them (or pass a
+    recent-window slice) when triggering frequently at scale."""
+    from ..materialize import materialize
+    from ..operators.dedup import lsh_bands, minhash_signatures, word_shingles
+
+    sh_s = materialize(
+        word_shingles(cand_docs, id_col, text_col, shingle_n)
+    )
+    sh_c = materialize(word_shingles(corpus, id_col, text_col, shingle_n))
+    bands_s = lsh_bands(
+        minhash_signatures(sh_s, id_col, n_hashes), id_col, n_hashes, rows_per_band
+    )
+    bands_c = lsh_bands(
+        minhash_signatures(sh_c, id_col, n_hashes), id_col, n_hashes, rows_per_band
+    )
+    pairs = (
+        bands_s.select(F.col(id_col).alias("id_s"), "band_idx", "band_sig")
+        .join(
+            bands_c.select(F.col(id_col).alias("id_c"), "band_idx", "band_sig"),
+            ["band_idx", "band_sig"],
+        )
+        .filter(F.col("id_s") != F.col("id_c"))
+        .select("id_s", "id_c")
+        .distinct()
+    )
+    sizes_s = sh_s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_s"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        pairs.join(sh_s.select(F.col(id_col).alias("id_s"), "s"), "id_s")
+        .join(sh_c.select(F.col(id_col).alias("id_c"), "s"), ["id_c", "s"])
+        .groupBy("id_s", "id_c")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        pairs.join(inter, ["id_s", "id_c"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes_s.select(F.col(id_col).alias("id_s"), "n_s"), "id_s")
+        .join(sizes_c.select(F.col(id_col).alias("id_c"), "n_c"), "id_c")
+        .select(
+            "id_s",
+            "id_c",
+            F.round(
+                F.col("n_inter") / (F.col("n_s") + F.col("n_c") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    # deterministic best partner: max jaccard, ties to the LOWEST corpus id
+    best = jac.groupBy("id_s").agg(
+        F.max(F.struct(F.col("jaccard"), (-F.col("id_c")).alias("neg"))).alias("b")
+    )
+    return (
+        cand_docs.select(F.col(id_col).alias("id_s"))
+        .distinct()
+        .join(best, "id_s", "left")
+        .select(
+            F.col("id_s").alias(id_col),
+            (-F.col("b.neg")).alias("best_match"),
+            F.col("b.jaccard").alias("best_jaccard"),
+            F.coalesce(F.col("b.jaccard") >= threshold, F.lit(False)).alias(
+                "verified"
+            ),
+        )
+    )
+
+
+def stream_neardup_verified(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    shingle_n: int = 2,
+    n_hashes: int = 15,
+    rows_per_band: int = 3,
+    threshold: float = 0.7,
+    watermark: str = "10 seconds",
+    checkpoint: str | None = None,
+    query_name: str = "neardup_verified",
+):
+    """:func:`stream_neardup_flag` with the batch exact-verify arm WIRED:
+    the gate's band-collision candidates are re-judged per micro-batch by
+    :func:`verify_neardup_batch`, so the verdict the caller consumes is the
+    BATCH verdict (x04's exact jaccard), not the candidate rule — a band
+    collision whose true jaccard falls short of ``threshold`` arrives with
+    ``neardup=True, verified=False`` (the false positive cleared), and
+    non-candidates skip the verify work entirely.
+
+    ``sink(verdict_df, batch_id)`` receives one batch DataFrame per
+    trigger: ``(ts, id, n_band_hits, neardup, best_match, best_jaccard,
+    verified)``. Returns the started StreamingQuery (caller stops it).
+
+    At 100 TB the per-trigger verify cost is O(flagged candidates ×
+    banded partners) — the gate's selectivity bounds it, never the stream
+    volume; the corpus side of the verify re-shingles per call, so point
+    ``corpus`` at the recent window or a persisted shingle table when
+    triggering frequently."""
+    gated = stream_neardup_flag(
+        stream_docs, corpus, id_col, text_col, ts_col,
+        shingle_n, n_hashes, rows_per_band, watermark, keep_text=True,
+    )
+
+    def _verify(batch_df, batch_id):
+        flagged = batch_df.filter(F.col("neardup")).select(id_col, text_col)
+        verdicts = verify_neardup_batch(
+            flagged, corpus, id_col, text_col,
+            shingle_n, n_hashes, rows_per_band, threshold,
+        )
+        out = (
+            batch_df.join(verdicts, id_col, "left")
+            .withColumn("verified", F.coalesce(F.col("verified"), F.lit(False)))
+            .select(
+                ts_col, id_col, "n_band_hits", "neardup",
+                "best_match", "best_jaccard", "verified",
+            )
+        )
+        sink(out, batch_id)
+
+    writer = gated.writeStream.outputMode("append").queryName(query_name)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.foreachBatch(_verify).start()

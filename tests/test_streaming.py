@@ -1434,3 +1434,95 @@ def test_stream_embedding_neardup_flag(spark, tmp_path):
         assert rows[3].best_sim is None  # NULL text → NULL embedding, no probes
     finally:
         q.stop()
+
+
+def test_stream_neardup_verified_clears_band_false_positive(spark, tmp_path):
+    """The wired verify arm (gate → foreachBatch exact jaccard): a TRUE
+    near-dup arrives neardup=True AND verified=True with its corpus partner
+    named; a band-collision FALSE positive (rows_per_band=1 makes single-
+    hash collisions easy; the doc shares ~half its shingles with corpus doc
+    100 — well under the 0.7 jaccard bar) arrives neardup=True but
+    verified=False; an unrelated doc skips the verify entirely. The
+    verify's best_jaccard is bit-identical to the x04-gated batch
+    comparator (dedup.ngram_jaccard_pairs) on the same pair."""
+    import time as _t
+
+    from crypto_market_data_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from crypto_market_data_etl_spark.streaming.corpus import (
+        stream_neardup_verified,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely different historical content about markets and trades"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    got: dict[int, object] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.doc_id] = r
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts_s long, text string"
+        ).withColumn(
+            "ingest_ts", F.timestamp_seconds(F.col("ts_s"))
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+        _t.sleep(1.1)
+
+    # doc 2: first half of corpus doc 100's text + fresh tail — high band
+    # collision odds at rows_per_band=1, true bigram jaccard ~0.3
+    fp_text = "the quick brown fox jumps over many unrelated special brand new tokens"
+    write_docs(
+        [
+            (1, 1, "the quick brown fox jumps over the lazy dog near the river edge"),
+            (2, 2, fp_text),
+            (3, 3, "totally unrelated fresh crawl text with novel vocabulary"),
+            (9, 100, "late watermark pusher words"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = stream_neardup_verified(
+        stream, corpus, sink,
+        rows_per_band=1, threshold=0.7, watermark="10 seconds",
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="neardup_verified_test",
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline and sorted(got) != [1, 2, 3]:
+            q.processAllAvailable()
+            _t.sleep(0.3)
+        assert sorted(got) == [1, 2, 3]  # doc 9's event time hasn't expired
+        # true near-dup: flagged AND verified against its corpus source
+        assert got[1].neardup and got[1].verified
+        assert got[1].best_match == 100 and got[1].best_jaccard >= 0.7
+        # band-collision false positive: flagged, CLEARED by the verify arm
+        assert got[2].neardup and got[2].n_band_hits >= 1
+        assert not got[2].verified
+        assert got[2].best_jaccard is not None and got[2].best_jaccard < 0.7
+        # unrelated: not a candidate, no verify columns
+        assert not got[3].neardup and not got[3].verified
+        assert got[3].best_jaccard is None
+    finally:
+        q.stop()
+
+    # comparator identity: the verify arm's jaccard == ngram_jaccard_pairs
+    # (the x04-gated batch operator) on the same (stream doc, corpus) pair
+    both = corpus.unionByName(
+        spark.createDataFrame([(2, fp_text)], "doc_id long, text string")
+    )
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(both, rows_per_band=1).collect()
+    }
+    pair = batch.get((2, 100), batch.get((100, 2)))
+    assert pair is not None and abs(pair - got[2].best_jaccard) < 1e-9
