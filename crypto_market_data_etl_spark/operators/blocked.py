@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 LAG_EWMA_MIN_ROWS_TO_BLOCK = 4_000_000
 
 
+#: auto_block_span memo: semantic-hash of the probed plan (+ knobs) ->
+#: resolved span. Same contract as asof._DENSITY_MEMO: the probe is table
+#: statistics — repeated resolutions of one plan in a session (bench
+#: best-of-N, a job calling several blocked operators on the same input)
+#: pay the stats pass once.
+_SPAN_MEMO: dict[tuple, int | None] = {}
+
+
+def clear_span_memo() -> None:
+    """Invalidate :func:`auto_block_span`'s per-plan memo (e.g. after
+    overwriting a path the probed plan reads)."""
+    _SPAN_MEMO.clear()
+
+
 def auto_block_span(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -42,23 +56,52 @@ def auto_block_span(
     ``target_rows_per_block`` rows (one tiny stats pass: per-key counts +
     global ts range). Returns ``None`` when the hottest key is below
     ``min_rows_to_block`` (default: ``target_rows_per_block``) — there the
-    single-window plan's one shuffle beats the two-phase overhead."""
-    # ONE action for all three scalars (hottest-key count + ts range): the
-    # per-key partials and the min/max fold share a single scan — round-1
-    # profiling flagged the old two-collect form as an extra full pass
-    per_key = df.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(ts_col).alias("lo"),
-        F.max(ts_col).alias("hi"),
-    )
-    hottest, lo, hi = per_key.agg(
-        F.max("n"), F.min("lo"), F.max("hi")
-    ).collect()[0]
-    if hottest is None or hottest <= (min_rows_to_block or target_rows_per_block):
-        return None
-    span_range = max(int(hi) - int(lo), 1)
-    n_blocks = max(2, int(hottest) // target_rows_per_block)
-    return max(span_range // n_blocks, 1)
+    single-window plan's one shuffle beats the two-phase overhead.
+
+    Probe cost is bounded two ways (the knob must stay affordable at the
+    scale where the answer is "don't block"): a ``limit``-gated row-count
+    pre-check settles small inputs without the per-key shuffle (hottest-key
+    rows ≤ total rows, so total ≤ threshold proves the answer is ``None``
+    after reading at most threshold+1 rows regardless of table size), and
+    the resolved span is memoized per analyzed plan (``semanticHash``) so
+    best-of-N reruns and multi-operator jobs on one input pay the stats
+    pass once. :func:`clear_span_memo` invalidates after a path rewrite."""
+    floor = min_rows_to_block or target_rows_per_block
+    key = None
+    try:
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(key_cols),
+            ts_col,
+            int(target_rows_per_block),
+            int(floor),
+        )
+        if key in _SPAN_MEMO:
+            return _SPAN_MEMO[key]
+    except Exception:  # pragma: no cover - connect mode lacks _jdf
+        pass
+    out: int | None = None
+    probe = df.select(*key_cols, ts_col)
+    if probe.limit(int(floor) + 1).count() > floor:
+        # ONE action for all three scalars (hottest-key count + ts range):
+        # the per-key partials and the min/max fold share a single scan —
+        # round-1 profiling flagged the old two-collect form as an extra
+        # full pass
+        per_key = probe.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts_col).alias("lo"),
+            F.max(ts_col).alias("hi"),
+        )
+        hottest, lo, hi = per_key.agg(
+            F.max("n"), F.min("lo"), F.max("hi")
+        ).collect()[0]
+        if hottest is not None and hottest > floor:
+            span_range = max(int(hi) - int(lo), 1)
+            n_blocks = max(2, int(hottest) // target_rows_per_block)
+            out = max(span_range // n_blocks, 1)
+    if key is not None:
+        _SPAN_MEMO[key] = out
+    return out
 
 
 def blocked_lag(

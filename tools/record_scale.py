@@ -44,7 +44,10 @@ MARKET_LADDER = [
 #: documents-table replication factors (sf0.1 = 5k docs)
 CORPUS_LADDER = [4, 20, 40]
 
-MARKET_JOBS = "candles,stats_plain,stats_blocked,preprocess,preprocess_tuned"
+MARKET_JOBS = (
+    "candles,stats_plain,stats_blocked,stats_auto,"
+    "preprocess,preprocess_tuned,preprocess_auto"
+)
 
 
 def run(cmd: list[str]) -> str:
@@ -59,7 +62,7 @@ def run(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r09.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r10.json")
     artifact: dict = {
         "host": "local[32]", "market": [], "corpus": [], "skew": {}, "bpe": [],
     }
@@ -82,6 +85,8 @@ def main() -> None:
                 d = json.loads(line)
                 if "job" in d:
                     entry["jobs"][d["job"]] = {"sec": d["sec"], "rows": d["rows"]}
+                elif "auto_knobs" in d:
+                    entry["auto_knobs"] = d["auto_knobs"]
         artifact["market"].append(entry)
 
     for reps in CORPUS_LADDER:
@@ -327,7 +332,8 @@ def main() -> None:
         if line.strip().startswith("{")
     ]
 
-    # crossover summary: where the skew-proof/tiered forms overtake
+    # crossover summary: where the skew-proof/tiered forms overtake, and
+    # whether the probe-gated auto rows track max(plain, forced) per rung
     for e in artifact["market"]:
         j = e["jobs"]
         if "market_stats_plain" in j and "market_stats_blocked" in j:
@@ -337,6 +343,23 @@ def main() -> None:
         if "preprocess_job" in j and "preprocess_job_tuned" in j:
             e["tuned_speedup"] = round(
                 j["preprocess_job"]["sec"] / j["preprocess_job_tuned"]["sec"], 2
+            )
+        if "market_stats_auto" in j:
+            e["stats_auto_vs_best"] = round(
+                min(
+                    j["market_stats_plain"]["sec"],
+                    j["market_stats_blocked"]["sec"],
+                )
+                / j["market_stats_auto"]["sec"],
+                2,
+            )
+        if "preprocess_job_auto" in j:
+            e["preprocess_auto_vs_best"] = round(
+                min(
+                    j["preprocess_job"]["sec"], j["preprocess_job_tuned"]["sec"]
+                )
+                / j["preprocess_job_auto"]["sec"],
+                2,
             )
 
     with open(out_path, "w") as f:

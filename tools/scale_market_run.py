@@ -75,10 +75,23 @@ def main() -> None:
         timed("candle_job_10s", lambda: candle_job(trades, 10).count())
     if "stats_plain" in jobs:
         timed("market_stats_plain", lambda: market_stats_job(obs).count())
+    if "stats_auto" in jobs:
+        # probe-gated form: the memoized limit-bounded stats probe decides
+        # plain vs blocked per fixture INSIDE the timer (the real knob cost)
+        timed(
+            "market_stats_auto",
+            lambda: market_stats_job(obs, block_span="auto").count(),
+        )
     if "stats_blocked" in jobs:
+        # FORCED blocked form (span resolved outside the timer — a user
+        # config, not a probe): the crossover contrast row. At small rungs
+        # this is expected to LOSE to plain; stats_auto must not.
+        from crypto_market_data_etl_spark.operators.blocked import auto_block_span
+
+        ob_span = auto_block_span(obs, ["code"], "timestamp", min_rows_to_block=1)
         timed(
             "market_stats_blocked",
-            lambda: market_stats_job(obs, block_span="auto").count(),
+            lambda: market_stats_job(obs, block_span=ob_span).count(),
         )
     if "preprocess" in jobs:
         # 3M-notional bars over ~50k-priced BTC: scale bar size to the
@@ -87,15 +100,48 @@ def main() -> None:
             "preprocess_job",
             lambda: preprocess_job(trades, obs, bar_size=3_000_000.0).count(),
         )
+    if "preprocess_auto" in jobs:
+        # both knobs probe-gated (round-10 verdict ask #4): the bounded
+        # memoized probes pick the winning side of the measured crossover
+        # per fixture; this row must track max(plain, tuned) at every rung
+        timed(
+            "preprocess_job_auto",
+            lambda: preprocess_job(
+                trades, obs, bar_size=3_000_000.0,
+                block_span="auto", adaptive_asof="auto",
+            ).count(),
+        )
+        from crypto_market_data_etl_spark.operators.asof import asof_hot_density
+        from crypto_market_data_etl_spark.operators.blocked import auto_block_span
+
+        snaps = obs.select("code", F.col("timestamp").alias("ob_timestamp"))
+        print(
+            json.dumps(
+                {
+                    "auto_knobs": {
+                        "trades_block_span": auto_block_span(
+                            trades, ["code"], "timestamp"
+                        ),
+                        "asof_hot_density": round(
+                            asof_hot_density(snaps, ["code"], "ob_timestamp", 10_000), 1
+                        ),
+                    }
+                }
+            ),
+            flush=True,
+        )
     if "preprocess_tuned" in jobs:
-        # adaptive_asof="auto": the density probe picks rank-join vs
-        # interval-adaptive per fixture (always-True was 2x slower than
-        # plain at the 2M rung — round-5 verdict ask #4)
+        # FORCED tuned config (blocked cumsum span resolved outside the
+        # timer + always-adaptive as-of): the contrast row that shows the
+        # crossover penalty at small rungs
+        from crypto_market_data_etl_spark.operators.blocked import auto_block_span
+
+        tr_span = auto_block_span(trades, ["code"], "timestamp", min_rows_to_block=1)
         timed(
             "preprocess_job_tuned",
             lambda: preprocess_job(
                 trades, obs, bar_size=3_000_000.0,
-                block_span="auto", adaptive_asof="auto",
+                block_span=tr_span, adaptive_asof=True,
             ).count(),
         )
     spark.stop()
