@@ -110,6 +110,22 @@ def main() -> None:
         "a 400k BoW crossover rung without the 400k band-OR/IVF walls.",
     )
     ap.add_argument(
+        "--cells",
+        type=int,
+        default=0,
+        help="centroid-cell count for the sweep's IVF/PQ families "
+        "(default 0 = the legacy vectors/400 rule; the sqrt-N coverage "
+        "lever, e.g. --cells 632 at 400k)",
+    )
+    ap.add_argument(
+        "--assign-r",
+        type=int,
+        default=1,
+        help="multi-assignment: encode each corpus vector into its r "
+        "nearest cells (adds rivfpq{r}/crivfpq{r} sweep tiers; residual "
+        "codes are taken against each copy's own cell)",
+    )
+    ap.add_argument(
         "--bow",
         action="store_true",
         help="vectors = hashed_bow_embeddings of the Zipf corpus "
@@ -274,13 +290,47 @@ def _sweep(spark, corpus, queries, args) -> None:
     """Recall-vs-cost curves: which knob buys TAIL recall (general k-NN on
     cos~0.5-0.7 neighbors), and at what cost vs brute force.
 
+    COST PROTOCOL (round-10): brute force runs IN the measurement rotation
+    — once before the configs, once after every 4th config, once at the
+    end — and every committed ratio is ``cost_vs_brute_warm`` against the
+    MINIMUM interleaved brute wall (the strictest denominator; the r9
+    sweeps' single-shot cold brute varied 6-20 s same-box and flattered
+    every tier). The cold reference wall is kept alongside as
+    ``cost_vs_brute_cold`` for cross-round comparability.
+
+    Index/codebook builds are one-off artifact costs, reported separately
+    — and SKIPPED entirely when ``--tiers`` excludes every config they
+    feed (a pq-only sweep no longer pays the multi-minute residual build
+    wall). ``--cells`` overrides the N/400 centroid-count rule (the sqrt-N
+    lever); ``--assign-r 2`` adds multi-assignment residual tiers
+    (``rivfpq2``/``crivfpq2`` — each corpus vector encoded in its 2
+    nearest cells, the probe-coverage lever for fuzzy cell boundaries).
+
     Emits one JSON line per config with overall recall@k, tail recall@k
-    (planted pairs excluded from the exact reference), and wall.
+    (planted pairs excluded from the exact reference), wall, and both cost
+    ratios; ``progress``-keyed lines stream during the run (artifact
+    recorders key on ``job``).
     """
+    prefixes = (
+        tuple(p.strip() for p in args.tiers.split(",") if p.strip())
+        if args.tiers
+        else None
+    )
+
+    def want(fam: str) -> bool:
+        """True when some selected tier could need this build family."""
+        if prefixes is None:
+            return True
+        return any(s.startswith(fam) or fam.startswith(s) for s in prefixes)
+
+    seed_mod = max(1, args.vectors // args.cells) if args.cells else 400
+    n_cells = max(2, args.vectors // seed_mod)
+    seed_filter = F.col("vec_id") % seed_mod == 1
+
     t0 = time.time()
     exact = cosine_topk_np(corpus, queries, k=args.k).localCheckpoint()
     n_exact = exact.count()
-    brute_wall = round(time.time() - t0, 2)
+    brute_cold = round(time.time() - t0, 2)
     planted_pred = F.col("n_id") == F.col("q_id") - args.vectors
     tail = exact.filter(~planted_pred).localCheckpoint()
     n_tail = tail.count()
@@ -288,63 +338,78 @@ def _sweep(spark, corpus, queries, args) -> None:
         json.dumps(
             {
                 "job": "sweep_brute_reference",
-                "sec": brute_wall,
+                "sec": brute_cold,
                 "exact_pairs": n_exact,
                 "tail_pairs": n_tail,
+                "note": "cold first-touch wall; committed ratios use the "
+                "interleaved warm minimum (brute_warm_interleaved)",
             }
         ),
         flush=True,
     )
 
+    def brute_once() -> float:
+        t0 = time.time()
+        cosine_topk_np(corpus, queries, k=args.k).localCheckpoint().count()
+        return round(time.time() - t0, 2)
+
     configs: list[tuple[str, object]] = []
-    for n_tables, planes in [(3, 8), (8, 8), (8, 6), (16, 6), (16, 4), (32, 4)]:
-        configs.append(
-            (
-                f"bandor_{n_tables}x{planes}",
-                lambda nt=n_tables, b=planes: lsh_ann_bandor(
-                    corpus, queries, planes_per_table=b, n_tables=nt,
-                    dim=DIM, k=args.k, numpy_sig=True,
-                ),
+    if want("bandor"):
+        for n_tables, planes in [(3, 8), (8, 8), (8, 6), (16, 6), (16, 4), (32, 4)]:
+            configs.append(
+                (
+                    f"bandor_{n_tables}x{planes}",
+                    lambda nt=n_tables, b=planes: lsh_ann_bandor(
+                        corpus, queries, planes_per_table=b, n_tables=nt,
+                        dim=DIM, k=args.k, numpy_sig=True,
+                    ),
+                )
             )
-        )
-    n_cells = max(2, args.vectors // 400)
-    for n_probe in (4, 16, 48, 96):
-        configs.append(
-            (
-                f"ivf_{n_cells}c_probe{n_probe}",
-                lambda p=n_probe: ivf_ann_topk(
-                    corpus, queries, n_probe=p, k=args.k,
-                    centroid_filter=F.col("vec_id") % 400 == 1,
-                    numpy_assign=True,
-                ),
+    if want(f"ivf_{n_cells}c"):
+        for n_probe in (4, 16, 48, 96):
+            configs.append(
+                (
+                    f"ivf_{n_cells}c_probe{n_probe}",
+                    lambda p=n_probe: ivf_ann_topk(
+                        corpus, queries, n_probe=p, k=args.k,
+                        centroid_filter=seed_filter,
+                        numpy_assign=True,
+                    ),
+                )
             )
-        )
     # k-means-refined centroids (same count): tighter cells shift the whole
     # probe-fraction curve up; the training cost is one-off and amortized
     # across query batches, so it is reported separately, not in the
     # per-config wall
     from crypto_market_data_etl_spark.operators.similarity import kmeans_train
 
-    t0 = time.time()
-    trained = kmeans_train(
-        corpus, centroid_filter=F.col("vec_id") % 400 == 1, n_iters=4
-    )
-    trained.count()
-    print(
-        json.dumps({"job": "ivf_kmeans_train_4iter", "sec": round(time.time() - t0, 2)}),
-        flush=True,
-    )
-    for n_probe in (16, 48, 96):
-        configs.append(
-            (
-                f"ivf_km4_{n_cells}c_probe{n_probe}",
-                lambda p=n_probe: ivf_ann_topk(
-                    corpus, queries, n_probe=p, k=args.k,
-                    centroids=trained, numpy_assign=True,
-                ),
-            )
+    trained = None
+    if want("ivf_km4") or want("ivfpq_m8k64"):
+        t0 = time.time()
+        trained = kmeans_train(corpus, centroid_filter=seed_filter, n_iters=4)
+        trained.count()
+        print(
+            json.dumps(
+                {"job": "ivf_kmeans_train_4iter", "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
         )
-    if args.bow:
+    if want("ivf_km4"):
+        for n_probe in (16, 48, 96):
+            configs.append(
+                (
+                    f"ivf_km4_{n_cells}c_probe{n_probe}",
+                    lambda p=n_probe: ivf_ann_topk(
+                        corpus, queries, n_probe=p, k=args.k,
+                        centroids=trained, numpy_assign=True,
+                    ),
+                )
+            )
+    bow_mean = None
+    trained_cen = None
+    if args.bow and (
+        want("ivf_cen") or want("cpq") or want("civfpq") or want("crivfpq")
+    ):
         # mean-CENTERED assignment space (the shared-component fix for
         # hashed-BoW vectors — see center_embeddings): centroids trained on
         # the centered column, probe centered, rerank raw. One-off costs
@@ -359,7 +424,7 @@ def _sweep(spark, corpus, queries, args) -> None:
         trained_cen = kmeans_train(
             center_embeddings(corpus, bow_mean, out_col="cvec"),
             vec_col="cvec",
-            centroid_filter=F.col("vec_id") % 400 == 1,
+            centroid_filter=seed_filter,
             n_iters=4,
         )
         trained_cen.count()
@@ -369,17 +434,18 @@ def _sweep(spark, corpus, queries, args) -> None:
             ),
             flush=True,
         )
-        for n_probe in (4, 16, 48):
-            configs.append(
-                (
-                    f"ivf_cen_km4_{n_cells}c_probe{n_probe}",
-                    lambda p=n_probe: ivf_ann_topk(
-                        corpus, queries, n_probe=p, k=args.k,
-                        centroids=trained_cen, center_vec=bow_mean,
-                        numpy_assign=True,
-                    ),
+        if want("ivf_cen"):
+            for n_probe in (4, 16, 48):
+                configs.append(
+                    (
+                        f"ivf_cen_km4_{n_cells}c_probe{n_probe}",
+                        lambda p=n_probe: ivf_ann_topk(
+                            corpus, queries, n_probe=p, k=args.k,
+                            centroids=trained_cen, center_vec=bow_mean,
+                            numpy_assign=True,
+                        ),
+                    )
                 )
-            )
     # product quantization: codes are 64x smaller than the raw vectors, so
     # the top-k scan touches codes + per-query LUTs only. Train/encode are
     # build-once index costs, reported separately.
@@ -390,7 +456,11 @@ def _sweep(spark, corpus, queries, args) -> None:
         pq_train,
     )
 
+    books64 = None
     for m, kc in ((8, 16), (8, 64)):
+        need_ivfpq = (m, kc) == (8, 64) and want("ivfpq_m8k64")
+        if not (want(f"pq_m{m}k{kc}") or need_ivfpq):
+            continue
         t0 = time.time()
         books = pq_train(corpus, m=m, k=kc, n_iters=3, dim=DIM)
         books.count()
@@ -436,25 +506,26 @@ def _sweep(spark, corpus, queries, args) -> None:
         ivfpq_topk,
     )
 
-    t0 = time.time()
-    ivfpq_idx = ivfpq_index(corpus, trained, books64).localCheckpoint()
-    ivfpq_idx.count()
-    print(
-        json.dumps(
-            {"job": "ivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
-        ),
-        flush=True,
-    )
-    for n_probe in (8, 16, 32, 64):
-        configs.append(
-            (
-                f"ivfpq_m8k64_probe{n_probe}_rerank400",
-                lambda p=n_probe: ivfpq_topk(
-                    ivfpq_idx, queries, trained, books64, corpus,
-                    n_probe=p, k=args.k, shortlist=400,
-                ),
-            )
+    if want("ivfpq_m8k64"):
+        t0 = time.time()
+        ivfpq_idx = ivfpq_index(corpus, trained, books64).localCheckpoint()
+        ivfpq_idx.count()
+        print(
+            json.dumps(
+                {"job": "ivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
         )
+        for n_probe in (8, 16, 32, 64):
+            configs.append(
+                (
+                    f"ivfpq_m8k64_probe{n_probe}_rerank400",
+                    lambda p=n_probe: ivfpq_topk(
+                        ivfpq_idx, queries, trained, books64, corpus,
+                        n_probe=p, k=args.k, shortlist=400,
+                    ),
+                )
+            )
     # residual-coded IVFADC (round-9): codebooks trained on coarse
     # residuals, codes over a - c(a), per-(query, cell) ADC tables.
     # RESIDUAL-MODE CONTRACT: centroids must be assignment-space means —
@@ -467,45 +538,76 @@ def _sweep(spark, corpus, queries, args) -> None:
         with_norm,
     )
 
-    t0 = time.time()
-    corpus_n = (
-        with_norm(corpus)
-        .select(
-            "vec_id", F.expr("transform(embedding, x -> x / norm)").alias("embedding")
-        )
-        .localCheckpoint()
-    )
-    corpus_n.count()
-    trained_n = kmeans_train(
-        corpus_n, centroid_filter=F.col("vec_id") % 400 == 1, n_iters=3
-    )
-    trained_n.count()
-    # checkpoint the residual frame: pq_train's per-block kmeans re-reads
-    # its input ~8 x (1 + n_iters) times, and recomputing the corpus
-    # assignment pass each time quadrupled the build wall (84 s -> ~25 s)
-    resid = coarse_residuals(corpus, trained_n).localCheckpoint()
-    resid.count()
-    books_res = pq_train(resid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
-    books_res.count()
-    res_idx = ivfpq_index(corpus, trained_n, books_res, residual=True).localCheckpoint()
-    res_idx.count()
-    print(
-        json.dumps(
-            {"job": "rivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
-        ),
-        flush=True,
-    )
-    for n_probe in (8, 32):
-        configs.append(
-            (
-                f"rivfpq_m8k64_probe{n_probe}_rerank400",
-                lambda p=n_probe: ivfpq_topk(
-                    res_idx, queries, trained_n, books_res, corpus,
-                    n_probe=p, k=args.k, shortlist=400, residual=True,
-                ),
+    if want("rivfpq"):
+        t0 = time.time()
+        corpus_n = (
+            with_norm(corpus)
+            .select(
+                "vec_id",
+                F.expr("transform(embedding, x -> x / norm)").alias("embedding"),
             )
+            .localCheckpoint()
         )
-    if args.bow:
+        corpus_n.count()
+        trained_n = kmeans_train(corpus_n, centroid_filter=seed_filter, n_iters=3)
+        trained_n.count()
+        # checkpoint the residual frame: pq_train's per-block kmeans re-reads
+        # its input ~8 x (1 + n_iters) times, and recomputing the corpus
+        # assignment pass each time quadrupled the build wall (84 s -> ~25 s)
+        resid = coarse_residuals(corpus, trained_n).localCheckpoint()
+        resid.count()
+        books_res = pq_train(resid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
+        books_res.count()
+        res_idx = ivfpq_index(
+            corpus, trained_n, books_res, residual=True
+        ).localCheckpoint()
+        res_idx.count()
+        print(
+            json.dumps(
+                {"job": "rivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+        for n_probe in (8, 32):
+            configs.append(
+                (
+                    f"rivfpq_m8k64_probe{n_probe}_rerank400",
+                    lambda p=n_probe: ivfpq_topk(
+                        res_idx, queries, trained_n, books_res, corpus,
+                        n_probe=p, k=args.k, shortlist=400, residual=True,
+                    ),
+                )
+            )
+        if args.assign_r > 1:
+            # multi-assignment (probe-coverage lever): same centroids and
+            # codebooks, each vector encoded in its r nearest cells with
+            # residual codes against each copy's OWN cell
+            t0 = time.time()
+            res_idx_r = ivfpq_index(
+                corpus, trained_n, books_res, residual=True,
+                assign_r=args.assign_r,
+            ).localCheckpoint()
+            res_idx_r.count()
+            print(
+                json.dumps(
+                    {
+                        "job": f"rivfpq{args.assign_r}_m8k64_index_build",
+                        "sec": round(time.time() - t0, 2),
+                    }
+                ),
+                flush=True,
+            )
+            for n_probe in (8, 32):
+                configs.append(
+                    (
+                        f"rivfpq{args.assign_r}_m8k64_probe{n_probe}_rerank400",
+                        lambda p=n_probe: ivfpq_topk(
+                            res_idx_r, queries, trained_n, books_res, corpus,
+                            n_probe=p, k=args.k, shortlist=400, residual=True,
+                        ),
+                    )
+                )
+    if args.bow and (want("cpq") or want("civfpq")):
         # FULLY-centered PQ/IVF+PQ (shared-component corpora): train,
         # encode, assign, and ADC on the centered frames; rerank raw via
         # rerank_queries. Raw-ADC can't separate content when the stop-word
@@ -527,44 +629,55 @@ def _sweep(spark, corpus, queries, args) -> None:
         books_cen.count()
         codes_cen = pq_encode(ccorp, books_cen).localCheckpoint()
         codes_cen.count()
-        cen_idx = ivfpq_index(ccorp, trained_cen, books_cen).localCheckpoint()
-        cen_idx.count()
+        cen_idx = None
+        if want("civfpq"):
+            cen_idx = ivfpq_index(ccorp, trained_cen, books_cen).localCheckpoint()
+            cen_idx.count()
         print(
             json.dumps(
                 {"job": "centered_pq_build", "sec": round(time.time() - t0, 2)}
             ),
             flush=True,
         )
-        configs.append(
-            (
-                "cpq_m8k64_rerank400",
-                lambda: pq_topk_rerank(
-                    codes_cen, cq, books_cen, corpus,
-                    k=args.k, shortlist=400, rerank_queries=queries,
-                ),
-            )
-        )
-        for n_probe in (8, 32):
+        if want("cpq"):
             configs.append(
                 (
-                    f"civfpq_m8k64_probe{n_probe}_rerank400",
-                    lambda p=n_probe: ivfpq_topk(
-                        cen_idx, cq, trained_cen, books_cen, corpus,
-                        n_probe=p, k=args.k, shortlist=400,
-                        rerank_queries=queries,
+                    "cpq_m8k64_rerank400",
+                    lambda: pq_topk_rerank(
+                        codes_cen, cq, books_cen, corpus,
+                        k=args.k, shortlist=400, rerank_queries=queries,
                     ),
                 )
             )
+        if want("civfpq"):
+            for n_probe in (8, 32):
+                configs.append(
+                    (
+                        f"civfpq_m8k64_probe{n_probe}_rerank400",
+                        lambda p=n_probe: ivfpq_topk(
+                            cen_idx, cq, trained_cen, books_cen, corpus,
+                            n_probe=p, k=args.k, shortlist=400,
+                            rerank_queries=queries,
+                        ),
+                    )
+                )
+    if args.bow and want("crivfpq"):
         # CENTERED-residual IVFADC: assignment centered (trained_cen +
         # bow_mean), codebooks on residuals in THAT space — the next rung
         # past centered-ADC (which removes one global direction; residuals
         # remove each cell's own mean direction).
+        from crypto_market_data_etl_spark.operators.similarity import (
+            coarse_residuals,
+        )
+
         t0 = time.time()
         cresid = coarse_residuals(
             corpus, trained_cen, center_vec=bow_mean
         ).localCheckpoint()
         cresid.count()
-        books_cres = pq_train(cresid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
+        books_cres = pq_train(
+            cresid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM
+        )
         books_cres.count()
         cres_idx = ivfpq_index(
             corpus, trained_cen, books_cres, center_vec=bow_mean, residual=True
@@ -604,30 +717,90 @@ def _sweep(spark, corpus, queries, args) -> None:
                     ),
                 )
             )
+        if args.assign_r > 1:
+            t0 = time.time()
+            cres_idx_r = ivfpq_index(
+                corpus, trained_cen, books_cres, center_vec=bow_mean,
+                residual=True, assign_r=args.assign_r,
+            ).localCheckpoint()
+            cres_idx_r.count()
+            print(
+                json.dumps(
+                    {
+                        "job": f"crivfpq{args.assign_r}_m8k64_index_build",
+                        "sec": round(time.time() - t0, 2),
+                    }
+                ),
+                flush=True,
+            )
+            for n_probe, shortlist in (
+                (8, 400), (16, 400), (32, 400), (64, 1600), (96, 1600)
+            ):
+                configs.append(
+                    (
+                        f"crivfpq{args.assign_r}_m8k64_probe{n_probe}"
+                        f"_rerank{shortlist}",
+                        lambda p=n_probe, sl=shortlist: ivfpq_topk(
+                            cres_idx_r, queries, trained_cen, books_cres,
+                            corpus, n_probe=p, k=args.k, shortlist=sl,
+                            center_vec=bow_mean, residual=True,
+                        ),
+                    )
+                )
 
-    if args.tiers:
-        prefixes = tuple(p.strip() for p in args.tiers.split(",") if p.strip())
+    if prefixes is not None:
         skipped = [n for n, _ in configs if not n.startswith(prefixes)]
         configs = [(n, f) for n, f in configs if n.startswith(prefixes)]
         print(
-            json.dumps({"job": "tier_filter", "kept": len(configs), "skipped": skipped}),
+            json.dumps(
+                {"job": "tier_filter", "kept": len(configs), "skipped": skipped}
+            ),
             flush=True,
         )
-    for name, fn in configs:
+    # measurement rotation: brute interleaves with the tiers so the
+    # denominator is warm on the SAME session state the tiers see
+    warm = [brute_once()]
+    print(json.dumps({"progress": "brute_warm", "sec": warm[-1]}), flush=True)
+    results = []
+    for i, (name, fn) in enumerate(configs):
         t0 = time.time()
         out = fn().localCheckpoint()
         out.count()
         wall = round(time.time() - t0, 2)
         rec = ann_recall(out, exact).first()
         tail_rec = ann_recall(out, tail).first()
+        results.append((name, wall, float(rec["recall"]), float(tail_rec["recall"])))
+        print(json.dumps({"progress": name, "sec": wall}), flush=True)
+        if (i + 1) % 4 == 0 and (i + 1) < len(configs):
+            warm.append(brute_once())
+            print(json.dumps({"progress": "brute_warm", "sec": warm[-1]}), flush=True)
+    warm.append(brute_once())
+    bw_min = min(warm)
+    bw_med = sorted(warm)[len(warm) // 2]
+    print(
+        json.dumps(
+            {
+                "job": "brute_warm_interleaved",
+                "walls": warm,
+                "min": bw_min,
+                "median": bw_med,
+                "cold_reference_sec": brute_cold,
+                "note": "cost_vs_brute_warm divides by the MIN interleaved "
+                "wall (strictest denominator)",
+            }
+        ),
+        flush=True,
+    )
+    for name, wall, r, tr in results:
         print(
             json.dumps(
                 {
                     "job": name,
                     "sec": wall,
-                    "cost_vs_brute": round(wall / brute_wall, 3),
-                    "recall_at_k": float(rec["recall"]),
-                    "tail_recall_at_k": float(tail_rec["recall"]),
+                    "cost_vs_brute_warm": round(wall / bw_min, 3),
+                    "cost_vs_brute_cold": round(wall / brute_cold, 3),
+                    "recall_at_k": r,
+                    "tail_recall_at_k": tr,
                 }
             ),
             flush=True,
