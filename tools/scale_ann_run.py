@@ -35,6 +35,21 @@ from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
 
 DIM = 64
 
+#: pq_train's auto-seed probe cap (similarity.PQ_TRAIN_PROBE_CAP) — rungs
+#: past it must pass seed_mod explicitly (the production contract)
+_PQ_AUTO_CAP = 1_000_000
+
+
+def _pq_seed(args, kc: int) -> dict:
+    """pq_train kwargs for rungs past its auto-seed probe cap: the explicit
+    ``seed_mod`` the production contract requires (expected ~kc seed rows
+    per block — the same ``n // k`` rule the auto path derives under the
+    cap, so sub-cap rungs keep byte-identical behavior by passing
+    nothing)."""
+    if args.vectors <= _PQ_AUTO_CAP:
+        return {}
+    return {"seed_mod": max(1, args.vectors // kc)}
+
 
 def _vec(seed_col, jitter: int = 0, clusters: int = 0):
     """Deterministic pseudo-random unit-cube vector; jitter>0 adds a small
@@ -317,6 +332,67 @@ def _sweep(spark, corpus, queries, args) -> None:
         else None
     )
 
+    # scan-volume bookkeeping (the committed 100 TB metric alongside wall):
+    # per-config BYTES TOUCHED per query — candidate codes at m bytes/vec
+    # (probed cells for IVF-ADC, the whole code table for full-scan PQ)
+    # plus the raw-vector rerank shortlist — vs brute's full raw scan.
+    # Local walls ride a 32-thread RAM-bandwidth box; at cluster scale the
+    # scan volume IS the cost, so both are recorded.
+    n_corpus = corpus.count()
+    brute_bytes_per_q = n_corpus * DIM * 8
+    scan_meta: dict[str, dict] = {}
+
+    def reg_scan(name, *, index=None, cents=None, n_probe=0,
+                 center=None, shortlist=0, full_codes=False, m_bytes=8):
+        scan_meta[name] = {
+            "index": index, "cents": cents, "n_probe": n_probe,
+            "center": center, "shortlist": shortlist,
+            "full_codes": full_codes, "m_bytes": m_bytes,
+        }
+
+    _probe_cache: dict = {}
+
+    def scan_stats(meta) -> dict:
+        """avg candidates + bytes/query for one registered config."""
+        if meta["full_codes"]:
+            cand = float(n_corpus)
+        else:
+            from crypto_market_data_etl_spark.operators.similarity import (
+                _collect_small_side,
+                probe_cells_expr,
+            )
+
+            key = (id(meta["index"]), id(meta["cents"]), meta["n_probe"],
+                   tuple(meta["center"]) if meta["center"] else None)
+            if key not in _probe_cache:
+                cent_rows = _collect_small_side(
+                    meta["cents"].select("c_id", "c_vec").orderBy("c_id"),
+                    "centroid",
+                )
+                sizes = meta["index"].groupBy("c_id").count()
+                probed = queries.select(
+                    F.explode(
+                        probe_cells_expr(
+                            F.col("embedding"), cent_rows,
+                            meta["n_probe"], meta["center"],
+                        )
+                    ).alias("c_id")
+                )
+                tot = (
+                    probed.join(sizes, "c_id")
+                    .agg(F.sum("count").alias("cand"))
+                    .first()["cand"]
+                ) or 0
+                nq = queries.count()
+                _probe_cache[key] = tot / max(nq, 1)
+            cand = _probe_cache[key]
+        bytes_q = cand * meta["m_bytes"] + meta["shortlist"] * DIM * 8
+        return {
+            "avg_candidates_per_q": round(cand, 1),
+            "scan_bytes_per_q": int(bytes_q),
+            "scan_frac_vs_brute": round(bytes_q / brute_bytes_per_q, 5),
+        }
+
     def want(fam: str) -> bool:
         """True when some selected tier could need this build family."""
         if prefixes is None:
@@ -462,7 +538,9 @@ def _sweep(spark, corpus, queries, args) -> None:
         if not (want(f"pq_m{m}k{kc}") or need_ivfpq):
             continue
         t0 = time.time()
-        books = pq_train(corpus, m=m, k=kc, n_iters=3, dim=DIM)
+        books = pq_train(
+            corpus, m=m, k=kc, n_iters=3, dim=DIM, **_pq_seed(args, kc)
+        )
         books.count()
         train_wall = round(time.time() - t0, 2)
         t0 = time.time()
@@ -485,6 +563,7 @@ def _sweep(spark, corpus, queries, args) -> None:
                 lambda b=books, c=codes: pq_topk(c, queries, b, k=args.k),
             )
         )
+        reg_scan(f"pq_m{m}k{kc}", full_codes=True, m_bytes=m)
         configs.append(
             (
                 f"pq_m{m}k{kc}_rerank400",
@@ -492,6 +571,9 @@ def _sweep(spark, corpus, queries, args) -> None:
                     c, queries, b, corpus, k=args.k, shortlist=400
                 ),
             )
+        )
+        reg_scan(
+            f"pq_m{m}k{kc}_rerank400", full_codes=True, m_bytes=m, shortlist=400
         )
         if (m, kc) == (8, 64):
             books64 = books
@@ -526,6 +608,10 @@ def _sweep(spark, corpus, queries, args) -> None:
                     ),
                 )
             )
+            reg_scan(
+                f"ivfpq_m8k64_probe{n_probe}_rerank400",
+                index=ivfpq_idx, cents=trained, n_probe=n_probe, shortlist=400,
+            )
     # residual-coded IVFADC (round-9): codebooks trained on coarse
     # residuals, codes over a - c(a), per-(query, cell) ADC tables.
     # RESIDUAL-MODE CONTRACT: centroids must be assignment-space means —
@@ -556,7 +642,10 @@ def _sweep(spark, corpus, queries, args) -> None:
         # assignment pass each time quadrupled the build wall (84 s -> ~25 s)
         resid = coarse_residuals(corpus, trained_n).localCheckpoint()
         resid.count()
-        books_res = pq_train(resid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM)
+        books_res = pq_train(
+            resid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM,
+            **_pq_seed(args, 64),
+        )
         books_res.count()
         res_idx = ivfpq_index(
             corpus, trained_n, books_res, residual=True
@@ -577,6 +666,10 @@ def _sweep(spark, corpus, queries, args) -> None:
                         n_probe=p, k=args.k, shortlist=400, residual=True,
                     ),
                 )
+            )
+            reg_scan(
+                f"rivfpq_m8k64_probe{n_probe}_rerank400",
+                index=res_idx, cents=trained_n, n_probe=n_probe, shortlist=400,
             )
         if args.assign_r > 1:
             # multi-assignment (probe-coverage lever): same centroids and
@@ -607,6 +700,11 @@ def _sweep(spark, corpus, queries, args) -> None:
                         ),
                     )
                 )
+                reg_scan(
+                    f"rivfpq{args.assign_r}_m8k64_probe{n_probe}_rerank400",
+                    index=res_idx_r, cents=trained_n, n_probe=n_probe,
+                    shortlist=400,
+                )
     if args.bow and (want("cpq") or want("civfpq")):
         # FULLY-centered PQ/IVF+PQ (shared-component corpora): train,
         # encode, assign, and ADC on the centered frames; rerank raw via
@@ -625,7 +723,7 @@ def _sweep(spark, corpus, queries, args) -> None:
             .localCheckpoint()
         )
         cq.count()
-        books_cen = pq_train(ccorp, m=8, k=64, n_iters=3, dim=DIM)
+        books_cen = pq_train(ccorp, m=8, k=64, n_iters=3, dim=DIM, **_pq_seed(args, 64))
         books_cen.count()
         codes_cen = pq_encode(ccorp, books_cen).localCheckpoint()
         codes_cen.count()
@@ -649,6 +747,7 @@ def _sweep(spark, corpus, queries, args) -> None:
                     ),
                 )
             )
+            reg_scan("cpq_m8k64_rerank400", full_codes=True, shortlist=400)
         if want("civfpq"):
             for n_probe in (8, 32):
                 configs.append(
@@ -660,6 +759,11 @@ def _sweep(spark, corpus, queries, args) -> None:
                             rerank_queries=queries,
                         ),
                     )
+                )
+                reg_scan(
+                    f"civfpq_m8k64_probe{n_probe}_rerank400",
+                    index=cen_idx, cents=trained_cen, n_probe=n_probe,
+                    center=bow_mean, shortlist=400,
                 )
     if args.bow and want("crivfpq"):
         # CENTERED-residual IVFADC: assignment centered (trained_cen +
@@ -676,7 +780,8 @@ def _sweep(spark, corpus, queries, args) -> None:
         ).localCheckpoint()
         cresid.count()
         books_cres = pq_train(
-            cresid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM
+            cresid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM,
+            **_pq_seed(args, 64),
         )
         books_cres.count()
         cres_idx = ivfpq_index(
@@ -706,6 +811,11 @@ def _sweep(spark, corpus, queries, args) -> None:
                     ),
                 )
             )
+            reg_scan(
+                f"crivfpq_m8k64_probe{n_probe}_rerank400",
+                index=cres_idx, cents=trained_cen, n_probe=n_probe,
+                center=bow_mean, shortlist=400,
+            )
         for n_probe in (64, 96):
             configs.append(
                 (
@@ -716,6 +826,11 @@ def _sweep(spark, corpus, queries, args) -> None:
                         center_vec=bow_mean, residual=True,
                     ),
                 )
+            )
+            reg_scan(
+                f"crivfpq_m8k64_probe{n_probe}_rerank1600",
+                index=cres_idx, cents=trained_cen, n_probe=n_probe,
+                center=bow_mean, shortlist=1600,
             )
         if args.assign_r > 1:
             t0 = time.time()
@@ -746,6 +861,12 @@ def _sweep(spark, corpus, queries, args) -> None:
                             center_vec=bow_mean, residual=True,
                         ),
                     )
+                )
+                reg_scan(
+                    f"crivfpq{args.assign_r}_m8k64_probe{n_probe}"
+                    f"_rerank{shortlist}",
+                    index=cres_idx_r, cents=trained_cen, n_probe=n_probe,
+                    center=bow_mean, shortlist=shortlist,
                 )
 
     if prefixes is not None:
@@ -785,6 +906,8 @@ def _sweep(spark, corpus, queries, args) -> None:
                 "min": bw_min,
                 "median": bw_med,
                 "cold_reference_sec": brute_cold,
+                "corpus_vectors": n_corpus,
+                "scan_bytes_per_q": brute_bytes_per_q,
                 "note": "cost_vs_brute_warm divides by the MIN interleaved "
                 "wall (strictest denominator)",
             }
@@ -792,19 +915,17 @@ def _sweep(spark, corpus, queries, args) -> None:
         flush=True,
     )
     for name, wall, r, tr in results:
-        print(
-            json.dumps(
-                {
-                    "job": name,
-                    "sec": wall,
-                    "cost_vs_brute_warm": round(wall / bw_min, 3),
-                    "cost_vs_brute_cold": round(wall / brute_cold, 3),
-                    "recall_at_k": r,
-                    "tail_recall_at_k": tr,
-                }
-            ),
-            flush=True,
-        )
+        line = {
+            "job": name,
+            "sec": wall,
+            "cost_vs_brute_warm": round(wall / bw_min, 3),
+            "cost_vs_brute_cold": round(wall / brute_cold, 3),
+            "recall_at_k": r,
+            "tail_recall_at_k": tr,
+        }
+        if name in scan_meta:
+            line.update(scan_stats(scan_meta[name]))
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
