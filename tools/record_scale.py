@@ -227,26 +227,72 @@ def main() -> None:
     # recall at ~1/3 brute cost
     ann["sweep_bow_400k"] = {
         "note": (
-            "--bow --vectors 400000 --tiers pq_m8k64_rerank,cpq,civfpq,"
-            "rivfpq,crivfpq — the centered-ADC crossover rung plus the "
-            "round-9 residual-coded IVFADC ladder (crivfpq = centered "
-            "assignment + PQ over per-cell residuals): residual ADC "
-            "recovers ~95% of the probe-limited recall ceiling, so the "
-            "high-probe rungs pass the full-scan centered-ADC point "
-            "(see the crivfpq probe64/96 entries) at sub-brute cost"
+            "--bow --vectors 400000 --cells 632 --assign-r 2 --tiers "
+            "pq_m8k64_rerank,cpq,civfpq,crivfpq — the centered-ADC "
+            "crossover rung with the round-10 probe-coverage levers: "
+            "sqrt-N cell count (632 vs the legacy N/400 rule) and "
+            "multi-assignment (crivfpq2 = each vector coded in its 2 "
+            "nearest cells). Round-10 cost protocol: every ratio is "
+            "cost_vs_brute_warm (interleaved minimum denominator), and "
+            "each coded line records scan_bytes_per_q / "
+            "scan_frac_vs_brute — the cluster-scale cost metric"
         ),
         "jobs": {},
     }
     stdout = run([
         sys.executable, "tools/scale_ann_run.py", "--sweep",
         "--vectors", "400000", "--queries", "200", "--bow",
-        "--tiers", "pq_m8k64_rerank,cpq,civfpq,rivfpq,crivfpq",
+        "--cells", "632", "--assign-r", "2",
+        "--tiers", "pq_m8k64_rerank,cpq,civfpq,crivfpq",
     ])
     for line in stdout.splitlines():
         if line.strip().startswith("{"):
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_bow_400k"]["jobs"][d.pop("job")] = d
+    # the >=1.6M rungs (round-10 verdict #1): the scale where index
+    # artifacts genuinely pay against a WARM brute denominator — BoW
+    # (hostile: shared stop-word mass) and clustered (production regime)
+    ann["sweep_bow_1m6"] = {
+        "note": (
+            "--bow --vectors 1600000 --cells 1265 --assign-r 2 --tiers "
+            "cpq,civfpq,crivfpq — 1.6M hashed-BoW vectors, sqrt-N cells, "
+            "multi-assignment; ratios are warm-denominator "
+            "(cost_vs_brute_warm) with scan_bytes_per_q alongside"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "1600000", "--queries", "200", "--bow",
+        "--cells", "1265", "--assign-r", "2",
+        "--tiers", "cpq,civfpq,crivfpq",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow_1m6"]["jobs"][d.pop("job")] = d
+    ann["sweep_clustered_1m6"] = {
+        "note": (
+            "--clustered 800 --vectors 1600000 --cells 1265 --tiers "
+            "ivfpq_m8k64,rivfpq — 1.6M clustered vectors (800 centers), "
+            "plain IVF+PQ vs residual IVFADC at sqrt-N cells, "
+            "warm-denominator ratios + scan bytes"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "1600000", "--queries", "200", "--clustered", "800",
+        "--cells", "1265",
+        "--tiers", "ivfpq_m8k64,rivfpq",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_clustered_1m6"]["jobs"][d.pop("job")] = d
     # residual-IVFADC interleaved A/B (round-9): brute runs IN the rotation
     # (the sweep's single-shot brute reference varied 6-20 s same-box —
     # session warmth; here the denominator is best-of-N on identical state),
