@@ -1104,6 +1104,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     centroid_filter=None,
     n_iters: int = 4,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Iterated Lloyd refinement → a ``(c_id, c_vec)`` centroid table ready
     for :func:`ivf_ann_topk`'s ``centroids`` parameter (or
@@ -1119,26 +1120,38 @@ def kmeans_train(
     (`materialize.checkpoint_nostats` — same rule as connected components).
 
     Empty clusters vanish (standard Lloyd; k only ever shrinks). Seeds
-    default to the deterministic corpus sample ``id % 50 == 1``. Cost per
+    default to the deterministic corpus sample ``id % 50 == 1``; pass
+    ``init`` (a ``(c_id, c_vec)`` table, e.g. from
+    :func:`kmeans_parallel_init`) to start from chosen centroids instead —
+    ``centroid_filter`` is then ignored. Cost per
     iteration: one corpus pass + one (cluster × dim)-sized agg — at 100 TB
     you run this on an embedding SAMPLE and reuse the centroids, which is
     exactly what the ``centroids`` override on the IVF index enables.
     """
     from ..materialize import checkpoint_nostats
 
-    if centroid_filter is None:
-        centroid_filter = F.col(id_col) % 50 == 1
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
-    cents = checkpoint_nostats(
-        vecs.filter(centroid_filter).select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-        ),
-        eager=True,
-    )
+    if init is not None:
+        cents = checkpoint_nostats(
+            init.select(
+                F.col("c_id").cast("long"),
+                F.col("c_vec").cast("array<double>"),
+            ),
+            eager=True,
+        )
+    else:
+        if centroid_filter is None:
+            centroid_filter = F.col(id_col) % 50 == 1
+        cents = checkpoint_nostats(
+            vecs.filter(centroid_filter).select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            ),
+            eager=True,
+        )
     if cents.isEmpty():  # cents is materialized: the probe is free
         raise ValueError(
-            "kmeans_train: centroid_filter selected no seed rows — pass a "
-            "filter matching this corpus's ids (same contract as "
+            "kmeans_train: no seed rows (empty init table, or "
+            "centroid_filter matched no corpus ids — same contract as "
             "semantic_dedup's empty-centroid guard)"
         )
     for _ in range(n_iters):
@@ -1153,6 +1166,164 @@ def kmeans_train(
             eager=True,
         )
     return cents
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int | None = None,
+    rounds: int = 4,
+    salt: int = 17,
+) -> DataFrame:
+    """k-means|| seeding (Bahmani et al., "Scalable K-Means++", VLDB 2012)
+    in the spherical space the rest of this module's k-means uses
+    (distance ``1 − cos``) — a ``(c_id, c_vec)`` table of ``k`` seeds for
+    :func:`kmeans_train`'s ``init`` parameter.
+
+    Why: the hashed id-sample seeding (``id % m``) is uniform — on corpora
+    whose mass concentrates (hashed-BoW text, any real embedding corpus)
+    uniform seeds land ~all in the dense core, and sparse regions get no
+    cell. k-means++ fixes that by sampling proportional to distance-to-
+    nearest-seed, but its sequential draw is k corpus passes; k-means||
+    collapses it to ``rounds`` passes by oversampling ``l`` candidates per
+    pass, then reclustering the small weighted candidate set on the driver.
+
+    Distributed part (per round, all map-side + one agg): one Arrow+BLAS
+    pass computes each point's distance to its nearest current seed
+    (:func:`assign_centroids_np` economics — one matmul per batch), the
+    round's total cost is one sum, and each point keeps itself with
+    probability ``min(1, l·d/cost)`` via a DETERMINISTIC xxhash64 Bernoulli
+    draw (hash of ``id × round-salt`` — reproducible cross-run, no RNG
+    state; the sandbox-wide determinism contract). Candidates accumulate
+    (expected ``l`` per round; collected under the
+    :func:`_collect_small_side` cap — loud, never silent).
+
+    Driver part: one more distributed pass weights each candidate by the
+    corpus mass it attracts (argmax-cosine counts), then a GREEDY weighted
+    k-means++ picks the ``k`` seeds — each step takes the candidate
+    maximizing ``weight × d²`` to the chosen set (ties to lowest id; the
+    deterministic variant of the D²-sampling draw — Celebi et al. 2013
+    survey greedy/deterministic++ as the quality-equivalent form). Fewer
+    than ``k`` distinct candidates returns them all (k only ever shrinks —
+    the standard-Lloyd contract downstream already holds).
+
+    Output ``c_id`` is dense ``0..k-1`` in pick order; ``c_vec`` is the
+    candidate's vector AS GIVEN in ``df`` (cosine is scale-invariant, so
+    feed the normalized column when the residual-IVFADC contract needs
+    assignment-space means — same rule as :func:`kmeans_train`).
+
+    Cost at 100 TB: ``rounds + 1`` corpus passes (each one matmul per
+    Arrow batch, zero shuffles) + one k-sized driver recluster — vs
+    k passes for sequential k-means++. Run it on the same embedding
+    SAMPLE kmeans_train trains on and reuse the centroids.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError(f"kmeans_parallel_init: k must be >= 1, got {k}")
+    l = oversample if oversample is not None else max(2 * k, 8)
+    vecs = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).filter(F.col(vec_col).isNotNull())
+
+    def _dmin_pass(seed_mat: "np.ndarray"):
+        """Append d = 1 - max-cosine-to-seed per row (one matmul/batch)."""
+        Sn = (
+            seed_mat
+            / np.maximum(np.linalg.norm(seed_mat, axis=1, keepdims=True), 1e-12)
+        ).T
+
+        schema = T.StructType(
+            list(vecs.schema.fields) + [T.StructField("d", T.DoubleType())]
+        )
+
+        def batches(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                out = pdf.copy()
+                out["d"] = 1.0 - (Vn @ Sn).max(axis=1)
+                yield out
+
+        return vecs.mapInPandas(batches, schema=schema)
+
+    first = vecs.orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError(
+            "kmeans_parallel_init: corpus has no non-NULL vectors"
+        )
+    cand_ids = [int(first[0][id_col])]
+    cand_vecs = [list(first[0][vec_col])]
+    for r in range(rounds):
+        S = np.array(cand_vecs, dtype=np.float64)
+        with_d = _dmin_pass(S)
+        cost = with_d.agg(F.sum("d").alias("c")).first()["c"] or 0.0
+        if cost <= 0.0:
+            break  # every point coincides with a seed: nothing left to cover
+        # deterministic Bernoulli: keep iff hash(id, round) < p * 1e9
+        draw = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(salt + r)), F.lit(1_000_000_000)
+        )
+        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("d") / F.lit(float(cost)))
+        picked = _collect_small_side(
+            with_d.filter(draw < p * 1_000_000_000).select(id_col, vec_col),
+            "kmeans|| candidate",
+        )
+        seen = set(cand_ids)
+        for row in picked:
+            i = int(row[id_col])
+            if i not in seen:
+                seen.add(i)
+                cand_ids.append(i)
+                cand_vecs.append(list(row[vec_col]))
+
+    # weight candidates by attracted corpus mass (argmax cosine, ties to
+    # the earliest candidate — assign_centroids_np's argmax rule)
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(i, cid, v) for i, (cid, v) in enumerate(zip(cand_ids, cand_vecs))],
+        schema="c_id long, src_id long, c_vec array<double>",
+    )
+    assigned = assign_centroids_np(vecs, cand_df, id_col=id_col, vec_col=vec_col)
+    wrows = assigned.groupBy("c_id").count().collect()
+    weights = np.zeros(len(cand_ids), dtype=np.float64)
+    for row in wrows:
+        weights[int(row["c_id"])] = float(row["count"])
+
+    # greedy weighted k-means++ over the candidate set (driver, numpy);
+    # picks are vectorized lexsorts — primary score desc, ties to lowest
+    # source id (deterministic: candidates are strictly id-dedup'd)
+    C = np.array(cand_vecs, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    n_cand = len(cand_ids)
+    ids_arr = np.array(cand_ids, dtype=np.int64)
+
+    def _pick(score):
+        return int(np.lexsort((ids_arr, -score))[0])
+
+    chosen = [_pick(weights)]
+    dmin = 1.0 - Cn @ Cn[chosen[0]]
+    while len(chosen) < min(k, n_cand):
+        score = weights * np.maximum(dmin, 0.0) ** 2
+        score[chosen] = -1.0
+        best = _pick(score)
+        if score[best] <= 0.0:
+            break  # remaining candidates coincide with chosen seeds
+        chosen.append(best)
+        dmin = np.minimum(dmin, 1.0 - Cn @ Cn[best])
+
+    return spark.createDataFrame(
+        [(j, cand_vecs[i]) for j, i in enumerate(chosen)],
+        schema="c_id long, c_vec array<double>",
+    )
 
 
 def hashed_bow_embeddings(

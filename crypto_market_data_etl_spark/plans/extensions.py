@@ -2558,6 +2558,32 @@ def x55_ivfpq_residual_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# x58 k-means|| seeding degeneracy: coarse cells from kmeans_parallel_init
+# (Bahmani et al., VLDB 2012 — distance-weighted oversampling, driver-side
+# greedy weighted k-means++ finisher) + Lloyd refinement, probing every
+# cell. Under x05's brute-force oracle the SEEDING must be invisible —
+# cell quality can only move vectors between cells, never touch the
+# returned metric (the x52/x53/x55 degeneracy pattern, here gating the
+# whole kmeans_train(init=...) path end-to-end).
+# --------------------------------------------------------------------------
+
+def x58_ivf_kmpp_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ivf_ann_topk,
+        kmeans_parallel_init,
+        kmeans_train,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    seeds = kmeans_parallel_init(embs, k=16, rounds=2)
+    cents = kmeans_train(embs, init=seeds, n_iters=2)
+    return ivf_ann_topk(
+        embs, queries, n_probe=10**9, k=5, centroids=cents, numpy_assign=True
+    )
+
+
+# --------------------------------------------------------------------------
 # x56 in-row hashed-BoW embeddings: bow_embedding_expr (the pure-projection
 # form a STREAM runs before its watermarked agg — no explode, no shuffle,
 # no agg) must reproduce x49's batch featurizer under x49's own DuckDB
@@ -2662,6 +2688,7 @@ VARIANT_QUERIES = {
     "x55_ivfpq_residual_exhaustive": x55_ivfpq_residual_exhaustive,
     "x56_hashed_embeddings_inrow": x56_hashed_embeddings_inrow,
     "x57_probe_cells_inrow": x57_probe_cells_inrow,
+    "x58_ivf_kmpp_exhaustive": x58_ivf_kmpp_exhaustive,
 }
 
 VARIANT_ORACLES = {
@@ -2697,4 +2724,5 @@ VARIANT_ORACLES = {
     "x55_ivfpq_residual_exhaustive": X05_SQL,
     "x56_hashed_embeddings_inrow": X49_SQL,
     "x57_probe_cells_inrow": X57_SQL,
+    "x58_ivf_kmpp_exhaustive": X05_SQL,
 }

@@ -237,6 +237,109 @@ def test_kmeans_train_empty_seeds_raise(spark):
         kmeans_train(df, centroid_filter=F.col("vec_id") > 100, n_iters=1)
 
 
+def _three_cluster_df(spark):
+    """3 well-separated spherical clusters with wildly unequal mass and
+    ids laid out so the uniform id-sample seeding lands ALL its seeds in
+    the big cluster (the failure mode kmeans|| exists to fix): 60 points
+    near e0 (ids 0-59), 10 near e1 (ids 60-69), 5 near e2 (ids 70-74)."""
+    rows = []
+    for i in range(75):
+        base = [0.0, 0.0, 0.0, 0.0]
+        axis = 0 if i < 60 else (1 if i < 70 else 2)
+        base[axis] = 1.0
+        # deterministic small jitter off-axis
+        base[(axis + 1) % 4] += ((i * 7919) % 11 - 5) / 100.0
+        base[(axis + 2) % 4] += ((i * 104729) % 11 - 5) / 100.0
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cluster_of(vec):
+    return max(range(len(vec)), key=lambda j: vec[j])
+
+
+def test_kmeans_parallel_init_covers_unequal_clusters(spark):
+    """k-means|| seeds cover ALL three separated clusters (greedy weighted
+    D-squared cannot leave a separated cluster unseeded), where the uniform
+    id-sample puts every seed in the dominant cluster; Lloyd from the
+    kmeans|| seeds reaches strictly lower spherical inertia."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        kmeans_parallel_init,
+        kmeans_train,
+    )
+
+    df = _three_cluster_df(spark)
+    seeds = kmeans_parallel_init(df, k=3, rounds=3).collect()
+    assert len(seeds) == 3
+    assert sorted(r.c_id for r in seeds) == [0, 1, 2]
+    assert {_cluster_of(list(r.c_vec)) for r in seeds} == {0, 1, 2}
+
+    X = np.array(
+        [r.embedding for r in df.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def inertia(cents):
+        C = np.array([list(r.c_vec) for r in cents], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return float((1.0 - (Xn @ Cn.T).max(axis=1)).sum())
+
+    # the seeding claim proper: BEFORE any Lloyd step, the uniform
+    # id-sample (ids 0/25/50) has every seed inside the 60-point cluster;
+    # kmeans|| already covers all three
+    uniform_seed_clusters = {_cluster_of(list(X[i])) for i in (0, 25, 50)}
+    assert uniform_seed_clusters == {0}
+    assert {_cluster_of(list(r.c_vec)) for r in seeds} == {0, 1, 2}
+
+    init_tbl = kmeans_parallel_init(df, k=3, rounds=3)
+    good = kmeans_train(df, init=init_tbl, n_iters=2).collect()
+    bad = kmeans_train(
+        df, centroid_filter=F.col("vec_id") % 25 == 0, n_iters=2
+    ).collect()
+    assert {_cluster_of(list(r.c_vec)) for r in good} == {0, 1, 2}
+    # Lloyd may or may not dig the uniform seeds out of the dominant
+    # cluster; seeded-from-coverage can never do worse
+    assert inertia(good) <= inertia(bad)
+
+
+def test_kmeans_parallel_init_deterministic_and_shrinks(spark):
+    from crypto_market_data_etl_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    df = _three_cluster_df(spark)
+    a = [(r.c_id, tuple(r.c_vec)) for r in kmeans_parallel_init(df, k=4).collect()]
+    b = [(r.c_id, tuple(r.c_vec)) for r in kmeans_parallel_init(df, k=4).collect()]
+    assert sorted(a) == sorted(b)
+
+    # k past the distinct-candidate count returns what exists (k shrinks,
+    # the standard-Lloyd contract downstream)
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    got = kmeans_parallel_init(tiny, k=10, rounds=2).collect()
+    assert 1 <= len(got) <= 3
+    assert sorted(r.c_id for r in got) == list(range(len(got)))
+
+
+def test_kmeans_parallel_init_empty_and_null_corpus(spark):
+    from crypto_market_data_etl_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        kmeans_parallel_init(empty, k=2)
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        kmeans_parallel_init(nulls, k=2)
+
+
 def test_hashed_bow_embeddings_bridge_text_to_vectors(spark, docs):
     """The text -> vector bridge: unit-norm deterministic embeddings whose
     cosine structure reflects token overlap — a near-duplicate text ranks
