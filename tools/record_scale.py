@@ -317,6 +317,27 @@ def main() -> None:
             if "job" in d and "_rep" not in d["job"]:
                 ann["ab_bow_residual_400k"]["jobs"][d.pop("job")] = d
 
+    # k-means|| vs hashed-id seeding (round-10): same cells/Lloyd/codebook
+    # recipe, only the seed set differs — recall, probed-candidate volume,
+    # and cell-balance stats per arm (tools/ab_kmpp_seeding.py)
+    ann["ab_kmpp_seeding_400k"] = {
+        "note": (
+            "tools/ab_kmpp_seeding.py — controlled seeding A/B at 400k "
+            "BoW, sqrt-N cells, crivfpq2 probe16/32: kmeans_parallel_init "
+            "(Bahmani et al. 2012, deterministic Bernoulli draws) vs the "
+            "hashed id-sample, identical everything else; cell-balance "
+            "p50/p99/max and per-query candidate volume show HOW seeding "
+            "moves the recall/cost point"
+        ),
+        "jobs": {},
+    }
+    stdout = run([sys.executable, "tools/ab_kmpp_seeding.py"])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d and "_rep" not in d["job"]:
+                ann["ab_kmpp_seeding_400k"]["jobs"][d.pop("job")] = d
+
     # IVF+PQ composition rung: 400k vectors — the regime where the ADC
     # gather dominates and cell-restriction pays (at 100k it is a wash;
     # the sweeps above show that honestly)
