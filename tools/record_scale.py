@@ -273,6 +273,28 @@ def main() -> None:
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_bow_1m6"]["jobs"][d.pop("job")] = d
+    ann["sweep_clustered_6m4"] = {
+        "note": (
+            "--clustered 1600 --vectors 6400000 --cells 2530 --tiers "
+            "rivfpq — the scan-law rung: cells ∝ sqrt(N) makes the coded "
+            "tier's per-query scan FRACTION shrink as the corpus grows "
+            "(1.6M: 0.038% of brute bytes → 6.4M: 0.011% at equal "
+            "probe8/recall≈0.84-0.89); the cost curve that matters at "
+            "100 TB bends the right way with N"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "6400000", "--queries", "200", "--clustered", "1600",
+        "--cells", "2530",
+        "--tiers", "rivfpq",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_clustered_6m4"]["jobs"][d.pop("job")] = d
     ann["sweep_clustered_1m6"] = {
         "note": (
             "--clustered 800 --vectors 1600000 --cells 1265 --tiers "
