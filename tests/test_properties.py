@@ -205,3 +205,52 @@ def test_minhash_signatures_multiset_invariant(spark, texts):
     a = {r.doc_id: r.mhs for r in with_dups.collect()}
     b = {r.doc_id: r.mhs for r in deduped.collect()}
     assert a == b
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-3, 3), st.integers(-3, 3), st.integers(-3, 3)
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    k=st.integers(1, 5),
+    rounds=st.integers(1, 3),
+)
+def test_kmeans_parallel_init_invariants(spark, vecs, k, rounds):
+    """k-means|| seed invariants on arbitrary integer-grid corpora: every
+    seed is a corpus vector, c_ids are dense 0..n-1 with n <= k, no two
+    chosen seeds are colinear (the greedy D^2 break rule: a zero-distance
+    candidate is never picked), and the whole draw is deterministic."""
+    import math
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = kmeans_parallel_init(df, k=k, rounds=rounds).collect()
+    assert 1 <= len(got) <= k
+    assert sorted(r.c_id for r in got) == list(range(len(got)))
+    corpus = {tuple(v) for v in ([float(a), float(b), float(c)] for a, b, c in vecs)}
+    assert all(tuple(r.c_vec) in corpus for r in got)
+
+    def cos(u, v):
+        nu = math.sqrt(sum(x * x for x in u)) or 1e-12
+        nv = math.sqrt(sum(x * x for x in v)) or 1e-12
+        return sum(x * y for x, y in zip(u, v)) / (nu * nv)
+
+    chosen = [list(r.c_vec) for r in got]
+    for i in range(len(chosen)):
+        for j in range(i + 1, len(chosen)):
+            assert cos(chosen[i], chosen[j]) < 1.0 - 1e-9
+
+    again = kmeans_parallel_init(df, k=k, rounds=rounds).collect()
+    assert sorted((r.c_id, tuple(r.c_vec)) for r in got) == sorted(
+        (r.c_id, tuple(r.c_vec)) for r in again
+    )
