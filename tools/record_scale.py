@@ -295,6 +295,28 @@ def main() -> None:
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_clustered_6m4"]["jobs"][d.pop("job")] = d
+    ann["sweep_bow_6m4"] = {
+        "note": (
+            "--bow --vectors 6400000 --cells 2530 --assign-r 2 --tiers "
+            "crivfpq — the scan-law rung on the HOSTILE regime: at the "
+            "champion config recall decays slowly with N at fixed probes "
+            "(0.90 @400k → 0.86 @1.6M → 0.77 @6.4M) while the scan "
+            "fraction shrinks ~2.4x per 4x N (0.87% → 0.345% → 0.146% "
+            "of brute bytes)"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "6400000", "--queries", "200", "--bow",
+        "--cells", "2530", "--assign-r", "2",
+        "--tiers", "crivfpq",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow_6m4"]["jobs"][d.pop("job")] = d
     ann["sweep_clustered_1m6"] = {
         "note": (
             "--clustered 800 --vectors 1600000 --cells 1265 --tiers "
