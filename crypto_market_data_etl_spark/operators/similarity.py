@@ -924,7 +924,9 @@ def assign_centroids_np(
             if pdf.empty:
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # floor like the centroid side: a zero-norm row otherwise goes
+            # NaN and argmaxes silently to candidate 0 (r10 ADVICE)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             sims = V @ Cn  # (b, m)
             if n == 1:
                 idx = sims.argmax(axis=1)[:, None]
@@ -1123,13 +1125,19 @@ def kmeans_train(
     default to the deterministic corpus sample ``id % 50 == 1``; pass
     ``init`` (a ``(c_id, c_vec)`` table, e.g. from
     :func:`kmeans_parallel_init`) to start from chosen centroids instead —
-    ``centroid_filter`` is then ignored. Cost per
+    supplying BOTH ``init`` and ``centroid_filter`` raises. Cost per
     iteration: one corpus pass + one (cluster × dim)-sized agg — at 100 TB
     you run this on an embedding SAMPLE and reuse the centroids, which is
     exactly what the ``centroids`` override on the IVF index enables.
     """
     from ..materialize import checkpoint_nostats
 
+    if init is not None and centroid_filter is not None:
+        raise ValueError(
+            "kmeans_train: pass init OR centroid_filter, not both — init "
+            "supplies the seed table outright, so a filter would silently "
+            "do nothing (r10 ADVICE)"
+        )
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
     if init is not None:
         cents = checkpoint_nostats(
@@ -1203,9 +1211,14 @@ def kmeans_parallel_init(
     Driver part: one more distributed pass weights each candidate by the
     corpus mass it attracts (argmax-cosine counts), then a GREEDY weighted
     k-means++ picks the ``k`` seeds — each step takes the candidate
-    maximizing ``weight × d²`` to the chosen set (ties to lowest id; the
-    deterministic variant of the D²-sampling draw — Celebi et al. 2013
-    survey greedy/deterministic++ as the quality-equivalent form). Fewer
+    maximizing ``weight × d`` to the chosen set (ties to lowest id; the
+    deterministic variant of the sampling draw — Celebi et al. 2013
+    survey greedy/deterministic++ as the quality-equivalent form). The
+    exponent is 1, not the Euclidean D² rule: the distributed Bernoulli
+    stage weights by ``d = 1 − cos`` (the spherical potential), and the
+    finisher optimizes the SAME objective so both stages agree (r10
+    ADVICE flagged the earlier d² finisher as a mixed-potential
+    inconsistency). Fewer
     than ``k`` distinct candidates returns them all (k only ever shrinks —
     the standard-Lloyd contract downstream already holds).
 
@@ -1214,10 +1227,13 @@ def kmeans_parallel_init(
     feed the normalized column when the residual-IVFADC contract needs
     assignment-space means — same rule as :func:`kmeans_train`).
 
-    Cost at 100 TB: ``rounds + 1`` corpus passes (each one matmul per
-    Arrow batch, zero shuffles) + one k-sized driver recluster — vs
-    k passes for sequential k-means++. Run it on the same embedding
-    SAMPLE kmeans_train trains on and reuse the centroids.
+    Cost at 100 TB: ``rounds + 1`` corpus COMPUTE passes (each one matmul
+    per Arrow batch, zero shuffles) + one k-sized driver recluster — vs k
+    passes for sequential k-means++. Within a round the d-frame is
+    persisted (memory-and-disk) so the cost agg and the candidate filter
+    share one materialization; the cache is freed before the next round,
+    so peak extra storage is one corpus+d copy. Run it on the same
+    embedding SAMPLE kmeans_train trains on and reuse the centroids.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -1264,19 +1280,28 @@ def kmeans_parallel_init(
     cand_vecs = [list(first[0][vec_col])]
     for r in range(rounds):
         S = np.array(cand_vecs, dtype=np.float64)
-        with_d = _dmin_pass(S)
-        cost = with_d.agg(F.sum("d").alias("c")).first()["c"] or 0.0
-        if cost <= 0.0:
-            break  # every point coincides with a seed: nothing left to cover
-        # deterministic Bernoulli: keep iff hash(id, round) < p * 1e9
-        draw = F.pmod(
-            F.xxhash64(F.col(id_col), F.lit(salt + r)), F.lit(1_000_000_000)
-        )
-        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("d") / F.lit(float(cost)))
-        picked = _collect_small_side(
-            with_d.filter(draw < p * 1_000_000_000).select(id_col, vec_col),
-            "kmeans|| candidate",
-        )
+        # persist the d-frame: the cost agg materializes the matmul pass
+        # ONCE and the Bernoulli candidate filter re-scans the cache — not
+        # a second corpus compute (r10 ADVICE: unpersisted, the real cost
+        # was ~2·rounds+1 passes vs the rounds+1 the docstring commits to)
+        with_d = _dmin_pass(S).persist()
+        try:
+            cost = with_d.agg(F.sum("d").alias("c")).first()["c"] or 0.0
+            if cost <= 0.0:
+                break  # every point coincides with a seed: nothing to cover
+            # deterministic Bernoulli: keep iff hash(id, round) < p * 1e9
+            draw = F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(salt + r)), F.lit(1_000_000_000)
+            )
+            p = F.least(
+                F.lit(1.0), F.lit(float(l)) * F.col("d") / F.lit(float(cost))
+            )
+            picked = _collect_small_side(
+                with_d.filter(draw < p * 1_000_000_000).select(id_col, vec_col),
+                "kmeans|| candidate",
+            )
+        finally:
+            with_d.unpersist()
         seen = set(cand_ids)
         for row in picked:
             i = int(row[id_col])
@@ -1312,7 +1337,7 @@ def kmeans_parallel_init(
     chosen = [_pick(weights)]
     dmin = 1.0 - Cn @ Cn[chosen[0]]
     while len(chosen) < min(k, n_cand):
-        score = weights * np.maximum(dmin, 0.0) ** 2
+        score = weights * np.maximum(dmin, 0.0)  # spherical potential (see docstring)
         score[chosen] = -1.0
         best = _pick(score)
         if score[best] <= 0.0:

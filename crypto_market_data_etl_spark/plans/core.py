@@ -1308,8 +1308,6 @@ QUERIES = {
     "q26_ewma_per_row": q26_ewma_per_row,
     "q27_reference_pipeline": q27_reference_pipeline,
     "q28_stream_asof_enrich": q28_stream_asof_enrich,
-    "q29_asof_adaptive": q29_asof_adaptive,
-    "q30_stream_dollar_bars": q30_stream_dollar_bars,
 }
 
 ORACLES = {
@@ -1336,8 +1334,6 @@ ORACLES = {
     "q26_ewma_per_row": Q26_SQL,
     "q27_reference_pipeline": Q27_SQL,
     "q28_stream_asof_enrich": Q28_SQL,
-    "q29_asof_adaptive": Q29_SQL,  # q09 oracle; adaptive interval plan
-    "q30_stream_dollar_bars": Q30_SQL,  # q08 oracle; live stateful assignment
 }
 
 def q31_stream_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1426,11 @@ VARIANT_QUERIES = {
     "q23_ofi_blocked": q23_ofi_blocked,
     "q24_sliding_paned": q24_sliding_paned,
     "q25_continuous_candles": q25_continuous_candles,
+    # r11 gate rotation (round-10 verdict #2): q29/q30 are physical variants
+    # of q09/q08 by this registry's own taxonomy — their slots went to the
+    # previously-ungated x32/x35 extension oracles.
+    "q29_asof_adaptive": q29_asof_adaptive,
+    "q30_stream_dollar_bars": q30_stream_dollar_bars,
     "q31_stream_asof_bucketed": q31_stream_asof_bucketed,
     "q32_stream_ewma_bucketed": q32_stream_ewma_bucketed,
 }
@@ -1440,6 +1441,8 @@ VARIANT_ORACLES = {
     "q23_ofi_blocked": Q12_SQL,  # blocked lag is physical; semantics match q12
     "q24_sliding_paned": Q24_SQL,
     "q25_continuous_candles": Q19_SQL,  # IVM is physical; daily-candle semantics match q19
+    "q29_asof_adaptive": Q29_SQL,  # q09 oracle; adaptive interval plan
+    "q30_stream_dollar_bars": Q30_SQL,  # q08 oracle; live stateful assignment
     "q31_stream_asof_bucketed": Q28_SQL,  # bucketing is physical; q28 semantics
     "q32_stream_ewma_bucketed": Q32_SQL,  # full recurrence ≡ 30-row window at 6dp
 }

@@ -1059,6 +1059,12 @@ QUERIES = {
     "x24_shard_packing": x24_shard_packing,
     "x25_kmeans_step": x25_kmeans_step,
     "x26_bloom_contamination": x26_bloom_contamination,
+    # r11 gate rotation (round-10 verdict #2): x32/x35 — SemDeDup semantic
+    # dedup and the end-to-end LLM-curation flagship — are promoted into the
+    # driver gate; q29/q30 (physical variants of q09/q08) moved to
+    # core.VARIANT_QUERIES to free their slots. Their functions/SQL are
+    # defined further down the module, so the rows are attached there
+    # (search for 'QUERIES[' below).
 }
 
 ORACLES = {
@@ -1088,6 +1094,9 @@ ORACLES = {
     "x25_kmeans_step": X25_SQL,
     "x26_bloom_contamination": X26_SQL,
 }
+# r11 gate promotions — X32_SQL/X35_SQL are defined further down the module,
+# so their gate-oracle rows are attached after those definitions (search for
+# "ORACLES[" below).
 
 # --------------------------------------------------------------------------
 # x27 interval-overlap join (operators/interval.py) — grain-bucketed
@@ -1639,6 +1648,13 @@ WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) < t.thr
 
 
 X35_SQL = _x35_sql()
+
+# r11 gate promotions (see the QUERIES comment): attached here because the
+# functions/SQL constants are defined after the QUERIES/ORACLES literals.
+QUERIES["x32_semantic_dedup"] = x32_semantic_dedup
+QUERIES["x35_curation_pipeline"] = x35_curation_pipeline
+ORACLES["x32_semantic_dedup"] = X32_SQL
+ORACLES["x35_curation_pipeline"] = X35_SQL
 
 
 # --------------------------------------------------------------------------
@@ -2662,10 +2678,9 @@ VARIANT_QUERIES = {
     "x29_repetition": x29_repetition,
     "x30_simhash_pairs": x30_simhash_pairs,
     "x31_leakage_safe_splits": x31_leakage_safe_splits,
-    "x32_semantic_dedup": x32_semantic_dedup,
+    # x32/x35 promoted to the driver gate in r11 (see QUERIES above)
     "x33_canonical_docs": x33_canonical_docs,
     "x34_domain_mixture": x34_domain_mixture,
-    "x35_curation_pipeline": x35_curation_pipeline,
     "x36_ngram_lm": x36_ngram_lm,
     "x37_bm25_topk": x37_bm25_topk,
     "x38_cross_corpus_neardup": x38_cross_corpus_neardup,
@@ -2698,10 +2713,8 @@ VARIANT_ORACLES = {
     "x29_repetition": X29_SQL,
     "x30_simhash_pairs": X30_SQL,
     "x31_leakage_safe_splits": X31_SQL,
-    "x32_semantic_dedup": X32_SQL,
     "x33_canonical_docs": X33_SQL,
     "x34_domain_mixture": X34_SQL,
-    "x35_curation_pipeline": X35_SQL,
     "x36_ngram_lm": X36_SQL,
     "x37_bm25_topk": X37_SQL,
     "x38_cross_corpus_neardup": X38_SQL,

@@ -237,6 +237,47 @@ def test_kmeans_train_empty_seeds_raise(spark):
         kmeans_train(df, centroid_filter=F.col("vec_id") > 100, n_iters=1)
 
 
+def test_kmeans_train_init_plus_filter_raise(spark):
+    """Supplying both init and centroid_filter raises instead of silently
+    ignoring the filter (r10 ADVICE)."""
+    from crypto_market_data_etl_spark.operators.similarity import kmeans_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    init = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "c_id long, c_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="not both"):
+        kmeans_train(
+            df, centroid_filter=F.col("vec_id") >= 0, init=init, n_iters=1
+        )
+
+
+def test_assign_centroids_np_zero_norm_rows_are_finite(spark):
+    """A zero-norm corpus vector must not NaN-argmax to candidate 0: the
+    batch-side norm is floored like the centroid side (r10 ADVICE), so the
+    assignment is deterministic and the similarity finite."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        assign_centroids_np,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "c_id long, c_vec array<double>",
+    )
+    out = {r["vec_id"]: r["c_id"] for r in assign_centroids_np(df, cents).collect()}
+    # the floored zero vector has similarity exactly 0 to every centroid →
+    # argmax ties to the first centroid BY RULE (not via NaN), and the
+    # non-degenerate row still lands on its true nearest centroid
+    assert out[2] == 1
+    assert out[1] in (0, 1)
+
+
 def _three_cluster_df(spark):
     """3 well-separated spherical clusters with wildly unequal mass and
     ids laid out so the uniform id-sample seeding lands ALL its seeds in

@@ -35,9 +35,12 @@ from crypto_market_data_etl_spark.session import get_spark  # noqa: E402
 
 DIM = 64
 
-#: pq_train's auto-seed probe cap (similarity.PQ_TRAIN_PROBE_CAP) — rungs
-#: past it must pass seed_mod explicitly (the production contract)
-_PQ_AUTO_CAP = 1_000_000
+#: pq_train's auto-seed probe cap — imported, not re-hardcoded, so a
+#: library cap change can't silently desync _pq_seed from pq_train's
+#: auto-seed gate (r10 ADVICE)
+from crypto_market_data_etl_spark.operators.similarity import (  # noqa: E402
+    PQ_TRAIN_PROBE_CAP as _PQ_AUTO_CAP,
+)
 
 
 def _pq_seed(args, kc: int) -> dict:
