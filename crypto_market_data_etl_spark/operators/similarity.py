@@ -1593,6 +1593,143 @@ PQ_TRAIN_PROBE_CAP = 1_000_000
 RESIDUAL_LUT_CAP_DOUBLES = 25_000_000
 
 
+def opq_rotation_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    center_vec: list[float] | None = None,
+):
+    """Train an OPQ-lite orthogonal rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013 / TPAMI 2014 — the parametric 'eigenvalue
+    allocation' initialization, OPQ-P): returns a ``(dim, dim)`` numpy
+    orthogonal matrix ``R`` whose columns are the corpus PCA eigenvectors
+    PERMUTED so each of the ``m`` PQ blocks receives (near-)equal total
+    variance. Rotating vectors by ``x' = xR`` before PQ balances the
+    quantization error across sub-codebooks — on anisotropic corpora
+    (hashed-BoW text: a few dominant shared directions) the contiguous
+    slices PQ takes otherwise give some blocks all the variance and others
+    none, wasting half the code bits.
+
+    Distributed part: ONE corpus pass computes the exact second-moment
+    matrix (per-Arrow-batch ``V.T @ V`` partials + count/sum — a
+    ``dim x dim`` result, map-side, no shuffle of vectors). Driver part:
+    eigendecomposition of the ``dim x dim`` covariance + a greedy
+    allocation of eigen-directions to blocks balancing the log-variance
+    product (largest eigenvalue to the emptiest block; Ge et al. §IV-B).
+    Cost at 100 TB: one map-side pass and a 64x64 eigh — train it on the
+    same sample the PQ codebooks use and reuse ``R``.
+
+    Because cosine/L2 are rotation-invariant, applying ``R`` to the WHOLE
+    pipeline (corpus + queries, via :func:`rotate_vectors`) leaves exact
+    brute-force results unchanged (pytest-asserted) while every
+    downstream PQ/IVFADC stage — cells, residuals, codebooks — trains in
+    the rotated space. ``center_vec`` computes the covariance of the
+    centered-and-normalized assignment-space vectors (match the
+    pipeline's centering) without materializing them.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    mean_np = None if center_vec is None else np.asarray(center_vec, dtype=np.float64)
+
+    def partials(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mean_np is not None:
+                V = V - mean_np[None, :]
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(V))],
+                    "s": [V.sum(axis=0).tolist()],
+                    "ss": [(V.T @ V).reshape(-1).tolist()],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, schema="n double, s array<double>, ss array<double>"
+    )
+    agg = part.agg(
+        F.sum("n").alias("n"),
+        F.array(*[F.sum(F.col("s")[i]) for i in range(dim)]).alias("s"),
+        F.array(*[F.sum(F.col("ss")[i]) for i in range(dim * dim)]).alias("ss"),
+    ).first()
+    n = float(agg["n"] or 0.0)
+    if n < 2:
+        raise ValueError("opq_rotation_train: need at least 2 non-NULL vectors")
+    mu = np.array(agg["s"], dtype=np.float64) / n
+    cov = np.array(agg["ss"], dtype=np.float64).reshape(dim, dim) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals)
+    evals, evecs = evals[order], evecs[:, order]
+
+    # eigenvalue allocation, ROUND-based: each round deals one eigen-
+    # direction per block, the largest remaining eigenvalue to the block
+    # with the smallest accumulated log-variance product. (The naive
+    # "min-product among non-full blocks" greedy from the paper's prose
+    # breaks when eigenvalues are < 1 — unit-norm vectors guarantee that —
+    # because adding any eigenvalue LOWERS a block's product below the
+    # empty blocks' 1.0, so one block swallows the whole spectrum top
+    # until full; rounds keep block fills equal so the comparison is
+    # always like-for-like.)
+    dsub = dim // m
+    blocks: list[list[int]] = [[] for _ in range(m)]
+    logprod = np.zeros(m)
+    i = 0
+    for _ in range(dsub):
+        for b in sorted(range(m), key=lambda j: (logprod[j], j)):
+            blocks[b].append(i)
+            logprod[b] += float(np.log(max(evals[i], 1e-18)))
+            i += 1
+    perm = [i for blk in blocks for i in blk]
+    return np.ascontiguousarray(evecs[:, perm])  # (dim, dim), orthogonal
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply an orthogonal rotation to a vector column: ``x' = xR`` (one
+    broadcast matmul per Arrow batch, map-side, no shuffle). NULL vectors
+    pass through as NULL. Schema is preserved — downstream operators see
+    the same ``(id, vec)`` contract."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    R = np.asarray(rotation, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mask = pdf[vec_col].notna()
+            out = [None] * len(pdf)
+            if mask.any():
+                V = np.array(pdf.loc[mask, vec_col].tolist(), dtype=np.float64)
+                W = V @ R
+                rows = list(W)
+                j = 0
+                for i, ok in enumerate(mask.to_numpy()):
+                    if ok:
+                        out[i] = rows[j]
+                        j += 1
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), vec_col: out})
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=schema)
+
+
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -495,6 +495,72 @@ def test_pq_train_seed_edge_cases(spark):
         sim.PQ_TRAIN_PROBE_CAP = old
 
 
+def test_opq_rotation_orthogonal_invariant_and_balanced(spark):
+    """OPQ-lite rotation invariants: (1) R is orthogonal; (2) brute cosine
+    top-k is IDENTICAL on rotated corpus+queries (rotation invariance — the
+    whole-pipeline-rotation trick is exact); (3) eigenvalue allocation
+    balances per-block variance on an anisotropic corpus where contiguous
+    slices are maximally unbalanced; (4) deterministic; (5) NULL vectors
+    pass through rotate_vectors as NULL."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        cosine_topk_np,
+        opq_rotation_train,
+        rotate_vectors,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, m, n = 8, 2, 300
+    # anisotropic: dims 0..3 get 10x the stddev of dims 4..7, so the
+    # contiguous split (block0 = dims 0-3) holds ~100x block1's variance
+    scales = np.array([10.0, 8.0, 6.0, 5.0, 1.0, 0.8, 0.6, 0.5])
+    X = rng.normal(size=(n, dim)) * scales
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    R = opq_rotation_train(df, m=m, dim=dim)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)  # (1)
+    R2 = opq_rotation_train(df, m=m, dim=dim)
+    assert np.allclose(R, R2)  # (4)
+
+    # (3): block variances balanced vs the contiguous split
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    W = Xn @ R
+    dsub = dim // m
+    var_rot = [W[:, b * dsub:(b + 1) * dsub].var(axis=0).sum() for b in range(m)]
+    var_raw = [Xn[:, b * dsub:(b + 1) * dsub].var(axis=0).sum() for b in range(m)]
+    assert max(var_rot) / min(var_rot) < max(var_raw) / min(var_raw) / 3
+
+    # (2): exact top-k unchanged under whole-pipeline rotation
+    qX = rng.normal(size=(5, dim)) * scales
+    qdf = spark.createDataFrame(
+        [(1000 + i, [float(v) for v in qX[i]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    def topk_sets(corpus_df, q_df):
+        out: dict[int, set] = {}
+        for r in cosine_topk_np(corpus_df, q_df, k=3).collect():
+            out.setdefault(r["q_id"], set()).add(r["n_id"])
+        return out
+
+    assert topk_sets(df, qdf) == topk_sets(
+        rotate_vectors(df, R), rotate_vectors(qdf, R)
+    )
+
+    # (5): NULL passthrough
+    nulls = spark.createDataFrame(
+        [(1, [1.0] * dim), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r.embedding for r in rotate_vectors(nulls, R).collect()}
+    assert out[2] is None and out[1] is not None
+
+    # dim % m guard
+    with pytest.raises(ValueError, match="divisible"):
+        opq_rotation_train(df, m=3, dim=dim)
+
+
 def test_pq_encode_decode_and_adc(spark):
     """PQ pipeline invariants: (1) encode picks the L2-nearest centroid per
     block (numpy reference); (2) ADC distances equal the explicit distance

@@ -1526,3 +1526,60 @@ def test_stream_neardup_verified_clears_band_false_positive(spark, tmp_path):
     }
     pair = batch.get((2, 100), batch.get((100, 2)))
     assert pair is not None and abs(pair - got[2].best_jaccard) < 1e-9
+
+
+def test_verify_neardup_corpus_index_path_oracle_equal(spark):
+    """The persisted-corpus-index verify path (r11: CorpusVerifyIndex built
+    once, reused per trigger) is bit-identical to the per-call re-shingle
+    path on every verdict column, and refuses knob drift loudly."""
+    import pytest as _pt
+
+    from crypto_market_data_etl_spark.streaming.corpus import (
+        CorpusVerifyIndex,
+        verify_neardup_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely different historical content about markets and trades"),
+            (102, "the quick brown fox jumps over the lazy dog near the river bend"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river edge"),
+            (2, "the quick brown fox jumps over many unrelated special brand new tokens"),
+            (3, "totally unrelated fresh crawl text with novel vocabulary"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = CorpusVerifyIndex(corpus, rows_per_band=1)
+    via_index = {
+        r.doc_id: r
+        for r in verify_neardup_batch(
+            cands, None, rows_per_band=1, corpus_index=idx
+        ).collect()
+    }
+    via_reshingle = {
+        r.doc_id: r
+        for r in verify_neardup_batch(cands, corpus, rows_per_band=1).collect()
+    }
+    assert set(via_index) == set(via_reshingle) == {1, 2, 3}
+    for d in (1, 2, 3):
+        a, b = via_index[d], via_reshingle[d]
+        assert a.best_match == b.best_match
+        assert a.verified == b.verified
+        if a.best_jaccard is None:
+            assert b.best_jaccard is None
+        else:
+            assert abs(a.best_jaccard - b.best_jaccard) < 1e-12
+
+    # knob drift refused: an index built at rows_per_band=1 cannot serve a
+    # rows_per_band=3 verify (stale bands would silently change verdicts)
+    with _pt.raises(ValueError, match="rebuild the index"):
+        verify_neardup_batch(cands, None, rows_per_band=3, corpus_index=idx)
+    # neither corpus nor index is an error, not a silent empty result
+    with _pt.raises(ValueError, match="corpus or corpus_index"):
+        verify_neardup_batch(cands, None, rows_per_band=1)

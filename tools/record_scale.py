@@ -455,21 +455,27 @@ def main() -> None:
             e["tuned_speedup"] = round(
                 j["preprocess_job"]["sec"] / j["preprocess_job_tuned"]["sec"], 2
             )
+        # auto_over_best = auto_wall / min(forced arms) — LOWER IS BETTER,
+        # ≤1.0 means the probe-gated auto row beat every forced arm.
+        # (r10 emitted the INVERTED ratio under the ambiguous name
+        # "*_auto_vs_best", which the round-10 verdict read backwards —
+        # auto was in fact 14% FASTER than the best forced arm at 2M, not
+        # 14% slower. Self-describing name + direction comment since.)
         if "market_stats_auto" in j:
-            e["stats_auto_vs_best"] = round(
-                min(
+            e["stats_auto_over_best"] = round(
+                j["market_stats_auto"]["sec"]
+                / min(
                     j["market_stats_plain"]["sec"],
                     j["market_stats_blocked"]["sec"],
-                )
-                / j["market_stats_auto"]["sec"],
+                ),
                 2,
             )
         if "preprocess_job_auto" in j:
-            e["preprocess_auto_vs_best"] = round(
-                min(
+            e["preprocess_auto_over_best"] = round(
+                j["preprocess_job_auto"]["sec"]
+                / min(
                     j["preprocess_job"]["sec"], j["preprocess_job_tuned"]["sec"]
-                )
-                / j["preprocess_job_auto"]["sec"],
+                ),
                 2,
             )
 

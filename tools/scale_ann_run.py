@@ -144,6 +144,24 @@ def main() -> None:
         "codes are taken against each copy's own cell)",
     )
     ap.add_argument(
+        "--m",
+        type=int,
+        default=8,
+        help="PQ code width for the crivfpq (centered-residual IVFADC) "
+        "family: m sub-codebooks of dim/m-wide slices (default 8). m=16 "
+        "doubles code bytes and halves per-block quantization error — the "
+        "code-capacity lever the r10 verdict asked to measure.",
+    )
+    ap.add_argument(
+        "--opq",
+        action="store_true",
+        help="train an OPQ-lite rotation (PCA + eigenvalue-balanced block "
+        "allocation, Ge et al. CVPR 2013) on the centered corpus and "
+        "rotate corpus+queries BEFORE the pipeline — exact for brute "
+        "(rotation-invariant), re-balances variance across PQ blocks for "
+        "every downstream codebook. Tier names gain an 'opq_' prefix.",
+    )
+    ap.add_argument(
         "--bow",
         action="store_true",
         help="vectors = hashed_bow_embeddings of the Zipf corpus "
@@ -183,6 +201,33 @@ def main() -> None:
             .localCheckpoint()
         )
         queries.count()
+
+    if args.opq:
+        # whole-pipeline rotation: exact for brute (cosine is rotation-
+        # invariant; pytest-asserted), variance-balanced blocks for every
+        # downstream PQ. Trained on the centered-normalized space (where
+        # the residual codebooks live), applied to the raw vectors once.
+        from crypto_market_data_etl_spark.operators.similarity import (
+            embedding_mean as _emean,
+            opq_rotation_train,
+            rotate_vectors,
+        )
+
+        t0 = time.time()
+        _rot = opq_rotation_train(
+            corpus, m=args.m, dim=DIM, center_vec=_emean(corpus)
+        )
+        corpus = rotate_vectors(corpus, _rot).repartition(32).localCheckpoint()
+        corpus.count()
+        queries = rotate_vectors(queries, _rot).localCheckpoint()
+        queries.count()
+        print(
+            json.dumps(
+                {"job": "opq_rotation_build", "sec": round(time.time() - t0, 2),
+                 "m": args.m}
+            ),
+            flush=True,
+        )
 
     if args.sweep:
         _sweep(spark, corpus, queries, args)
@@ -777,13 +822,14 @@ def _sweep(spark, corpus, queries, args) -> None:
             coarse_residuals,
         )
 
+        mm = args.m  # code width: the r10-verdict code-capacity lever
         t0 = time.time()
         cresid = coarse_residuals(
             corpus, trained_cen, center_vec=bow_mean
         ).localCheckpoint()
         cresid.count()
         books_cres = pq_train(
-            cresid, vec_col="resid", m=8, k=64, n_iters=3, dim=DIM,
+            cresid, vec_col="resid", m=mm, k=64, n_iters=3, dim=DIM,
             **_pq_seed(args, 64),
         )
         books_cres.count()
@@ -793,7 +839,8 @@ def _sweep(spark, corpus, queries, args) -> None:
         cres_idx.count()
         print(
             json.dumps(
-                {"job": "crivfpq_m8k64_index_build", "sec": round(time.time() - t0, 2)}
+                {"job": f"crivfpq_m{mm}k64_index_build",
+                 "sec": round(time.time() - t0, 2)}
             ),
             flush=True,
         )
@@ -806,7 +853,7 @@ def _sweep(spark, corpus, queries, args) -> None:
         for n_probe in (4, 8, 16, 32, 64, 96):
             configs.append(
                 (
-                    f"crivfpq_m8k64_probe{n_probe}_rerank400",
+                    f"crivfpq_m{mm}k64_probe{n_probe}_rerank400",
                     lambda p=n_probe: ivfpq_topk(
                         cres_idx, queries, trained_cen, books_cres, corpus,
                         n_probe=p, k=args.k, shortlist=400,
@@ -815,14 +862,14 @@ def _sweep(spark, corpus, queries, args) -> None:
                 )
             )
             reg_scan(
-                f"crivfpq_m8k64_probe{n_probe}_rerank400",
+                f"crivfpq_m{mm}k64_probe{n_probe}_rerank400",
                 index=cres_idx, cents=trained_cen, n_probe=n_probe,
-                center=bow_mean, shortlist=400,
+                center=bow_mean, shortlist=400, m_bytes=mm,
             )
         for n_probe in (64, 96):
             configs.append(
                 (
-                    f"crivfpq_m8k64_probe{n_probe}_rerank1600",
+                    f"crivfpq_m{mm}k64_probe{n_probe}_rerank1600",
                     lambda p=n_probe: ivfpq_topk(
                         cres_idx, queries, trained_cen, books_cres, corpus,
                         n_probe=p, k=args.k, shortlist=1600,
@@ -831,9 +878,9 @@ def _sweep(spark, corpus, queries, args) -> None:
                 )
             )
             reg_scan(
-                f"crivfpq_m8k64_probe{n_probe}_rerank1600",
+                f"crivfpq_m{mm}k64_probe{n_probe}_rerank1600",
                 index=cres_idx, cents=trained_cen, n_probe=n_probe,
-                center=bow_mean, shortlist=1600,
+                center=bow_mean, shortlist=1600, m_bytes=mm,
             )
         if args.assign_r > 1:
             t0 = time.time()
@@ -845,18 +892,22 @@ def _sweep(spark, corpus, queries, args) -> None:
             print(
                 json.dumps(
                     {
-                        "job": f"crivfpq{args.assign_r}_m8k64_index_build",
+                        "job": f"crivfpq{args.assign_r}_m{mm}k64_index_build",
                         "sec": round(time.time() - t0, 2),
                     }
                 ),
                 flush=True,
             )
+            # deep-probe rungs (128+/3200+): the r10 committed negatives say
+            # probes/shortlist bind at 6.4M, so the ladder extends to where
+            # the scan budget (0.5% of brute bytes) actually runs out
             for n_probe, shortlist in (
-                (8, 400), (16, 400), (32, 400), (64, 1600), (96, 1600)
+                (8, 400), (16, 400), (32, 400), (64, 1600), (96, 1600),
+                (96, 6400), (128, 3200), (192, 3200), (256, 6400),
             ):
                 configs.append(
                     (
-                        f"crivfpq{args.assign_r}_m8k64_probe{n_probe}"
+                        f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
                         f"_rerank{shortlist}",
                         lambda p=n_probe, sl=shortlist: ivfpq_topk(
                             cres_idx_r, queries, trained_cen, books_cres,
@@ -866,10 +917,10 @@ def _sweep(spark, corpus, queries, args) -> None:
                     )
                 )
                 reg_scan(
-                    f"crivfpq{args.assign_r}_m8k64_probe{n_probe}"
+                    f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
                     f"_rerank{shortlist}",
                     index=cres_idx_r, cents=trained_cen, n_probe=n_probe,
-                    center=bow_mean, shortlist=shortlist,
+                    center=bow_mean, shortlist=shortlist, m_bytes=mm,
                 )
 
     if prefixes is not None:
