@@ -1653,16 +1653,20 @@ def opq_rotation_train(
     part = df.select(vec_col).mapInPandas(
         partials, schema="n double, s array<double>, ss array<double>"
     )
-    agg = part.agg(
-        F.sum("n").alias("n"),
-        F.array(*[F.sum(F.col("s")[i]) for i in range(dim)]).alias("s"),
-        F.array(*[F.sum(F.col("ss")[i]) for i in range(dim * dim)]).alias("ss"),
-    ).first()
-    n = float(agg["n"] or 0.0)
-    if n < 2:
+    # reduce the partials on the driver: one row per Arrow batch (a few
+    # hundred at most, each dim + dim^2 doubles), so collect + numpy-sum is
+    # exact and avoids a dim^2-expression Catalyst agg — 4096 `sum(ss[i])`
+    # projections put analysis/codegen, not data, on the critical path
+    # (measured ~490 s at 400k x 64-dim for an agg whose input was ~200
+    # rows; the collect form is seconds)
+    rows = part.collect()
+    if not rows or sum(r["n"] for r in rows) < 2:
         raise ValueError("opq_rotation_train: need at least 2 non-NULL vectors")
-    mu = np.array(agg["s"], dtype=np.float64) / n
-    cov = np.array(agg["ss"], dtype=np.float64).reshape(dim, dim) / n - np.outer(mu, mu)
+    n = float(sum(r["n"] for r in rows))
+    S = np.sum([np.asarray(r["s"], dtype=np.float64) for r in rows], axis=0)
+    SS = np.sum([np.asarray(r["ss"], dtype=np.float64) for r in rows], axis=0)
+    mu = S / n
+    cov = SS.reshape(dim, dim) / n - np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(-evals)
     evals, evecs = evals[order], evecs[:, order]

@@ -10,5 +10,6 @@ from .continuous_agg import (  # noqa: F401
     read_continuous_aggregate,
     stream_candle_partials,
 )
+from .ann import stream_ivfpq_index  # noqa: F401
 from .corpus import stream_curate  # noqa: F401
 from .stateful import stateful_ewma  # noqa: F401

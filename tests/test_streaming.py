@@ -1583,3 +1583,66 @@ def test_verify_neardup_corpus_index_path_oracle_equal(spark):
     # neither corpus nor index is an error, not a silent empty result
     with _pt.raises(ValueError, match="corpus or corpus_index"):
         verify_neardup_batch(cands, None, rows_per_band=1)
+
+
+def test_stream_ivfpq_index_matches_batch_build(spark, tmp_path):
+    """Streaming index maintenance (streaming/ann.py): the streamed
+    (vec_id, c_id, codes) rows must be BIT-IDENTICAL to what the batch
+    ivfpq_index emits for the same vectors — same frozen centroids,
+    codebooks, residual coding, multi-assignment — so a batch-built index
+    and its streamed continuation form one seamless table. NULL-vector
+    rows are dropped, never poisoning an Arrow batch."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        coarse_residuals,
+        ivfpq_index,
+        kmeans_train,
+        pq_train,
+    )
+    from crypto_market_data_etl_spark.streaming.ann import stream_ivfpq_index
+
+    rng = np.random.default_rng(47)
+    dim, m, kc, n = 16, 4, 8, 180
+    centers = rng.normal(size=(5, dim))
+    X = centers[np.arange(n) % 5] + 0.2 * rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 30 == 1, n_iters=2)
+    books = pq_train(
+        coarse_residuals(df, cents), vec_col="resid", m=m, k=kc, n_iters=2, dim=dim
+    )
+    kw = dict(residual=True, assign_r=2)
+    batch_rows = sorted(
+        (r.vec_id, r.c_id, tuple(r.codes))
+        for r in ivfpq_index(df, cents, books, **kw).collect()
+    )
+
+    in_path, out_path = str(tmp_path / "vin"), str(tmp_path / "vidx")
+    ckpt = str(tmp_path / "vckpt")
+    # three micro-batches; the middle one carries a NULL vector
+    chunks = [range(0, 60), range(60, 120), range(120, 180)]
+    for ci, ids in enumerate(chunks):
+        rows = [(i, [float(v) for v in X[i]]) for i in ids]
+        if ci == 1:
+            rows.append((9_999, None))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(in_path)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_path)
+    )
+    q = stream_ivfpq_index(stream, cents, books, out_path, ckpt, **kw).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed_rows = sorted(
+        (r.vec_id, r.c_id, tuple(r.codes))
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert streamed_rows == batch_rows  # NULL row dropped, nothing else

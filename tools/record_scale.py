@@ -62,7 +62,7 @@ def run(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r10.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_r11.json")
     artifact: dict = {
         "host": "local[32]", "market": [], "corpus": [], "skew": {}, "bpe": [],
     }
@@ -74,9 +74,15 @@ def main() -> None:
                 sys.executable, "tools/gen_market_fixture.py", fixture,
                 "--trades", str(n_tr), "--orderbooks", str(n_ob),
             ])
+        # best-of-3 (round-11): the auto-vs-best adjudication compares arms
+        # whose true walls differ by ~15% on a box with a documented ~2x
+        # run-to-run swing; min-of-2 regularly left one arm with no clean
+        # sample (r10: stats@20M auto read 1.17x a blocked arm running the
+        # IDENTICAL span). The memoized probes mean rep 1 pays the stats
+        # pass once and reps 2-3 time the pure plan.
         stdout = run([
             sys.executable, "tools/scale_market_run.py", fixture,
-            "--jobs", MARKET_JOBS,
+            "--jobs", MARKET_JOBS, "--best-of", "3",
         ])
         entry = {"label": label, "trades": n_tr, "orderbooks": n_ob, "jobs": {}}
         for line in stdout.splitlines():
@@ -253,6 +259,52 @@ def main() -> None:
     # the >=1.6M rungs (round-10 verdict #1): the scale where index
     # artifacts genuinely pay against a WARM brute denominator — BoW
     # (hostile: shared stop-word mass) and clustered (production regime)
+    # round-11 code-capacity levers at 400k (verdict #3): m16 codebooks
+    # (double code bytes, halve per-block quantization error) and the
+    # OPQ-lite rotation (Ge et al. 2013 eigenvalue allocation) — measured
+    # in isolation at 400k before committing the 6.4M champion config
+    ann["sweep_bow_400k_m16"] = {
+        "note": (
+            "--bow --vectors 400000 --cells 632 --assign-r 2 --m 16 "
+            "--tiers crivfpq2_m16 — the code-capacity lever in isolation: "
+            "m16 residual codebooks (16 bytes/vec vs 8) at the r10 "
+            "champion's cells/assign-r, including the deep probe/rerank "
+            "ladder to the 0.5%-scan-budget edge"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "400000", "--queries", "200", "--bow",
+        "--cells", "632", "--assign-r", "2", "--m", "16",
+        "--tiers", "crivfpq2_m16",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow_400k_m16"]["jobs"][d.pop("job")] = d
+    ann["sweep_bow_400k_opq"] = {
+        "note": (
+            "--bow --vectors 400000 --cells 632 --assign-r 2 --opq "
+            "--tiers crivfpq2_m8 — the rotation lever in isolation: "
+            "OPQ-lite eigenvalue-balanced rotation before the identical "
+            "m8 pipeline (brute is rotation-invariant, so recall deltas "
+            "are pure codebook-quality effects)"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "400000", "--queries", "200", "--bow",
+        "--cells", "632", "--assign-r", "2", "--opq",
+        "--tiers", "crivfpq2_m8",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow_400k_opq"]["jobs"][d.pop("job")] = d
     ann["sweep_bow_1m6"] = {
         "note": (
             "--bow --vectors 1600000 --cells 1265 --assign-r 2 --tiers "
@@ -298,11 +350,11 @@ def main() -> None:
     ann["sweep_bow_6m4"] = {
         "note": (
             "--bow --vectors 6400000 --cells 2530 --assign-r 2 --tiers "
-            "crivfpq — the scan-law rung on the HOSTILE regime: at the "
-            "champion config recall decays slowly with N at fixed probes "
-            "(0.90 @400k → 0.86 @1.6M → 0.77 @6.4M) while the scan "
-            "fraction shrinks ~2.4x per 4x N (0.87% → 0.345% → 0.146% "
-            "of brute bytes)"
+            "crivfpq2_m8k64_probe96 — the m8 cross-N anchor (champion "
+            "config only; r10 ran the full m8 ladder here): recall decays "
+            "slowly with N at fixed probes (0.90 @400k → 0.86 @1.6M → "
+            "0.77 @6.4M in r10) while the scan fraction shrinks ~2.4x "
+            "per 4x N"
         ),
         "jobs": {},
     }
@@ -310,13 +362,38 @@ def main() -> None:
         sys.executable, "tools/scale_ann_run.py", "--sweep",
         "--vectors", "6400000", "--queries", "200", "--bow",
         "--cells", "2530", "--assign-r", "2",
-        "--tiers", "crivfpq",
+        "--tiers", "crivfpq2_m8k64_probe96",
     ])
     for line in stdout.splitlines():
         if line.strip().startswith("{"):
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_bow_6m4"]["jobs"][d.pop("job")] = d
+    # round-11 verdict #3: the code-capacity champion at the hostile 6.4M
+    # rung — m16 residual codebooks + the deep probe/rerank ladder to the
+    # 0.5%-scan-budget edge (scan fractions shrink ~2.4x per 4x N, so the
+    # 400k ladder's 2% points land well under 0.5% here)
+    ann["sweep_bow_6m4_m16"] = {
+        "note": (
+            "--bow --vectors 6400000 --cells 2530 --assign-r 2 --m 16 "
+            "--tiers crivfpq2_m16 — m16 doubles code bytes per vector "
+            "(16 vs 8), halving per-block quantization error; deep rungs "
+            "past the residual LUT cap run exact query-batched "
+            "(ivfpq_topk_batched)"
+        ),
+        "jobs": {},
+    }
+    stdout = run([
+        sys.executable, "tools/scale_ann_run.py", "--sweep",
+        "--vectors", "6400000", "--queries", "200", "--bow",
+        "--cells", "2530", "--assign-r", "2", "--m", "16",
+        "--tiers", "crivfpq2_m16",
+    ])
+    for line in stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            if "job" in d:
+                ann["sweep_bow_6m4_m16"]["jobs"][d.pop("job")] = d
     ann["sweep_clustered_1m6"] = {
         "note": (
             "--clustered 800 --vectors 1600000 --cells 1265 --tiers "
@@ -442,6 +519,24 @@ def main() -> None:
         json.loads(line) for line in stdout.splitlines()
         if line.strip().startswith("{")
     ]
+
+    # streaming near-dup verify-arm rung (round-10 verdict #4): 100k-doc
+    # corpus, flagged-heavy stream at 1x and 4x volume — verify wall must
+    # be bounded by flagged count (not stream volume), the persisted
+    # CorpusVerifyIndex path oracle-equal to the per-trigger re-shingle path
+    stdout = run([sys.executable, "tools/scale_stream_verify_run.py"])
+    artifact["stream_verify"] = {
+        "note": (
+            "tools/scale_stream_verify_run.py — stream_neardup_verified at "
+            "100k corpus docs: verdict parity re-shingle vs CorpusVerifyIndex "
+            "asserted per trigger; trigger wall vs stream volume shows the "
+            "verify arm is O(flagged x banded partners), not O(stream)"
+        ),
+        "rows": [
+            json.loads(line) for line in stdout.splitlines()
+            if line.strip().startswith("{")
+        ],
+    }
 
     # crossover summary: where the skew-proof/tiered forms overtake, and
     # whether the probe-gated auto rows track max(plain, forced) per rung

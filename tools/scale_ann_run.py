@@ -900,20 +900,42 @@ def _sweep(spark, corpus, queries, args) -> None:
             )
             # deep-probe rungs (128+/3200+): the r10 committed negatives say
             # probes/shortlist bind at 6.4M, so the ladder extends to where
-            # the scan budget (0.5% of brute bytes) actually runs out
+            # the scan budget (0.5% of brute bytes) actually runs out. Past
+            # the residual LUT cap (probe x m x k x queries doubles) the
+            # rung runs through ivfpq_topk_batched — exact under query
+            # batching, batch_rows sized to the cap as its docstring says.
+            from crypto_market_data_etl_spark.operators.similarity import (
+                RESIDUAL_LUT_CAP_DOUBLES,
+                ivfpq_topk_batched,
+            )
+
             for n_probe, shortlist in (
                 (8, 400), (16, 400), (32, 400), (64, 1600), (96, 1600),
                 (96, 6400), (128, 3200), (192, 3200), (256, 6400),
             ):
-                configs.append(
-                    (
-                        f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
-                        f"_rerank{shortlist}",
+                lut = args.queries * n_probe * mm * 64
+                if lut > RESIDUAL_LUT_CAP_DOUBLES:
+                    batch = max(1, RESIDUAL_LUT_CAP_DOUBLES // (n_probe * mm * 64))
+                    fn = (
+                        lambda p=n_probe, sl=shortlist, b=batch: ivfpq_topk_batched(
+                            cres_idx_r, queries, trained_cen, books_cres,
+                            corpus, n_probe=p, k=args.k, shortlist=sl,
+                            center_vec=bow_mean, residual=True, batch_rows=b,
+                        )
+                    )
+                else:
+                    fn = (
                         lambda p=n_probe, sl=shortlist: ivfpq_topk(
                             cres_idx_r, queries, trained_cen, books_cres,
                             corpus, n_probe=p, k=args.k, shortlist=sl,
                             center_vec=bow_mean, residual=True,
-                        ),
+                        )
+                    )
+                configs.append(
+                    (
+                        f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
+                        f"_rerank{shortlist}",
+                        fn,
                     )
                 )
                 reg_scan(
