@@ -178,55 +178,13 @@ def main() -> None:
             d = json.loads(line)
             if "job" in d:
                 ann["jobs"][d.pop("job")] = d
-    stdout = run([
-        sys.executable, "tools/scale_ann_run.py", "--sweep",
-        "--vectors", "100000", "--queries", "200",
-    ])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d:
-                ann["sweep"][d.pop("job")] = d
-    # clustered fixture: the production regime for centroid-based tiers
-    # (uniform above is their floor)
-    ann["sweep_clustered"] = {
-        "note": (
-            "same sweep, --clustered 200 fixture (200 cluster centers + "
-            "±0.25 spread) — the regime centroid/bucket-based tiers are "
-            "built for; the uniform sweep above is their floor"
-        ),
-        "jobs": {},
+    # the 100k sweep trio (uniform / clustered / bow) is code-path-stable
+    # since r8 and re-measured through r10; r11's round budget goes to the
+    # new levers (m16, OPQ, deep probes) and the >=1.6M rungs instead
+    ann["sweep"] = ann["sweep_clustered"] = ann["sweep_bow"] = {
+        "inherited": "unchanged code path — see SCALE_r10.json for the "
+        "committed 100k uniform/clustered/bow sweeps"
     }
-    stdout = run([
-        sys.executable, "tools/scale_ann_run.py", "--sweep",
-        "--vectors", "100000", "--queries", "200", "--clustered", "200",
-    ])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d:
-                ann["sweep_clustered"]["jobs"][d.pop("job")] = d
-    # Zipf hashed-BoW fixture: NATURALLY clustered text vectors (the text →
-    # vector bridge applied to the Zipf corpus; queries are near-dup TEXTS)
-    ann["sweep_bow"] = {
-        "note": (
-            "--bow fixture: hashed_bow_embeddings over zipf_docs — "
-            "naturally clustered vectors from raw text (universal stop "
-            "words + 2000-word mid body), queries re-embed source text + "
-            "one extra token; the measured production regime rather than "
-            "a simulated one"
-        ),
-        "jobs": {},
-    }
-    stdout = run([
-        sys.executable, "tools/scale_ann_run.py", "--sweep",
-        "--vectors", "100000", "--queries", "200", "--bow",
-    ])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d:
-                ann["sweep_bow"]["jobs"][d.pop("job")] = d
     # centered-ADC crossover rung: 400k BoW vectors, filtered to the PQ
     # family (the 400k band-OR/IVF walls are not worth recording twice) —
     # raw-ADC recall degrades with N while centered-ADC holds usable
@@ -234,11 +192,10 @@ def main() -> None:
     ann["sweep_bow_400k"] = {
         "note": (
             "--bow --vectors 400000 --cells 632 --assign-r 2 --tiers "
-            "pq_m8k64_rerank,cpq,civfpq,crivfpq — the centered-ADC "
-            "crossover rung with the round-10 probe-coverage levers: "
-            "sqrt-N cell count (632 vs the legacy N/400 rule) and "
-            "multi-assignment (crivfpq2 = each vector coded in its 2 "
-            "nearest cells). Round-10 cost protocol: every ratio is "
+            "crivfpq — the m8 residual-IVFADC anchor at 400k (same-session "
+            "baseline for the r11 m16/OPQ lever comparisons; the full "
+            "pq/cpq/civfpq family ladder is unchanged since r10 — see "
+            "SCALE_r10.json sweep_bow_400k). Cost protocol: every ratio is "
             "cost_vs_brute_warm (interleaved minimum denominator), and "
             "each coded line records scan_bytes_per_q / "
             "scan_frac_vs_brute — the cluster-scale cost metric"
@@ -249,7 +206,7 @@ def main() -> None:
         sys.executable, "tools/scale_ann_run.py", "--sweep",
         "--vectors", "400000", "--queries", "200", "--bow",
         "--cells", "632", "--assign-r", "2",
-        "--tiers", "pq_m8k64_rerank,cpq,civfpq,crivfpq",
+        "--tiers", "crivfpq",
     ])
     for line in stdout.splitlines():
         if line.strip().startswith("{"):
@@ -394,90 +351,36 @@ def main() -> None:
             d = json.loads(line)
             if "job" in d:
                 ann["sweep_bow_6m4_m16"]["jobs"][d.pop("job")] = d
+    # 1.6M clustered (plain-vs-residual dominance) is unchanged since r10;
+    # the r11 clustered evidence is the fresh 6.4M scan-law rung above
     ann["sweep_clustered_1m6"] = {
-        "note": (
-            "--clustered 800 --vectors 1600000 --cells 1265 --tiers "
-            "ivfpq_m8k64,rivfpq — 1.6M clustered vectors (800 centers), "
-            "plain IVF+PQ vs residual IVFADC at sqrt-N cells, "
-            "warm-denominator ratios + scan bytes"
-        ),
-        "jobs": {},
+        "inherited": "unchanged code path — see SCALE_r10.json "
+        "sweep_clustered_1m6 (residual IVFADC strictly dominates plain "
+        "IVF+PQ at equal probes/cost on the clustered regime)"
     }
-    stdout = run([
-        sys.executable, "tools/scale_ann_run.py", "--sweep",
-        "--vectors", "1600000", "--queries", "200", "--clustered", "800",
-        "--cells", "1265",
-        "--tiers", "ivfpq_m8k64,rivfpq",
-    ])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d:
-                ann["sweep_clustered_1m6"]["jobs"][d.pop("job")] = d
     # residual-IVFADC interleaved A/B (round-9): brute runs IN the rotation
     # (the sweep's single-shot brute reference varied 6-20 s same-box —
     # session warmth; here the denominator is best-of-N on identical state),
     # plus the controlled code-space ablation civfpq-vs-crivfpq at equal
     # cells/probes/shortlist
+    # the three 400k A/B harnesses (residual code-space ablation, k-means||
+    # seeding, IVF+PQ composition) are committed r9/r10 adjudications on
+    # unchanged code paths; re-running them would re-measure the same code
     ann["ab_bow_residual_400k"] = {
-        "note": (
-            "tools/ab_bow_residual.py — interleaved best-of-3 at 400k BoW: "
-            "WARM brute is ~1 s at this scale (the sweeps' sub-brute ratios "
-            "ride a cold denominator — recorded honestly); the residual "
-            "ladder's value is the RECALL headroom: per-cell residual codes "
-            "rank candidates better than centered-global codes at equal "
-            "cells/probes/shortlist, and the high-probe rungs reach recall "
-            "the full-scan centered-ADC point cannot"
-        ),
-        "jobs": {},
+        "inherited": "unchanged code path — see SCALE_r10.json "
+        "ab_bow_residual_400k (residual codes +1-2 recall pts at equal "
+        "config; tools/ab_bow_residual.py re-runs it on demand)"
     }
-    stdout = run([sys.executable, "tools/ab_bow_residual.py"])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d and "_rep" not in d["job"]:
-                ann["ab_bow_residual_400k"]["jobs"][d.pop("job")] = d
-
-    # k-means|| vs hashed-id seeding (round-10): same cells/Lloyd/codebook
-    # recipe, only the seed set differs — recall, probed-candidate volume,
-    # and cell-balance stats per arm (tools/ab_kmpp_seeding.py)
     ann["ab_kmpp_seeding_400k"] = {
-        "note": (
-            "tools/ab_kmpp_seeding.py — controlled seeding A/B at 400k "
-            "BoW, sqrt-N cells, crivfpq2 probe16/32: kmeans_parallel_init "
-            "(Bahmani et al. 2012, deterministic Bernoulli draws) vs the "
-            "hashed id-sample, identical everything else; cell-balance "
-            "p50/p99/max and per-query candidate volume show HOW seeding "
-            "moves the recall/cost point"
-        ),
-        "jobs": {},
+        "inherited": "unchanged code path — see SCALE_r10.json "
+        "ab_kmpp_seeding_400k (recall wash on uniform-mass BoW, cell "
+        "balance p99 -16%; tools/ab_kmpp_seeding.py re-runs it on demand)"
     }
-    stdout = run([sys.executable, "tools/ab_kmpp_seeding.py"])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d and "_rep" not in d["job"]:
-                ann["ab_kmpp_seeding_400k"]["jobs"][d.pop("job")] = d
-
-    # IVF+PQ composition rung: 400k vectors — the regime where the ADC
-    # gather dominates and cell-restriction pays (at 100k it is a wash;
-    # the sweeps above show that honestly)
     ann["ivfpq_400k"] = {
-        "note": (
-            "tools/scale_ivfpq_run.py — interleaved best-of-2 at 400k "
-            "clustered vectors: ivfpq probe4+rerank400 returns the "
-            "bit-identical result of pq_m8k64_rerank400 at a fraction of "
-            "the wall, and the probe4 shortlist ladder dominates the "
-            "recall-cost segment below the full-scan point"
-        ),
-        "jobs": {},
+        "inherited": "unchanged code path — see SCALE_r10.json ivfpq_400k "
+        "(probe4+rerank400 bit-identical to the full-scan PQ point at a "
+        "fraction of the wall; tools/scale_ivfpq_run.py re-runs it)"
     }
-    stdout = run([sys.executable, "tools/scale_ivfpq_run.py"])
-    for line in stdout.splitlines():
-        if line.strip().startswith("{"):
-            d = json.loads(line)
-            if "job" in d and "_rep" not in d["job"]:
-                ann["ivfpq_400k"]["jobs"][d.pop("job")] = d
     artifact["ann"] = ann
 
     # connected-components distributed-tier rung (round-9): per-round edge
