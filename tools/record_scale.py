@@ -51,13 +51,23 @@ MARKET_JOBS = (
 
 
 def run(cmd: list[str]) -> str:
+    """Run one rung subprocess; on failure/timeout return what stdout there
+    was instead of raising — one dead rung must not lose the whole
+    artifact (every section records per-job lines, so a partial section is
+    visibly partial, and FAILED markers land in the JSON via the caller's
+    line filter skipping them while stderr tails the reason)."""
     print("$", " ".join(cmd), file=sys.stderr, flush=True)
-    p = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
-    )
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+        )
+    except subprocess.TimeoutExpired as exc:
+        print(f"TIMEOUT after 3600s: {cmd}", file=sys.stderr, flush=True)
+        out = exc.stdout
+        return out.decode() if isinstance(out, bytes) else (out or "")
     if p.returncode != 0:
         print(p.stderr[-4000:], file=sys.stderr)
-        raise RuntimeError(f"{cmd} failed rc={p.returncode}")
+        print(f"FAILED rc={p.returncode}: {cmd}", file=sys.stderr, flush=True)
     return p.stdout
 
 
