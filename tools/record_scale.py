@@ -18,6 +18,13 @@ of sizes and writes one committed JSON artifact:
   (blocked-vs-plain under a Zipfian hot instrument).
 - bpe batching rung (tools/scale_bpe_run.py): same merge budget at
   merges_per_pass 1/8/32 — driver passes and wall must drop ~m x.
+- ANN ladder (tools/scale_ann_run.py): warm-denominator recall-vs-cost
+  sweeps with scan-bytes columns — 400k BoW m8 anchor + the r11 m16/OPQ
+  isolation rungs, 1.6M BoW, 6.4M clustered scan-law, 6.4M BoW m8 anchor
+  + m16 deep-probe champion; rungs whose code paths are unchanged since
+  r10 carry "inherited" pointers instead of re-burning the budget.
+- connected-components, stateful key-cardinality, retrieval max-score,
+  and streaming near-dup verify (tools/scale_stream_verify_run.py) rungs.
 
 Usage: python tools/record_scale.py [out.json]
 Runs are sequential in fresh processes (one Spark session each) so walls
