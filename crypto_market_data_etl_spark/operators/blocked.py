@@ -22,13 +22,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# Measured crossover for the lag/EWMA blocked forms (local[32], 20M-row
-# orderbook fixture): hottest key 2.1M rows -> plain wins (15.5s vs 23.2s,
-# the two-phase overhead dominates); 18M rows -> blocked wins 2.7x (194.5s
-# -> 71.1s). Blocking starts paying between those — 4M is the calibrated
-# default. blocked_cumsum keeps its own lower threshold (= target): a JVM
-# window sum has far less two-phase overhead than the pandas passes here.
-LAG_EWMA_MIN_ROWS_TO_BLOCK = 4_000_000
+# Measured crossover for the lag/EWMA blocked forms (local[32], parsed
+# orderbook fixtures). The crossover is box-sensitive (round-over-round VM
+# swings move single-key window walls ~2x), so the threshold is set by the
+# PENALTY ASYMMETRY across the committed rungs rather than one box's
+# crossover point: blocking too early has cost at most 1.5x (round-1:
+# hottest key 2.1M rows, plain 15.5s vs blocked 23.2s), while blocking too
+# late cost 2.7x at 2.8M hot rows (SCALE_r11 market.8M: forced blocked
+# 5.43s vs the plain path 14.61s, best-of-3) and 3.7x at 7M (r10 20M rung:
+# 39.1s vs 10.7s). 2.5M splits the measured bands: below it plain always
+# won (0.7M hot: 4.0s vs 5.9s, r11 2M rung); above it blocked has won on
+# every box measured since r10. blocked_cumsum keeps its own lower
+# threshold (= target): a JVM window sum has far less two-phase overhead
+# than the pandas passes here.
+LAG_EWMA_MIN_ROWS_TO_BLOCK = 2_500_000
 
 
 #: auto_block_span memo: semantic-hash of the probed plan (+ knobs) ->
