@@ -28,11 +28,13 @@ from pyspark.sql import functions as F
 # PENALTY ASYMMETRY across the committed rungs rather than one box's
 # crossover point: blocking too early has cost at most 1.5x (round-1:
 # hottest key 2.1M rows, plain 15.5s vs blocked 23.2s), while blocking too
-# late cost 2.7x at 2.8M hot rows (SCALE_r11 market.8M: forced blocked
-# 5.43s vs the plain path 14.61s, best-of-3) and 3.7x at 7M (r10 20M rung:
-# 39.1s vs 10.7s). 2.5M splits the measured bands: below it plain always
-# won (0.7M hot: 4.0s vs 5.9s, r11 2M rung); above it blocked has won on
-# every box measured since r10. blocked_cumsum keeps its own lower
+# late cost 2.5x at 2.8M hot rows (committed SCALE_r11.json market.8M,
+# best-of-3: forced blocked 5.93s vs forced plain 15.01s) and 3.4x at 7M
+# (SCALE_r11 market.20M: plain 37.28s vs blocked 10.92s; r10's rung read
+# 3.7x). 2.5M splits the measured bands: below it plain always won
+# (0.7M hot, SCALE_r11 market.2M: forced plain 5.6s vs forced blocked
+# 5.9s); above it blocked has won on every box measured since r10.
+# blocked_cumsum keeps its own lower
 # threshold (= target): a JVM window sum has far less two-phase overhead
 # than the pandas passes here.
 LAG_EWMA_MIN_ROWS_TO_BLOCK = 2_500_000

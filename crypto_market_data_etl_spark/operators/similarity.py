@@ -1635,6 +1635,9 @@ def opq_rotation_train(
     mean_np = None if center_vec is None else np.asarray(center_vec, dtype=np.float64)
 
     def partials(it):
+        n_acc = 0.0
+        s_acc = np.zeros(dim, dtype=np.float64)
+        ss_acc = np.zeros((dim, dim), dtype=np.float64)
         for pdf in it:
             if pdf.empty:
                 continue
@@ -1642,23 +1645,29 @@ def opq_rotation_train(
             if mean_np is not None:
                 V = V - mean_np[None, :]
             V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            n_acc += float(len(V))
+            s_acc += V.sum(axis=0)
+            ss_acc += V.T @ V
+        if n_acc:
             yield pd.DataFrame(
                 {
-                    "n": [float(len(V))],
-                    "s": [V.sum(axis=0).tolist()],
-                    "ss": [(V.T @ V).reshape(-1).tolist()],
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "ss": [ss_acc.reshape(-1).tolist()],
                 }
             )
 
     part = df.select(vec_col).mapInPandas(
         partials, schema="n double, s array<double>, ss array<double>"
     )
-    # reduce the partials on the driver: one row per Arrow batch (a few
-    # hundred at most, each dim + dim^2 doubles), so collect + numpy-sum is
-    # exact and avoids a dim^2-expression Catalyst agg — 4096 `sum(ss[i])`
-    # projections put analysis/codegen, not data, on the critical path
-    # (measured ~490 s at 400k x 64-dim for an agg whose input was ~200
-    # rows; the collect form is seconds)
+    # reduce the partials on the driver: ONE row per non-empty PARTITION
+    # (the iterator accumulates across its Arrow batches), each dim +
+    # dim^2 doubles — collected rows are bounded by partition count, not
+    # corpus size, so collect + numpy-sum is exact and driver memory stays
+    # flat at 100 TB. The collect avoids a dim^2-expression Catalyst agg —
+    # 4096 `sum(ss[i])` projections put analysis/codegen, not data, on the
+    # critical path (measured ~490 s at 400k x 64-dim for an agg whose
+    # input was ~200 rows; the collect form is seconds)
     rows = part.collect()
     if not rows or sum(r["n"] for r in rows) < 2:
         raise ValueError("opq_rotation_train: need at least 2 non-NULL vectors")

@@ -14,7 +14,7 @@ Usage: python tools/assemble_scale_r11.py [out.json]
 Inputs (any missing log -> that section inherits):
     /tmp/market_2M.log /tmp/market_8M.log /tmp/market_20M.log
     /tmp/sweep_6m4_m16.log /tmp/sweep_6m4_m8.log
-    /tmp/sweep_400k_m8.log /tmp/sweep_400k_m16c.log /tmp/sweep_400k_opqc.log
+    /tmp/sweep_400k_m8.log /tmp/sweep_400k_m16b.log /tmp/sweep_400k_opq.log
     /tmp/stream_verify.log /tmp/stateful.log /tmp/cc.log /tmp/retrieval.log
 """
 

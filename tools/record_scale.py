@@ -476,7 +476,10 @@ def main() -> None:
         # "*_auto_vs_best", which the round-10 verdict read backwards —
         # auto was in fact 14% FASTER than the best forced arm at 2M, not
         # 14% slower. Self-describing name + direction comment since.)
-        if "market_stats_auto" in j:
+        # guard on EVERY job each ratio reads: run() is fault-tolerant (a
+        # dead rung leaves a partial jobs dict), so an unguarded index here
+        # would KeyError at the summary stage and lose the whole artifact
+        if {"market_stats_auto", "market_stats_plain", "market_stats_blocked"} <= j.keys():
             e["stats_auto_over_best"] = round(
                 j["market_stats_auto"]["sec"]
                 / min(
@@ -485,7 +488,7 @@ def main() -> None:
                 ),
                 2,
             )
-        if "preprocess_job_auto" in j:
+        if {"preprocess_job_auto", "preprocess_job", "preprocess_job_tuned"} <= j.keys():
             e["preprocess_auto_over_best"] = round(
                 j["preprocess_job_auto"]["sec"]
                 / min(
