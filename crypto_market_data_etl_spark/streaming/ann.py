@@ -78,3 +78,88 @@ def stream_ivfpq_index(
     return file_stream_writer(
         encoded, path, checkpoint, trigger_seconds=trigger_seconds
     )
+
+
+def ivfpq_warm_retrain(
+    corpus: DataFrame,
+    serving_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    m: int = 8,
+    k: int = 64,
+    pq_iters: int = 3,
+    dim: int = 64,
+    assign_r: int = 1,
+    seed_mod: int | None = None,
+):
+    """The PERIODIC RETRAIN half of the ingest-vs-retrain contract
+    documented on :func:`stream_ivfpq_index`: rebuild the trained
+    artifacts over the merged corpus (resident + streamed vectors),
+    warm-starting Lloyd from the SERVING centroids, then re-derive the
+    residual codebooks and re-encode the index in one corpus pass each.
+
+    Returns ``(centroids, codebooks, index_df)`` — drop-in replacements
+    for the frozen artifacts ``stream_ivfpq_index`` encodes against, so
+    the retrain loop is: serve frozen → recall decays as the stream
+    drifts → ``ivfpq_warm_retrain(merged, serving_centroids)`` → swap
+    artifacts, resume frozen ingest.
+
+    Why warm-start: ``kmeans_train(init=serving_centroids)`` skips the
+    seeding pass entirely (no kmeans|| rounds, no seed-filter scan) and
+    starts Lloyd from centroids already near the stationary point for the
+    resident mass — drifted clusters pull free centroids toward the new
+    regime in 1–2 iterations instead of a cold run's full schedule. Cost:
+    ``n_iters`` corpus passes for Lloyd + one residual pass for
+    ``pq_train`` + one encode pass — each map-side over the merged
+    corpus, the same unit cost the batch build pays (measured:
+    SCALE_r12.json ``stream_retrain``).
+
+    The warm-start path is MECHANICALLY identical to a cold build given
+    identical seeds (pytest-asserted: ``kmeans_train(init=seed_table)``
+    bit-equals ``kmeans_train(centroid_filter=...)`` with the same seed
+    rows) — warm-start changes WHERE Lloyd starts, never the update rule,
+    so the retrained index is exactly what a from-scratch build with
+    these centroids would produce.
+
+    ``seed_mod`` is unused for centroids (the serving table IS the seed)
+    and retained only for signature symmetry with cold-build scripts;
+    PQ codebook k-means seeds follow :func:`..operators.similarity.pq_train`'s
+    own deterministic rule.
+    """
+    from ..materialize import checkpoint_nostats
+    from ..operators.similarity import (
+        coarse_residuals,
+        kmeans_train,
+        pq_train,
+        with_norm,
+    )
+
+    corpus_n = checkpoint_nostats(
+        with_norm(corpus, vec_col=vec_col).select(
+            id_col,
+            F.expr(f"transform({vec_col}, x -> x / norm)").alias(vec_col),
+        ),
+        eager=True,
+    )
+    cents = kmeans_train(
+        corpus_n, id_col=id_col, vec_col=vec_col, init=serving_centroids,
+        n_iters=n_iters,
+    )
+    # checkpoint the residual frame: pq_train's per-block kmeans re-reads
+    # its input ~m x (1 + n_iters) times and recomputing the assignment
+    # pass each read multiplied the build wall ~4x on the 400k rung
+    resid = checkpoint_nostats(
+        coarse_residuals(corpus, cents, id_col=id_col, vec_col=vec_col),
+        eager=True,
+    )
+    pq_kwargs = {} if seed_mod is None else {"seed_mod": seed_mod}
+    books = pq_train(
+        resid, vec_col="resid", m=m, k=k, n_iters=pq_iters, dim=dim,
+        **pq_kwargs,
+    )
+    idx = ivfpq_index(
+        corpus, cents, books, id_col=id_col, vec_col=vec_col,
+        residual=True, assign_r=assign_r,
+    )
+    return cents, books, idx

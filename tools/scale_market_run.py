@@ -130,6 +130,50 @@ def main() -> None:
             ),
             flush=True,
         )
+    if "probe_cost" in jobs:
+        # r11 verdict ask #5: isolate the auto arms' probe wall from the
+        # job wall. Times each knob probe COLD (memo cleared — what the
+        # first auto job in a session pays) and MEMOIZED (what every later
+        # auto job on the same table pays: the amortized cost). The auto
+        # rows time the probe inside the job wall, so auto_over_best
+        # carries this cost at most once per session — these rows let the
+        # artifact attribute the residue instead of guessing.
+        from crypto_market_data_etl_spark.operators.asof import (
+            asof_hot_density,
+            clear_density_memo,
+        )
+        from crypto_market_data_etl_spark.operators.blocked import (
+            auto_block_span,
+            clear_span_memo,
+        )
+
+        snaps = obs.select("code", F.col("timestamp").alias("ob_timestamp"))
+        out = {}
+        for name, clear, probe in (
+            (
+                "trades_span",
+                clear_span_memo,
+                lambda: auto_block_span(trades, ["code"], "timestamp"),
+            ),
+            (
+                "obs_span",
+                clear_span_memo,
+                lambda: auto_block_span(obs, ["code"], "timestamp"),
+            ),
+            (
+                "asof_density",
+                clear_density_memo,
+                lambda: asof_hot_density(snaps, ["code"], "ob_timestamp", 10_000),
+            ),
+        ):
+            clear()
+            t0 = time.monotonic()
+            probe()
+            out[f"{name}_cold_s"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            probe()
+            out[f"{name}_memo_s"] = round(time.monotonic() - t0, 4)
+        print(json.dumps({"job": "probe_cost", **out}), flush=True)
     if "preprocess_tuned" in jobs:
         # FORCED tuned config (blocked cumsum span resolved outside the
         # timer + always-adaptive as-of): the contrast row that shows the

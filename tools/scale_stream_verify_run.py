@@ -150,12 +150,55 @@ def main() -> None:
     ap.add_argument("--clean", default="2000,8000")
     ap.add_argument("--triggers", type=int, default=3)
     ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--flagged-axis", default=None, dest="flagged_axis",
+        help="comma list of flagged counts (e.g. 0,5,50,500): runs the "
+        "INDEX path at FIXED stream volume (first --clean value) varying "
+        "only the flagged count — the second axis of the O(flagged) claim "
+        "(r11 verdict ask #3). flagged=0 isolates the per-trigger FLOOR "
+        "(gate + verify wiring with an empty candidate set); pair with a "
+        "small --corpus run to attribute the floor's corpus-side share.",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale_stream_verify")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     corpus = zipf_docs(spark, args.corpus)
     corpus.count()
+
+    if args.flagged_axis is not None:
+        n_clean = int(args.clean.split(",")[0])
+        axis = [int(x) for x in args.flagged_axis.split(",")]
+        rungs = []
+        for n_flagged in axis:
+            r = run_path(
+                spark, corpus, reuse_index=True, n_flagged=n_flagged,
+                n_clean=n_clean, n_triggers=args.triggers,
+                threshold=args.threshold,
+            )
+            r["corpus_docs"] = args.corpus
+            rungs.append(r)
+            print(json.dumps(r), flush=True)
+        by = {r["flagged_per_trigger"]: r for r in rungs}
+        floor = by.get(0)
+        summary = {
+            "job": "summary_flagged_axis",
+            "corpus_docs": args.corpus,
+            "clean_per_trigger": n_clean,
+            "per_trigger_s_by_flagged": {
+                str(f): by[f]["per_trigger_s"] for f in axis
+            },
+        }
+        if floor is not None:
+            summary["floor_per_trigger_s"] = floor["per_trigger_s"]
+            summary["verify_share_by_flagged"] = {
+                str(f): round(by[f]["per_trigger_s"] - floor["per_trigger_s"], 3)
+                for f in axis
+                if f
+            }
+        print(json.dumps(summary), flush=True)
+        spark.stop()
+        return
 
     rungs = []
     for n_clean in [int(x) for x in args.clean.split(",")]:
