@@ -92,6 +92,7 @@ def ivfpq_warm_retrain(
     dim: int = 64,
     assign_r: int = 1,
     seed_mod: int | None = None,
+    extra_seed_filter=None,
 ):
     """The PERIODIC RETRAIN half of the ingest-vs-retrain contract
     documented on :func:`stream_ivfpq_index`: rebuild the trained
@@ -126,6 +127,21 @@ def ivfpq_warm_retrain(
     and retained only for signature symmetry with cold-build scripts;
     PQ codebook k-means seeds follow :func:`..operators.similarity.pq_train`'s
     own deterministic rule.
+
+    **Seed expansion for regime-shift drift** (``extra_seed_filter``):
+    warm-starting from the serving centroids ALONE under-recovers when the
+    drift is new clusters rather than moved ones — every resident centroid
+    sits in old-regime space, Lloyd moves centroids locally, and a couple
+    of iterations leave the new regime covered by whatever few centroids
+    the drifted mass happens to pull over (measured: SCALE_r12
+    ``stream_retrain``, drift recall 0.63 warm-only vs 0.96 cold).  Pass a
+    filter selecting a deterministic sample of the NEW vectors (e.g.
+    ``(F.col(id) >= first_streamed_id) & (F.col(id) % seed_mod == 1)`` —
+    the same density a cold build would seed at) and the init becomes
+    ``serving_centroids ∪ sampled_new_vectors``: resident cells keep their
+    warm positions, the new regime gets cold-style coverage, and the
+    rebuild recovers cold recall at the warm schedule. Extra seeds'
+    ``c_id`` are offset by 10^9 to stay disjoint from serving cell ids.
     """
     from ..materialize import checkpoint_nostats
     from ..operators.similarity import (
@@ -142,8 +158,16 @@ def ivfpq_warm_retrain(
         ),
         eager=True,
     )
+    init = serving_centroids.select("c_id", "c_vec")
+    if extra_seed_filter is not None:
+        init = init.unionByName(
+            corpus_n.filter(extra_seed_filter).select(
+                (F.col(id_col) + F.lit(1_000_000_000)).alias("c_id"),
+                F.col(vec_col).alias("c_vec"),
+            )
+        )
     cents = kmeans_train(
-        corpus_n, id_col=id_col, vec_col=vec_col, init=serving_centroids,
+        corpus_n, id_col=id_col, vec_col=vec_col, init=init,
         n_iters=n_iters,
     )
     # checkpoint the residual frame: pq_train's per-block kmeans re-reads

@@ -383,6 +383,7 @@ def verify_neardup_batch(
     rows_per_band: int = 3,
     threshold: float = 0.7,
     corpus_index: CorpusVerifyIndex | None = None,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Exact-verify a BATCH of gate-flagged candidate documents against the
     static corpus — the batch rule the stream gate's band collisions only
@@ -404,7 +405,19 @@ def verify_neardup_batch(
     corpus shingles/bands are O(corpus) per call on the re-shingle path —
     pass ``corpus_index`` (a :class:`CorpusVerifyIndex`, built once) to
     amortize that pass across triggers; verdicts are bit-identical either
-    way (same comparators; pytest-asserted)."""
+    way (same comparators; pytest-asserted).
+
+    ``broadcast_candidates=True`` hints every candidate-derived join input
+    as the BROADCAST side so the corpus-side tables are never shuffled.
+    MEASURED NEGATIVE — leave False (the default): at the SCALE_r12
+    flagged-axis rung the forced-broadcast arm ran 2.6-3.1x SLOWER per
+    trigger than the un-hinted plan (50 flagged/trigger: 60.5 s vs
+    19.5 s) with walls GROWING across triggers, even after materializing
+    ``pairs``. AQE already broadcasts genuinely-small sides where it pays;
+    forcing the hint re-executes each broadcast side's subplan per join
+    site and pressures driver broadcast cleanup. Join strategy only —
+    verdicts are identical either way (pytest-asserted); the knob is kept
+    so the A/B stays reproducible."""
     from ..materialize import materialize
     from ..operators.dedup import lsh_bands, minhash_signatures, word_shingles
 
@@ -429,8 +442,13 @@ def verify_neardup_batch(
     bands_s = lsh_bands(
         minhash_signatures(sh_s, id_col, n_hashes), id_col, n_hashes, rows_per_band
     )
+    # candidate-side broadcast hint (A/B knob, measured NEGATIVE — see
+    # the docstring): puts the candidate-derived input on the build side
+    # of every corpus-touching join. The default un-hinted plan lets AQE
+    # decide, which measured 2.6-3.1x faster per trigger
+    hint = F.broadcast if broadcast_candidates else (lambda df: df)
     pairs = (
-        bands_s.select(F.col(id_col).alias("id_s"), "band_idx", "band_sig")
+        hint(bands_s.select(F.col(id_col).alias("id_s"), "band_idx", "band_sig"))
         .join(
             bands_c.select(F.col(id_col).alias("id_c"), "band_idx", "band_sig"),
             ["band_idx", "band_sig"],
@@ -439,17 +457,27 @@ def verify_neardup_batch(
         .select("id_s", "id_c")
         .distinct()
     )
+    if broadcast_candidates:
+        # pairs feeds THREE consumers (inter twice-removed, jac, best);
+        # broadcast subplans are re-executed per join site, so without
+        # this the banded corpus join above would run once per consumer —
+        # measured 2.6x worse than the un-hinted shuffle-reuse plan.
+        # Materialized, the corpus band table is scanned exactly once per
+        # call and every downstream broadcast side is candidate-sized.
+        pairs = materialize(pairs, eager=True)
     sizes_s = sh_s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_s"))
     inter = (
-        pairs.join(sh_s.select(F.col(id_col).alias("id_s"), "s"), "id_s")
+        hint(pairs.join(sh_s.select(F.col(id_col).alias("id_s"), "s"), "id_s"))
         .join(sh_c.select(F.col(id_col).alias("id_c"), "s"), ["id_c", "s"])
         .groupBy("id_s", "id_c")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jac = (
-        pairs.join(inter, ["id_s", "id_c"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes_s.select(F.col(id_col).alias("id_s"), "n_s"), "id_s")
+        hint(
+            pairs.join(inter, ["id_s", "id_c"], "left")
+            .na.fill({"n_inter": 0})
+            .join(sizes_s.select(F.col(id_col).alias("id_s"), "n_s"), "id_s")
+        )
         .join(sizes_c.select(F.col(id_col).alias("id_c"), "n_c"), "id_c")
         .select(
             "id_s",
@@ -494,6 +522,7 @@ def stream_neardup_verified(
     checkpoint: str | None = None,
     query_name: str = "neardup_verified",
     reuse_corpus_index: bool = True,
+    broadcast_candidates: bool = False,
 ):
     """:func:`stream_neardup_flag` with the batch exact-verify arm WIRED:
     the gate's band-collision candidates are re-judged per micro-batch by
@@ -514,7 +543,11 @@ def stream_neardup_verified(
     reused every trigger (``reuse_corpus_index=True``, the default since
     r11) — the per-trigger corpus re-shingle the r10 docstring admitted to
     is gone; pass ``False`` only to A/B the re-shingle path (verdicts are
-    bit-identical — pytest + the SCALE stream_verify rung assert it)."""
+    bit-identical — pytest + the SCALE stream_verify rung assert it).
+    ``broadcast_candidates`` forwards to :func:`verify_neardup_batch` —
+    keep the default False: forcing the candidate-side broadcast measured
+    2.6-3.1x slower per trigger than the AQE-chosen plan (committed
+    negative, SCALE_r12 stream_verify flagged-axis)."""
     corpus_index = (
         CorpusVerifyIndex(
             corpus, id_col, text_col, shingle_n, n_hashes, rows_per_band
@@ -533,6 +566,7 @@ def stream_neardup_verified(
             flagged, corpus, id_col, text_col,
             shingle_n, n_hashes, rows_per_band, threshold,
             corpus_index=corpus_index,
+            broadcast_candidates=broadcast_candidates,
         )
         out = (
             batch_df.join(verdicts, id_col, "left")

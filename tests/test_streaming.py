@@ -1576,6 +1576,24 @@ def test_verify_neardup_corpus_index_path_oracle_equal(spark):
         else:
             assert abs(a.best_jaccard - b.best_jaccard) < 1e-12
 
+    # the broadcast_candidates A/B knob (r12, committed perf negative —
+    # kept for reproducibility) is join-strategy-only: verdicts identical
+    via_bcast = {
+        r.doc_id: r
+        for r in verify_neardup_batch(
+            cands, None, rows_per_band=1, corpus_index=idx,
+            broadcast_candidates=True,
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        a, b = via_index[d], via_bcast[d]
+        assert a.best_match == b.best_match
+        assert a.verified == b.verified
+        if a.best_jaccard is None:
+            assert b.best_jaccard is None
+        else:
+            assert abs(a.best_jaccard - b.best_jaccard) < 1e-12
+
     # knob drift refused: an index built at rows_per_band=1 cannot serve a
     # rows_per_band=3 verify (stale bands would silently change verdicts)
     with _pt.raises(ValueError, match="rebuild the index"):
@@ -1749,3 +1767,28 @@ def test_ivfpq_warm_retrain_equals_cold_and_recovers_drift(spark):
     # clear of float-order jitter)
     assert r_warm >= r_frozen + 0.2, (r_frozen, r_warm)
     assert r_warm >= 0.9, r_warm
+
+    # seed-expansion arm (the documented regime-shift recipe): serving
+    # centroids ∪ sampled new vectors as init. At THIS scale warm-only
+    # already recovers (10 clusters, ~19 cells — Lloyd migrates), so the
+    # recovery delta is the SCALE rung's claim (SCALE_r12 stream_retrain:
+    # 0.63 warm-only vs 0.96 seeded at 500k/632 cells); here we assert the
+    # expansion PLUMBING: the offset seed ids survive into the trained
+    # centroid table (new-regime cells exist) and recall stays sane at a
+    # probe width scaled to the grown cell count.
+    cents3, books3, idx3 = ivfpq_warm_retrain(
+        merged, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
+        extra_seed_filter=(
+            (F.col("vec_id") >= n_base) & (F.col("vec_id") % 7 == 1)
+        ),
+    )
+    cents3 = cents3.localCheckpoint()
+    n_serving = serving_cents.count()
+    assert cents3.filter(F.col("c_id") >= 1_000_000_000).count() > 0
+    assert cents3.count() > n_serving
+    approx3 = ivfpq_topk(
+        idx3.localCheckpoint(), queries, cents3, books3, merged,
+        n_probe=4, k=5, shortlist=15, residual=True,
+    )
+    r_seeded = ann_recall(approx3, exact).collect()[0]["recall"]
+    assert r_seeded >= 0.9, r_seeded

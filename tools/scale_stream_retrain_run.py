@@ -238,13 +238,18 @@ def main() -> None:
 
     recalls("recall_frozen", frozen_idx, serving_cents, serving_books)
 
-    # --- ONE warm-start retrain over the merged corpus ---
+    n_merged = args.base + args.drift
+    pq_seed_m = (
+        None if n_merged <= PQ_TRAIN_PROBE_CAP else max(1, n_merged // args.kc)
+    )
+
+    # --- warm-start retrain arms over the merged corpus: serving
+    # centroids only (the naive loop), then serving + new-regime seed
+    # expansion (the operator's documented drift recipe) ---
     t0 = time.time()
     cents_w, books_w, idx_w = ivfpq_warm_retrain(
         merged, serving_cents, n_iters=2, m=args.m, k=args.kc, pq_iters=3,
-        dim=DIM, assign_r=args.assign_r,
-        seed_mod=None if args.base + args.drift <= PQ_TRAIN_PROBE_CAP
-        else max(1, (args.base + args.drift) // args.kc),
+        dim=DIM, assign_r=args.assign_r, seed_mod=pq_seed_m,
     )
     idx_w = idx_w.localCheckpoint()
     idx_w.count()
@@ -254,10 +259,26 @@ def main() -> None:
           cells=cents_w.count(), lloyd_iters=2)
     recalls("recall_warm", idx_w, cents_w, books_w)
 
+    seed_mod_m = max(1, n_merged // args.cells)
+    t0 = time.time()
+    cents_s, books_s, idx_s = ivfpq_warm_retrain(
+        merged, serving_cents, n_iters=2, m=args.m, k=args.kc, pq_iters=3,
+        dim=DIM, assign_r=args.assign_r, seed_mod=pq_seed_m,
+        extra_seed_filter=(
+            (F.col("vec_id") >= drift_ids0)
+            & (F.col("vec_id") % seed_mod_m == 1)
+        ),
+    )
+    idx_s = idx_s.localCheckpoint()
+    idx_s.count()
+    cents_s = cents_s.localCheckpoint()
+    books_s = books_s.localCheckpoint()
+    _emit("warm_retrain_seeded", sec=round(time.time() - t0, 2),
+          cells=cents_s.count(), lloyd_iters=2)
+    recalls("recall_warm_seeded", idx_s, cents_s, books_s)
+
     # --- cold from-scratch rebuild (reference arm: seeding pass + full
     # Lloyd schedule over the merged corpus) ---
-    n_merged = args.base + args.drift
-    seed_mod_m = max(1, n_merged // args.cells)
     t0 = time.time()
     merged_n = _normed(merged).localCheckpoint()
     merged_n.count()

@@ -42,12 +42,16 @@ from tools.corpus_fixtures import zipf_docs  # noqa: E402
 
 
 def _stream_rows(spark, corpus, trigger: int, n_flagged: int, n_clean: int,
-                 base_id: int):
+                 base_id: int, flagged_mod: int = 997):
     """One trigger's documents: n_flagged near-dups of distinct corpus docs
     (tail token swapped -> shares all-but-one shingle) + n_clean novel docs
-    (fresh vocabulary, zero shingle overlap)."""
+    (fresh vocabulary, zero shingle overlap). ``flagged_mod`` picks the
+    residue-class width of the corpus slice the near-dups derive from —
+    it must satisfy corpus/flagged_mod >= n_flagged or the flagged count
+    silently caps (the r12 flagged-axis rung uses 97 so the 500-flagged
+    point is real)."""
     src = (
-        corpus.filter(F.col("doc_id") % 997 == trigger % 997)
+        corpus.filter(F.col("doc_id") % flagged_mod == trigger % flagged_mod)
         .limit(n_flagged)
         .select(
             (F.lit(base_id) + F.monotonically_increasing_id()).alias("doc_id"),
@@ -74,7 +78,8 @@ def _stream_rows(spark, corpus, trigger: int, n_flagged: int, n_clean: int,
 
 
 def run_path(spark, corpus, *, reuse_index: bool, n_flagged: int,
-             n_clean: int, n_triggers: int, threshold: float) -> dict:
+             n_clean: int, n_triggers: int, threshold: float,
+             broadcast_cand: bool = True, flagged_mod: int = 997) -> dict:
     from crypto_market_data_etl_spark.streaming.corpus import (
         stream_neardup_verified,
     )
@@ -82,7 +87,8 @@ def run_path(spark, corpus, *, reuse_index: bool, n_flagged: int,
     tmp = tempfile.mkdtemp(prefix="stream_verify_")
     docs_path, ckpt = f"{tmp}/docs", f"{tmp}/ckpt"
     # seed file so the stream has a schema source
-    _stream_rows(spark, corpus, 0, n_flagged, n_clean, 10_000_000).coalesce(
+    _stream_rows(spark, corpus, 0, n_flagged, n_clean, 10_000_000,
+                 flagged_mod).coalesce(
         1
     ).write.mode("overwrite").parquet(docs_path)
 
@@ -108,6 +114,7 @@ def run_path(spark, corpus, *, reuse_index: bool, n_flagged: int,
         stream, corpus, sink, threshold=threshold, watermark="0 seconds",
         checkpoint=ckpt, query_name="scale_verify",
         reuse_corpus_index=reuse_index,
+        broadcast_candidates=broadcast_cand,
     )
     trigger_walls = []
     try:
@@ -117,7 +124,8 @@ def run_path(spark, corpus, *, reuse_index: bool, n_flagged: int,
         trigger_walls.append(round(time.time() - t0, 3))
         for tr in range(1, n_triggers):
             _stream_rows(
-                spark, corpus, tr, n_flagged, n_clean, 10_000_000 + tr * 2_000_000
+                spark, corpus, tr, n_flagged, n_clean,
+                10_000_000 + tr * 2_000_000, flagged_mod,
             ).coalesce(1).write.mode("append").parquet(docs_path)
             t0 = time.time()
             q.processAllAvailable()
@@ -130,6 +138,7 @@ def run_path(spark, corpus, *, reuse_index: bool, n_flagged: int,
     rows_per_trigger = n_flagged + n_clean
     return {
         "path": "index" if reuse_index else "reshingle",
+        "broadcast_cand": broadcast_cand,
         "clean_per_trigger": n_clean,
         "flagged_per_trigger": n_flagged,
         "triggers": n_triggers,
@@ -169,34 +178,46 @@ def main() -> None:
     if args.flagged_axis is not None:
         n_clean = int(args.clean.split(",")[0])
         axis = [int(x) for x in args.flagged_axis.split(",")]
-        rungs = []
-        for n_flagged in axis:
-            r = run_path(
-                spark, corpus, reuse_index=True, n_flagged=n_flagged,
-                n_clean=n_clean, n_triggers=args.triggers,
-                threshold=args.threshold,
-            )
-            r["corpus_docs"] = args.corpus
-            rungs.append(r)
-            print(json.dumps(r), flush=True)
-        by = {r["flagged_per_trigger"]: r for r in rungs}
-        floor = by.get(0)
-        summary = {
-            "job": "summary_flagged_axis",
-            "corpus_docs": args.corpus,
-            "clean_per_trigger": n_clean,
-            "per_trigger_s_by_flagged": {
-                str(f): by[f]["per_trigger_s"] for f in axis
-            },
-        }
-        if floor is not None:
-            summary["floor_per_trigger_s"] = floor["per_trigger_s"]
-            summary["verify_share_by_flagged"] = {
-                str(f): round(by[f]["per_trigger_s"] - floor["per_trigger_s"], 3)
-                for f in axis
-                if f
+        # discarded warm-up pass: the session's first streaming query pays
+        # JIT/codegen/shuffle-infra warm-up (~2-3x on the first rung's
+        # walls — measured: the first axis point read 29 s cold vs 8 s
+        # when the same config ran later in-session); burn it on a rung
+        # that isn't recorded so the axis points are comparable
+        run_path(
+            spark, corpus, reuse_index=True, n_flagged=5, n_clean=500,
+            n_triggers=2, threshold=args.threshold, flagged_mod=97,
+        )
+        for bcast in (False, True):
+            rungs = []
+            for n_flagged in axis:
+                r = run_path(
+                    spark, corpus, reuse_index=True, n_flagged=n_flagged,
+                    n_clean=n_clean, n_triggers=args.triggers,
+                    threshold=args.threshold, broadcast_cand=bcast,
+                    flagged_mod=97,
+                )
+                r["corpus_docs"] = args.corpus
+                rungs.append(r)
+                print(json.dumps(r), flush=True)
+            by = {r["flagged_per_trigger"]: r for r in rungs}
+            floor = by.get(0)
+            summary = {
+                "job": "summary_flagged_axis",
+                "broadcast_cand": bcast,
+                "corpus_docs": args.corpus,
+                "clean_per_trigger": n_clean,
+                "per_trigger_s_by_flagged": {
+                    str(f): by[f]["per_trigger_s"] for f in axis
+                },
             }
-        print(json.dumps(summary), flush=True)
+            if floor is not None:
+                summary["floor_per_trigger_s"] = floor["per_trigger_s"]
+                summary["verify_share_by_flagged"] = {
+                    str(f): round(by[f]["per_trigger_s"] - floor["per_trigger_s"], 3)
+                    for f in axis
+                    if f
+                }
+            print(json.dumps(summary), flush=True)
         spark.stop()
         return
 
