@@ -81,6 +81,22 @@ def main() -> None:
     }
 
     # --- market (with probe_cost decomposition, ask #5) ---
+    artifact["market_note"] = (
+        "best-of-3 per job (committed variance protocol). probe_cost rows "
+        "isolate the auto arms' knob probes: 0.5-1.3 s COLD (paid once "
+        "per session by the first auto job on a table), ~1-2 ms MEMOIZED "
+        "(every later job — the memo IS the judge-suggested cross-job "
+        "amortization, in place since r11 for spans and r9 for density). "
+        "So the auto_over_best residue where it exists (1.08-1.15 at 8M) "
+        "is NOT probe wall — best-of-3 minima exclude the one-time cold "
+        "probe — it is box variance of the same order as the forced "
+        "arms' own wall spreads (10-30% across their 3 samples). The 20M "
+        "rung was re-run standalone after its first pass rode a degraded "
+        "box stretch (stats_plain wall hit 137 s, 2x its own later "
+        "samples; auto sampled during the decay and read 1.38 over "
+        "blocked) — the idle-box re-run has auto BEATING the best forced "
+        "arm outright (0.71), consistent with 2M (0.83/0.82)."
+    )
     artifact["market"] = []
     for label, path in (("2M", "/tmp/market_2M.log"), ("8M", "/tmp/market_8M.log"),
                         ("20M", "/tmp/market_20M.log")):
@@ -184,7 +200,11 @@ def main() -> None:
                 "verdict ask #4): with sweep_bow_400k_m16 and "
                 "sweep_bow_6m4_m16 this completes the cross-N slope at "
                 "matched probe/rerank configs (compare the m8 curve at "
-                "sweep_bow_1m6 crivfpq2_m8 rows, same fixture/cells)"
+                "sweep_bow_1m6 crivfpq2_m8 rows, same fixture/cells). "
+                "Build-phase walls (kmeans/pq/index rows) overlapped a "
+                "~4-min sf0.001 selfcheck sweep — tier recall/scan "
+                "columns are deterministic and are the committed "
+                "comparison; tier walls ran on an otherwise idle box"
             ),
             "jobs": m16_1m6,
         }
@@ -198,13 +218,22 @@ def main() -> None:
                 "tools/scale_stream_retrain_run.py — 400k base + 100k "
                 "DRIFTED stream (salted cluster centers the serving build "
                 "never saw), rivfpq recipe (632-seed kmeans, residual "
-                "m8k64, assign_r=2). Frozen-artifact ingest via "
-                "stream_ivfpq_index, recall ladder before/after ONE "
-                "ivfpq_warm_retrain over the merged corpus, cold "
-                "from-scratch rebuild as the reference arm. Recall is "
-                "reported separately for base-regime and drift-regime "
-                "planted near-dup queries — decay must show on drift "
-                "while base holds."
+                "m8k64, assign_r=2), r11 verdict ask #2. FINDINGS: frozen "
+                "ingest is cheap and decays exactly as the contract "
+                "predicts (100k vectors streamed in 5.9 s across 4 "
+                "triggers; drift-regime recall 0.53 vs base 0.78); "
+                "warm-only retrain (init=serving centroids, 2 Lloyd "
+                "iters, 46 s) UNDER-recovers at 0.63 — a committed "
+                "negative: under regime-SHIFT drift every resident "
+                "centroid starts in old-regime space and Lloyd moves "
+                "locally; warm + seed EXPANSION (serving centroids + "
+                "cold-density sample of the new id range — the recipe "
+                "now documented on ivfpq_warm_retrain) recovers 0.9624, "
+                "matching the cold rebuild's 0.9612 (76 s, full seeding "
+                "pass + 3 iters). Recall is deterministic "
+                "(fixture+recipe); probe8/probe32 rows coincide because "
+                "planted near-dup targets are co-located in the probed "
+                "cells — the shortlist is the binding lever here."
             ),
             "jobs": {d.pop("job"): d for d in sr if "job" in d},
         }
@@ -218,14 +247,27 @@ def main() -> None:
                 "tools/scale_stream_verify_run.py --flagged-axis — the "
                 "SECOND axis of the O(flagged) claim (r11 ask #3): flagged "
                 "count varies at FIXED stream volume (100k corpus, index "
-                "path), in TWO arms — broadcast_cand=false (the r11 join "
-                "shape: corpus-side tables shuffle per trigger) and "
-                "broadcast_cand=true (r12 fix: candidate-side broadcast "
-                "pins the persisted corpus frames map-side). flagged=0 "
-                "rows isolate the per-trigger floor; the small-corpus "
-                "probe attributes the floor's corpus-dependent share. "
-                "Volume-axis rows are unchanged code inherited at "
-                "SCALE_r11.stream_verify."
+                "path; flagged_mod=97 so the 500-point draws 500 real "
+                "near-dups; discarded in-session warm-up rung). "
+                "FINDINGS: (1) wall scales with flagged count — floor "
+                "11.6 s/trigger, verify share +0.27 s at 5, +7.8 s at 50, "
+                "+64 s at 500 flagged (broadcast_cand=false arm, the "
+                "shipped default); (2) the floor is corpus-INDEPENDENT "
+                "fixed trigger cost — floor_small_corpus shows ~the same "
+                "flagged=0 wall at a 1000-doc corpus as at 100k (12.9 vs "
+                "11.6 s): micro-batch wiring + per-trigger plan "
+                "scheduling, which amortizes with trigger size, NOT "
+                "corpus-table movement, so there is no index-side join "
+                "plan to cache; (3) COMMITTED NEGATIVE: the "
+                "broadcast_cand=true arm (candidate-side broadcast "
+                "forced on every corpus-touching join, pairs "
+                "materialized) ran 2.6-3.1x SLOWER per trigger and its "
+                "flagged=500 rung DIED on spark.driver.maxResultSize "
+                "(1.1 GiB broadcast side — banding fan-out makes "
+                "'candidate-derived' unboundedly large); AQE's own "
+                "strategy choice wins, default stays false. Verdict "
+                "parity across knobs pytest-asserted. Volume-axis rows "
+                "are unchanged code inherited at SCALE_r11.stream_verify."
             ),
             "rows": sv,
             "floor_small_corpus": floor or None,
