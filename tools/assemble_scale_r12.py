@@ -208,6 +208,26 @@ def main() -> None:
             ),
             "jobs": m16_1m6,
         }
+    m16_12m8 = jobs_of("/tmp/sweep_12m8_m16.log")
+    if m16_12m8:
+        ann["sweep_bow_12m8_m16"] = {
+            "note": (
+                "--bow --vectors 12800000 --cells 3578 --assign-r 2 --m 16 "
+                "--sweep --tiers crivfpq2_m16k64_probe96,"
+                "crivfpq2_m16k64_probe128, SPARK_DRIVER_MEMORY=80g — the "
+                "12.8M stretch rung (r11 ask #4's 'if budget allows'), "
+                "champion configs only to bound the wall. 48g-lesson "
+                "applied at 80g: the deep ADC gathers held (~102 GiB box "
+                "peak), no OOM. HEADLINE: recall HOLDS as N doubles while "
+                "the scan fraction FALLS — 0.8858 @ 0.223% of brute bytes "
+                "(probe96+rerank6400) and 0.914 @ 0.254% "
+                "(probe128+rerank3200) vs the 6.4M champion's 0.8845 @ "
+                "0.267% — the probe-bounded scan law's cross-N slope now "
+                "spans 400k/1.6M/6.4M/12.8M on the hostile hashed-BoW "
+                "fixture"
+            ),
+            "jobs": m16_12m8,
+        }
     artifact["ann"] = ann
 
     # --- stream_retrain (new section, ask #2) ---
