@@ -97,14 +97,19 @@ def main() -> None:
             entry["tuned_speedup"] = round(
                 j["preprocess_job"]["sec"] / j["preprocess_job_tuned"]["sec"], 2
             )
-        # auto_over_best = auto_wall / min(forced arms) — LOWER IS BETTER
-        if "market_stats_auto" in j:
+        # auto_over_best = auto_wall / min(forced arms) — LOWER IS BETTER.
+        # Guard on every job each ratio reads: a partially-captured log
+        # (dead rung) must degrade to a missing ratio, not a KeyError
+        # that loses the artifact (r11 ADVICE).
+        if {"market_stats_auto", "market_stats_plain",
+                "market_stats_blocked"} <= j.keys():
             entry["stats_auto_over_best"] = round(
                 j["market_stats_auto"]["sec"]
                 / min(j["market_stats_plain"]["sec"], j["market_stats_blocked"]["sec"]),
                 2,
             )
-        if "preprocess_job_auto" in j:
+        if {"preprocess_job_auto", "preprocess_job",
+                "preprocess_job_tuned"} <= j.keys():
             entry["preprocess_auto_over_best"] = round(
                 j["preprocess_job_auto"]["sec"]
                 / min(j["preprocess_job"]["sec"], j["preprocess_job_tuned"]["sec"]),
