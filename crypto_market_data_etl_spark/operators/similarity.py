@@ -2498,6 +2498,7 @@ def ivfpq_topk_batched(
     vec_col: str = "embedding",
     batch_rows: int = 2048,
     rerank_queries: DataFrame | None = None,
+    fused: bool = False,
     **kwargs,
 ) -> DataFrame:
     """:func:`ivfpq_topk` over driver-chunked query batches — the form to
@@ -2512,12 +2513,18 @@ def ivfpq_topk_batched(
     shape: query batches stream against the build-once index at a bounded
     per-batch table footprint. Extra cost vs one shot: one corpus-code
     scan per chunk — size ``batch_rows`` to the LUT cap
-    (``RESIDUAL_LUT_CAP_DOUBLES / (n_probe * m * k)`` rows), not smaller."""
+    (``RESIDUAL_LUT_CAP_DOUBLES / (n_probe * m * k)`` rows), not smaller.
+
+    ``fused=True`` runs each chunk through :func:`ivfpq_topk_fused`
+    (packed-code Arrow transfer + per-partition shortlist fusion — the
+    wall-clock path for deep probe/rerank configs at big N); results are
+    the same top-k either way."""
     import math
 
+    inner = ivfpq_topk_fused if fused else ivfpq_topk
     q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")
     if not q_rows:
-        return ivfpq_topk(
+        return inner(
             index_df, queries, coarse_centroids, codebooks, corpus,
             id_col, vec_col, rerank_queries=rerank_queries, **kwargs,
         )
@@ -2534,12 +2541,247 @@ def ivfpq_topk_batched(
             if rerank_queries is None
             else rerank_queries.filter(F.col(id_col).isin(list(ids)))
         )
-        part = ivfpq_topk(
+        part = inner(
             index_df, chunk, coarse_centroids, codebooks, corpus,
             id_col, vec_col, rerank_queries=rq, **kwargs,
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def ivfpq_topk_fused(
+    index_df: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+    k: int = 10,
+    shortlist: int = 200,
+    normalize: bool = True,
+    center_vec: list[float] | None = None,
+    rerank_queries: DataFrame | None = None,
+    residual: bool = False,
+    adc_dtype: str = "float64",
+) -> DataFrame:
+    """:func:`ivfpq_topk` with the ADC scan re-plumbed for wall clock —
+    same probe selection, same LUTs, same shortlist/rerank semantics
+    (the final top-k is identical; pytest-asserted), but three physical
+    changes that target exactly where the big-N rungs spend their time:
+
+    1. **Packed code transfer.** The per-row ``codes`` array<int> column
+       crosses Arrow as a Python list per row, and
+       ``np.array(col.tolist())`` at 12.8M × m16 is hundreds of millions
+       of boxed conversions. Here the codes are packed JVM-side into
+       ``ceil(m/8)`` LongType columns (8 one-byte codes per long, a
+       whole-stage-codegen ``aggregate(slice(...))`` at scan time) and
+       unpacked in numpy with vectorized shifts — the Arrow transfer is
+       zero-copy primitive columns.
+    2. **Per-partition shortlist fusion.** ivfpq_topk emits up to
+       ``min(shortlist, |cell∩batch|)`` rows per (probed cell, query) —
+       at deep-rerank configs (shortlist ≈ cell size) that is nearly
+       EVERY scored candidate shuffled into the ranking window (~350M
+       rows at the 12.8M/probe96/rerank6400 rung). Here each partition
+       folds scores into per-query accumulators (vectorized lexsort
+       prune, ``(dist, n_id)`` order — the window's exact sort key) and
+       emits only its per-partition top-``shortlist``: ≤ ``n_queries ×
+       n_partitions × shortlist`` rows, a strict superset of the global
+       top-``shortlist``, so the downstream window + rerank see the same
+       survivors.
+    3. **Vectorized emission.** ``np.repeat``/``np.concatenate`` replace
+       the per-row Python extend loop.
+
+    ``adc_dtype="float32"`` halves LUT + accumulator memory bandwidth;
+    ADC dists are shortlist-selection ONLY (the rerank re-scores exactly,
+    same contract as :func:`ivfpq_topk`), so float32 can move a
+    same-distance tie at the shortlist boundary but recall is measured
+    indistinguishable (the committed rung A/Bs both dtypes).
+
+    Packing requires every codebook ≤ 256 centroids (one byte per code —
+    ``pq_train`` defaults k=64); larger books fall back to
+    :func:`ivfpq_topk` transparently.
+
+    Memory: per-partition accumulators are pruned whenever they exceed
+    ``max(1M, 2 × shortlist × n_queries)`` tuples, so a partition holds
+    O(shortlist × n_queries) candidate tuples, never its full scored set.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books, m = _pq_codebook_tensor(codebooks)
+    if any(b.shape[0] > 256 for b in books):
+        return ivfpq_topk(
+            index_df, queries, coarse_centroids, codebooks, corpus,
+            id_col, vec_col, n_probe=n_probe, k=k, shortlist=shortlist,
+            normalize=normalize, center_vec=center_vec,
+            rerank_queries=rerank_queries, residual=residual,
+        )
+    dt = np.float32 if adc_dtype == "float32" else np.float64
+
+    cent_rows = _collect_small_side(coarse_centroids.orderBy("c_id"), "centroid")
+    c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["c_vec"]) for r in cent_rows], dtype=np.float64)
+    if residual:
+        _check_residual_centroid_scale(C, "ivfpq_topk_fused(residual=True)")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    q_rows = _collect_small_side(queries.select(id_col, vec_col), "query")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qe = Qn if normalize else Q
+
+    Qa = Qn
+    if center_vec is not None:
+        Qc = Q - np.asarray(center_vec, dtype=np.float64)[None, :]
+        Qa = Qc / np.maximum(np.linalg.norm(Qc, axis=1, keepdims=True), 1e-12)
+    sims = Qa @ Cn.T
+    n_take = min(n_probe, sims.shape[1])
+    part = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for ci in part[qi]:
+            cell_to_q.setdefault(int(c_ids[ci]), []).append(qi)
+    cell_to_q_np = {c: np.array(v, dtype=np.int64) for c, v in cell_to_q.items()}
+
+    dsub = Qe.shape[1] // m
+
+    def _block_luts(X):
+        out = []
+        for b in range(m):
+            sub = X[:, b * dsub : (b + 1) * dsub]
+            B = books[b]
+            out.append(
+                (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ B.T)
+                    + (B * B).sum(axis=1)[None, :]
+                ).astype(dt)
+            )
+        return out
+
+    if residual:
+        k_max = max(b.shape[0] for b in books)
+        lut_cells = len(q_ids) * min(n_probe, len(c_ids)) * m * k_max
+        if lut_cells > RESIDUAL_LUT_CAP_DOUBLES:
+            raise ValueError(
+                f"ivfpq_topk_fused(residual=True): per-(query, cell) ADC "
+                f"tables would hold {lut_cells} doubles "
+                f"(> {RESIDUAL_LUT_CAP_DOUBLES:.0e} cap) — use "
+                f"ivfpq_topk_batched(fused=True) (exact under query "
+                f"batching) or lower n_probe"
+            )
+        c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
+        cell_luts = {
+            cell: _block_luts(Qa[qs] - C[c_pos[cell]][None, :])
+            for cell, qs in cell_to_q_np.items()
+        }
+        luts = None
+    else:
+        luts = _block_luts(Qe)
+
+    n_groups = (m + 7) // 8
+    group_lens = [min(8, m - g * 8) for g in range(n_groups)]
+    pack_cols = [
+        F.expr(
+            f"aggregate(slice(codes, {g * 8 + 1}, {group_lens[g]}), 0L, "
+            f"(acc, x) -> acc * 256L + x)"
+        ).alias(f"p{g}")
+        for g in range(n_groups)
+    ]
+    packed = index_df.select(F.col(id_col), F.col("c_id"), *pack_cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+    nq = len(q_ids)
+    prune_at = max(1_000_000, 2 * shortlist * max(nq, 1))
+
+    def _prune(qa, na, da, per_q):
+        """Exact per-query top-``per_q`` by (dist, n_id) — the ranking
+        window's sort key, vectorized over all queries at once."""
+        o = np.lexsort((na, da, qa))
+        qa, na, da = qa[o], na[o], da[o]
+        starts = np.flatnonzero(np.r_[True, qa[1:] != qa[:-1]])
+        counts = np.diff(np.r_[starts, len(qa)])
+        rank = np.arange(len(qa)) - np.repeat(starts, counts)
+        keep = rank < per_q
+        return qa[keep], na[keep], da[keep]
+
+    def batches(it):
+        acc_q: list[np.ndarray] = []
+        acc_n: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        held = 0
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cid_arr = pdf["c_id"].to_numpy()
+            ids_all = pdf[id_col].to_numpy()
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            bpos = 0
+            for g, glen in enumerate(group_lens):
+                v = pdf[f"p{g}"].to_numpy()
+                for j in range(glen):
+                    codes[:, bpos + j] = (v >> (8 * (glen - 1 - j))) & 255
+                bpos += glen
+            order = np.argsort(cid_arr, kind="stable")
+            cs = cid_arr[order]
+            bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            ends = np.r_[bounds[1:], len(cs)]
+            for s, e in zip(bounds, ends):
+                cell = int(cs[s])
+                qs = cell_to_q_np.get(cell)
+                if qs is None:
+                    continue
+                rows = order[s:e]
+                ids = ids_all[rows]
+                cc = codes[rows]
+                d = np.zeros((len(qs), len(ids)), dtype=dt)
+                if residual:
+                    cl = cell_luts[cell]
+                    for b in range(m):
+                        d += cl[b][:, cc[:, b]]
+                else:
+                    for b in range(m):
+                        d += luts[b][qs][:, cc[:, b]]
+                acc_q.append(np.repeat(q_ids[qs], len(ids)))
+                acc_n.append(np.tile(ids, len(qs)))
+                acc_d.append(d.ravel().astype(np.float64, copy=False))
+                held += len(qs) * len(ids)
+            if held > prune_at:
+                qa, na, da = _prune(
+                    np.concatenate(acc_q), np.concatenate(acc_n),
+                    np.concatenate(acc_d), shortlist,
+                )
+                acc_q, acc_n, acc_d = [qa], [na], [da]
+                held = len(qa)
+        if held:
+            qa, na, da = _prune(
+                np.concatenate(acc_q), np.concatenate(acc_n),
+                np.concatenate(acc_d), shortlist,
+            )
+            yield pd.DataFrame({"q_id": qa, "n_id": na, "dist": da})
+
+    partial = packed.mapInPandas(batches, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id"))
+    cand = (
+        partial.filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= shortlist)
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    return _rerank_candidates(
+        cand, corpus, id_col, vec_col, k,
+        q_vecs=queries if rerank_queries is None else rerank_queries,
+    )
 
 
 def semantic_dedup(

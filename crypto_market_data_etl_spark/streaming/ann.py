@@ -123,10 +123,12 @@ def ivfpq_warm_retrain(
     so the retrained index is exactly what a from-scratch build with
     these centroids would produce.
 
-    ``seed_mod`` is unused for centroids (the serving table IS the seed)
-    and retained only for signature symmetry with cold-build scripts;
-    PQ codebook k-means seeds follow :func:`..operators.similarity.pq_train`'s
-    own deterministic rule.
+    ``seed_mod`` is unused for CENTROID seeding (the serving table IS the
+    seed) but IS functional for PQ: when set it is forwarded as
+    :func:`..operators.similarity.pq_train`'s ``seed_mod`` (the
+    deterministic seed-sampling density for the per-block codebook
+    k-means — required above ``PQ_TRAIN_PROBE_CAP``); when None,
+    ``pq_train`` applies its own default rule.
 
     **Seed expansion for regime-shift drift** (``extra_seed_filter``):
     warm-starting from the serving centroids ALONE under-recovers when the
@@ -140,8 +142,13 @@ def ivfpq_warm_retrain(
     the same density a cold build would seed at) and the init becomes
     ``serving_centroids ∪ sampled_new_vectors``: resident cells keep their
     warm positions, the new regime gets cold-style coverage, and the
-    rebuild recovers cold recall at the warm schedule. Extra seeds'
-    ``c_id`` are offset by 10^9 to stay disjoint from serving cell ids.
+    rebuild recovers cold recall at a SHORTER Lloyd schedule (fewer
+    iterations, no kmeans|| seeding rounds). Shorter schedule ≠ cheaper
+    wall at every scale: at the 500k+100k rung the seeded arm cost 81.79 s
+    vs the cold rebuild's 76.13 s (SCALE_r12 ``stream_retrain``) — the
+    saved seeding pass was smaller than the union/collect overhead there.
+    Extra seeds' ``c_id`` are shifted above the serving table's max
+    ``c_id`` (derived per call) to stay disjoint from resident cell ids.
     """
     from ..materialize import checkpoint_nostats
     from ..operators.similarity import (
@@ -160,9 +167,21 @@ def ivfpq_warm_retrain(
     )
     init = serving_centroids.select("c_id", "c_vec")
     if extra_seed_filter is not None:
+        # Seed c_ids must be disjoint from serving c_ids, which are corpus
+        # vec_ids (kmeans_train keys cells by seed row id) — a FIXED offset
+        # collides once ids reach it, and kmeans_train's groupBy("c_id")
+        # mean would silently merge the colliding seeds. Derive the offset
+        # from the observed id ranges instead: shift the seed ids so the
+        # smallest lands just above the largest serving c_id. Two tiny
+        # aggs (corpus_n is already checkpointed; serving is nlist rows).
+        lo, _hi = corpus_n.agg(
+            F.min(F.col(id_col)), F.max(F.col(id_col))
+        ).collect()[0]
+        serv_max = serving_centroids.agg(F.max("c_id")).collect()[0][0]
+        offset = int(serv_max or 0) + 1 - int(lo or 0)
         init = init.unionByName(
             corpus_n.filter(extra_seed_filter).select(
-                (F.col(id_col) + F.lit(1_000_000_000)).alias("c_id"),
+                (F.col(id_col) + F.lit(offset)).alias("c_id"),
                 F.col(vec_col).alias("c_vec"),
             )
         )

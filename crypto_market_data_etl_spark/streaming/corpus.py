@@ -384,6 +384,7 @@ def verify_neardup_batch(
     threshold: float = 0.7,
     corpus_index: CorpusVerifyIndex | None = None,
     broadcast_candidates: bool = False,
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """Exact-verify a BATCH of gate-flagged candidate documents against the
     static corpus — the batch rule the stream gate's band collisions only
@@ -417,13 +418,24 @@ def verify_neardup_batch(
     forcing the hint re-executes each broadcast side's subplan per join
     site and pressures driver broadcast cleanup. Join strategy only —
     verdicts are identical either way (pytest-asserted); the knob is kept
-    so the A/B stays reproducible."""
+    so the A/B stays reproducible.
+
+    ``scratch_out``: the call materializes per-batch scratch tables (the
+    candidate shingles; ``pairs`` when the broadcast knob is on). On the
+    persist path (non-local master) those blocks live until an explicit
+    unpersist, so a per-trigger caller would grow storage unboundedly over
+    a long-lived stream. Pass a list and the scratch frames are appended
+    to it; ``materialize.release()`` them AFTER the returned DataFrame has
+    been fully consumed (:func:`stream_neardup_verified` does exactly
+    this per trigger). Harmless no-op on the localCheckpoint path."""
     from ..materialize import materialize
     from ..operators.dedup import lsh_bands, minhash_signatures, word_shingles
 
     sh_s = materialize(
         word_shingles(cand_docs, id_col, text_col, shingle_n)
     )
+    if scratch_out is not None:
+        scratch_out.append(sh_s)
     if corpus_index is not None:
         corpus_index.check_knobs(shingle_n, n_hashes, rows_per_band)
         sh_c, bands_c = corpus_index.shingles, corpus_index.bands
@@ -434,6 +446,8 @@ def verify_neardup_batch(
                 "verify_neardup_batch: pass corpus or corpus_index"
             )
         sh_c = materialize(word_shingles(corpus, id_col, text_col, shingle_n))
+        if scratch_out is not None:
+            scratch_out.append(sh_c)
         bands_c = lsh_bands(
             minhash_signatures(sh_c, id_col, n_hashes),
             id_col, n_hashes, rows_per_band,
@@ -465,6 +479,8 @@ def verify_neardup_batch(
         # Materialized, the corpus band table is scanned exactly once per
         # call and every downstream broadcast side is candidate-sized.
         pairs = materialize(pairs, eager=True)
+        if scratch_out is not None:
+            scratch_out.append(pairs)
     sizes_s = sh_s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_s"))
     inter = (
         hint(pairs.join(sh_s.select(F.col(id_col).alias("id_s"), "s"), "id_s"))
@@ -561,12 +577,16 @@ def stream_neardup_verified(
     )
 
     def _verify(batch_df, batch_id):
+        from ..materialize import release
+
         flagged = batch_df.filter(F.col("neardup")).select(id_col, text_col)
+        scratch = []
         verdicts = verify_neardup_batch(
             flagged, corpus, id_col, text_col,
             shingle_n, n_hashes, rows_per_band, threshold,
             corpus_index=corpus_index,
             broadcast_candidates=broadcast_candidates,
+            scratch_out=scratch,
         )
         out = (
             batch_df.join(verdicts, id_col, "left")
@@ -576,7 +596,16 @@ def stream_neardup_verified(
                 "best_match", "best_jaccard", "verified",
             )
         )
-        sink(out, batch_id)
+        try:
+            sink(out, batch_id)
+        finally:
+            # per-trigger scratch (candidate shingles; pairs/corpus
+            # shingles on the hinted / re-shingle arms): on the persist
+            # path these would otherwise accumulate in _PERSISTED forever
+            # over a long-lived stream — the sink has fully consumed `out`
+            # by now, so the blocks are dead
+            for df in scratch:
+                release(df)
 
     writer = gated.writeStream.outputMode("append").queryName(query_name)
     if checkpoint is not None:

@@ -2444,6 +2444,85 @@ def test_ivfpq_topk_batched_equals_unbatched(spark):
     assert len(one) > 0
 
 
+def test_ivfpq_topk_fused_equals_reference(spark):
+    """The fused ADC scorer (packed-code Arrow transfer + per-partition
+    shortlist fusion) is a PHYSICAL variant of ivfpq_topk: same probe
+    selection, same LUTs, same (dist, n_id) shortlist order — the final
+    reranked top-k must be bit-identical on both the plain and residual
+    paths, across multi-group packing (m=16 -> two packed longs),
+    multi-assignment dedup, and the query-batched wrapper. The float32
+    ADC arm re-ranks exactly, so its top-k matches on this margin-rich
+    fixture too."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        coarse_residuals,
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_batched,
+        ivfpq_topk_fused,
+        kmeans_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(53)
+    dim, n = 16, 300
+    centers = rng.normal(size=(5, dim))
+    X = centers[np.arange(n) % 5] + 0.2 * rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 40 == 1, n_iters=2)
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 31]]) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    key = lambda r: (r.q_id, r.rnk, r.n_id, round(r.sim, 9))  # noqa: E731
+
+    # m=4 (one packed long, partial group) and m=16 (two full groups)
+    for m, residual, assign_r in ((4, True, 1), (16, False, 1), (4, True, 2)):
+        if residual:
+            books = pq_train(
+                coarse_residuals(df, cents), vec_col="resid",
+                m=m, k=8, n_iters=2, dim=dim,
+            )
+        else:
+            books = pq_train(df, m=m, k=8, n_iters=2, dim=dim)
+        idx = ivfpq_index(
+            df, cents, books, residual=residual, assign_r=assign_r
+        ).localCheckpoint()
+        kw = dict(n_probe=3, k=4, shortlist=60, residual=residual)
+        ref = sorted(map(key, ivfpq_topk(
+            idx, qs, cents, books, df, **kw).collect()))
+        assert ref
+        fused = sorted(map(key, ivfpq_topk_fused(
+            idx, qs, cents, books, df, **kw).collect()))
+        assert fused == ref, (m, residual, assign_r)
+        f32 = sorted(map(key, ivfpq_topk_fused(
+            idx, qs, cents, books, df, adc_dtype="float32", **kw).collect()))
+        assert f32 == ref, (m, residual, assign_r)
+        if m == 4 and residual and assign_r == 1:
+            bat = sorted(map(key, ivfpq_topk_batched(
+                idx, qs, cents, books, df, batch_rows=2, fused=True, **kw
+            ).collect()))
+            assert bat == ref
+
+    # tiny shortlist exercises the per-partition prune boundary: fused
+    # emits per-partition top-shortlist, a superset of the global one
+    books = pq_train(
+        coarse_residuals(df, cents), vec_col="resid", m=4, k=8, n_iters=2,
+        dim=dim,
+    )
+    idx = ivfpq_index(df, cents, books, residual=True).localCheckpoint()
+    kw = dict(n_probe=3, k=3, shortlist=5, residual=True)
+    ref = sorted(map(key, ivfpq_topk(idx, qs, cents, books, df, **kw).collect()))
+    fused = sorted(map(key, ivfpq_topk_fused(
+        idx, qs, cents, books, df, **kw).collect()))
+    assert fused == ref
+
+
 def test_ivfpq_multi_assignment(spark):
     """Multi-assignment (assign_r=2) invariants: (1) the index lists every
     vector in exactly r distinct cells, cell #1 identical to the

@@ -1784,7 +1784,12 @@ def test_ivfpq_warm_retrain_equals_cold_and_recovers_drift(spark):
     )
     cents3 = cents3.localCheckpoint()
     n_serving = serving_cents.count()
-    assert cents3.filter(F.col("c_id") >= 1_000_000_000).count() > 0
+    # seed c_ids are shifted just above the serving table's max c_id
+    # (derived per call — r12 ADVICE: a fixed 1e9 offset collides once
+    # corpus vec_ids reach it), so new-regime cells are exactly the ones
+    # above serv_max and the two id ranges are disjoint by construction
+    serv_max = serving_cents.agg(F.max("c_id")).collect()[0][0]
+    assert cents3.filter(F.col("c_id") > serv_max).count() > 0
     assert cents3.count() > n_serving
     approx3 = ivfpq_topk(
         idx3.localCheckpoint(), queries, cents3, books3, merged,

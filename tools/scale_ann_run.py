@@ -153,6 +153,14 @@ def main() -> None:
         "code-capacity lever the r10 verdict asked to measure.",
     )
     ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="add _fused64/_fused32 twins of each crivfpq{r} deep-probe "
+        "tier (ivfpq_topk_fused: packed-code Arrow transfer + "
+        "per-partition shortlist fusion) — the wall-crossover arm of the "
+        "r12 verdict ask #4; results are the same top-k (pytest parity)",
+    )
+    ap.add_argument(
         "--opq",
         action="store_true",
         help="train an OPQ-lite rotation (PCA + eigenvalue-balanced block "
@@ -907,6 +915,7 @@ def _sweep(spark, corpus, queries, args) -> None:
             from crypto_market_data_etl_spark.operators.similarity import (
                 RESIDUAL_LUT_CAP_DOUBLES,
                 ivfpq_topk_batched,
+                ivfpq_topk_fused,
             )
 
             for n_probe, shortlist in (
@@ -914,7 +923,8 @@ def _sweep(spark, corpus, queries, args) -> None:
                 (96, 6400), (128, 3200), (192, 3200), (256, 6400),
             ):
                 lut = args.queries * n_probe * mm * 64
-                if lut > RESIDUAL_LUT_CAP_DOUBLES:
+                over_cap = lut > RESIDUAL_LUT_CAP_DOUBLES
+                if over_cap:
                     batch = max(1, RESIDUAL_LUT_CAP_DOUBLES // (n_probe * mm * 64))
                     fn = (
                         lambda p=n_probe, sl=shortlist, b=batch: ivfpq_topk_batched(
@@ -944,6 +954,39 @@ def _sweep(spark, corpus, queries, args) -> None:
                     index=cres_idx_r, cents=trained_cen, n_probe=n_probe,
                     center=bow_mean, shortlist=shortlist, m_bytes=mm,
                 )
+                if not args.fused:
+                    continue
+                for dt_tag, dt_name in (("64", "float64"), ("32", "float32")):
+                    if over_cap:
+                        ffn = (
+                            lambda p=n_probe, sl=shortlist, b=batch,
+                            d=dt_name: ivfpq_topk_batched(
+                                cres_idx_r, queries, trained_cen, books_cres,
+                                corpus, n_probe=p, k=args.k, shortlist=sl,
+                                center_vec=bow_mean, residual=True,
+                                batch_rows=b, fused=True, adc_dtype=d,
+                            )
+                        )
+                    else:
+                        ffn = (
+                            lambda p=n_probe, sl=shortlist,
+                            d=dt_name: ivfpq_topk_fused(
+                                cres_idx_r, queries, trained_cen, books_cres,
+                                corpus, n_probe=p, k=args.k, shortlist=sl,
+                                center_vec=bow_mean, residual=True,
+                                adc_dtype=d,
+                            )
+                        )
+                    fname = (
+                        f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
+                        f"_rerank{shortlist}_fused{dt_tag}"
+                    )
+                    configs.append((fname, ffn))
+                    reg_scan(
+                        fname, index=cres_idx_r, cents=trained_cen,
+                        n_probe=n_probe, center=bow_mean,
+                        shortlist=shortlist, m_bytes=mm,
+                    )
 
     if prefixes is not None:
         skipped = [n for n, _ in configs if not n.startswith(prefixes)]

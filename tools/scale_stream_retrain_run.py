@@ -110,6 +110,14 @@ def main() -> None:
     ap.add_argument("--assign-r", type=int, default=2, dest="assign_r")
     ap.add_argument("--chunks", type=int, default=4,
                     help="micro-batches the drift stream arrives in")
+    ap.add_argument("--warm-iters", type=str, default="2", dest="warm_iters",
+                    help="comma-separated Lloyd-iteration ladder for the "
+                    "seeded warm arm (the wall lever: cold pays 3)")
+    ap.add_argument("--skip-warm-only", action="store_true",
+                    dest="skip_warm_only",
+                    help="skip the warm-only (no seed expansion) arm — a "
+                    "committed negative since SCALE_r12; skipping it keeps "
+                    "big-N rungs affordable")
     args = ap.parse_args()
 
     spark = get_spark("scale-stream-retrain")
@@ -246,36 +254,38 @@ def main() -> None:
     # --- warm-start retrain arms over the merged corpus: serving
     # centroids only (the naive loop), then serving + new-regime seed
     # expansion (the operator's documented drift recipe) ---
-    t0 = time.time()
-    cents_w, books_w, idx_w = ivfpq_warm_retrain(
-        merged, serving_cents, n_iters=2, m=args.m, k=args.kc, pq_iters=3,
-        dim=DIM, assign_r=args.assign_r, seed_mod=pq_seed_m,
-    )
-    idx_w = idx_w.localCheckpoint()
-    idx_w.count()
-    cents_w = cents_w.localCheckpoint()
-    books_w = books_w.localCheckpoint()
-    _emit("warm_retrain", sec=round(time.time() - t0, 2),
-          cells=cents_w.count(), lloyd_iters=2)
-    recalls("recall_warm", idx_w, cents_w, books_w)
+    if not args.skip_warm_only:
+        t0 = time.time()
+        cents_w, books_w, idx_w = ivfpq_warm_retrain(
+            merged, serving_cents, n_iters=2, m=args.m, k=args.kc, pq_iters=3,
+            dim=DIM, assign_r=args.assign_r, seed_mod=pq_seed_m,
+        )
+        idx_w = idx_w.localCheckpoint()
+        idx_w.count()
+        cents_w = cents_w.localCheckpoint()
+        books_w = books_w.localCheckpoint()
+        _emit("warm_retrain", sec=round(time.time() - t0, 2),
+              cells=cents_w.count(), lloyd_iters=2)
+        recalls("recall_warm", idx_w, cents_w, books_w)
 
     seed_mod_m = max(1, n_merged // args.cells)
-    t0 = time.time()
-    cents_s, books_s, idx_s = ivfpq_warm_retrain(
-        merged, serving_cents, n_iters=2, m=args.m, k=args.kc, pq_iters=3,
-        dim=DIM, assign_r=args.assign_r, seed_mod=pq_seed_m,
-        extra_seed_filter=(
-            (F.col("vec_id") >= drift_ids0)
-            & (F.col("vec_id") % seed_mod_m == 1)
-        ),
-    )
-    idx_s = idx_s.localCheckpoint()
-    idx_s.count()
-    cents_s = cents_s.localCheckpoint()
-    books_s = books_s.localCheckpoint()
-    _emit("warm_retrain_seeded", sec=round(time.time() - t0, 2),
-          cells=cents_s.count(), lloyd_iters=2)
-    recalls("recall_warm_seeded", idx_s, cents_s, books_s)
+    for wi in (int(x) for x in args.warm_iters.split(",")):
+        t0 = time.time()
+        cents_s, books_s, idx_s = ivfpq_warm_retrain(
+            merged, serving_cents, n_iters=wi, m=args.m, k=args.kc,
+            pq_iters=3, dim=DIM, assign_r=args.assign_r, seed_mod=pq_seed_m,
+            extra_seed_filter=(
+                (F.col("vec_id") >= drift_ids0)
+                & (F.col("vec_id") % seed_mod_m == 1)
+            ),
+        )
+        idx_s = idx_s.localCheckpoint()
+        idx_s.count()
+        cents_s = cents_s.localCheckpoint()
+        books_s = books_s.localCheckpoint()
+        _emit(f"warm_retrain_seeded_i{wi}", sec=round(time.time() - t0, 2),
+              cells=cents_s.count(), lloyd_iters=wi)
+        recalls(f"recall_warm_seeded_i{wi}", idx_s, cents_s, books_s)
 
     # --- cold from-scratch rebuild (reference arm: seeding pass + full
     # Lloyd schedule over the merged corpus) ---

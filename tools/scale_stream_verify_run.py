@@ -79,7 +79,12 @@ def _stream_rows(spark, corpus, trigger: int, n_flagged: int, n_clean: int,
 
 def run_path(spark, corpus, *, reuse_index: bool, n_flagged: int,
              n_clean: int, n_triggers: int, threshold: float,
-             broadcast_cand: bool = True, flagged_mod: int = 997) -> dict:
+             broadcast_cand: bool = False, flagged_mod: int = 997) -> dict:
+    # broadcast_cand default matches the shipped operator default (False —
+    # the forced-broadcast arm is a measured negative, 2.6-3.1x slower and
+    # maxResultSize-fatal at flagged=500); only the flagged-axis A/B loop
+    # passes True explicitly. Keeping them aligned means the legacy
+    # volume-axis loop below measures the same arm SCALE_r12 inherited.
     from crypto_market_data_etl_spark.streaming.corpus import (
         stream_neardup_verified,
     )
