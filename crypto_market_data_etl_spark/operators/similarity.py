@@ -2593,6 +2593,22 @@ def ivfpq_topk_fused(
     3. **Vectorized emission.** ``np.repeat``/``np.concatenate`` replace
        the per-row Python extend loop.
 
+    4. **Worker-side ADC tables + cell-major layout.** ivfpq_topk builds
+       every per-(query, probed cell) LUT on the driver and ships the
+       tensor in the mapInPandas closure — at deep probes that is a
+       ~200 MB broadcast per call AND the reason for
+       ``RESIDUAL_LUT_CAP_DOUBLES`` (whose escape hatch re-scans the
+       index once per query chunk). Here the closure carries only the
+       query matrix, centroids, and codebooks (a few hundred KB); the
+       index is repartitioned on ``c_id`` and sorted within partitions,
+       so each cell's rows arrive contiguously and its LUT is computed
+       once, next to the data, then discarded. No cap, no query
+       chunking: ONE index scan regardless of probe depth. The
+       repartition is one narrow shuffle of the packed codes (~24
+       bytes/row) — at 12.8M that is ~600 MB once, vs a second full
+       scan + 200 MB closure per extra query chunk on the reference
+       path.
+
     ``adc_dtype="float32"`` halves LUT + accumulator memory bandwidth;
     ADC dists are shortlist-selection ONLY (the rerank re-scores exactly,
     same contract as :func:`ivfpq_topk`), so float32 can move a
@@ -2605,7 +2621,8 @@ def ivfpq_topk_fused(
 
     Memory: per-partition accumulators are pruned whenever they exceed
     ``max(1M, 2 × shortlist × n_queries)`` tuples, so a partition holds
-    O(shortlist × n_queries) candidate tuples, never its full scored set.
+    O(shortlist × n_queries) candidate tuples, never its full scored set;
+    LUTs live one cell at a time (≤ n_queries × m × k doubles).
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -2662,25 +2679,13 @@ def ivfpq_topk_fused(
             )
         return out
 
-    if residual:
-        k_max = max(b.shape[0] for b in books)
-        lut_cells = len(q_ids) * min(n_probe, len(c_ids)) * m * k_max
-        if lut_cells > RESIDUAL_LUT_CAP_DOUBLES:
-            raise ValueError(
-                f"ivfpq_topk_fused(residual=True): per-(query, cell) ADC "
-                f"tables would hold {lut_cells} doubles "
-                f"(> {RESIDUAL_LUT_CAP_DOUBLES:.0e} cap) — use "
-                f"ivfpq_topk_batched(fused=True) (exact under query "
-                f"batching) or lower n_probe"
-            )
-        c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
-        cell_luts = {
-            cell: _block_luts(Qa[qs] - C[c_pos[cell]][None, :])
-            for cell, qs in cell_to_q_np.items()
-        }
-        luts = None
-    else:
-        luts = _block_luts(Qe)
+    # Worker-side LUT inputs: per probed cell the workers rebuild the
+    # per-(query, cell) residual tables from these three small arrays —
+    # the closure ships O(nq·dim + cells·dim + m·k·dsub) doubles instead
+    # of the O(nq · n_probe · m · k) LUT tensor ivfpq_topk broadcasts
+    # (the cap that forces it to chunk queries and re-scan the index).
+    c_pos = {int(cid): i for i, cid in enumerate(c_ids)}
+    luts = None if residual else _block_luts(Qe)
 
     n_groups = (m + 7) // 8
     group_lens = [min(8, m - g * 8) for g in range(n_groups)]
@@ -2691,7 +2696,14 @@ def ivfpq_topk_fused(
         ).alias(f"p{g}")
         for g in range(n_groups)
     ]
-    packed = index_df.select(F.col(id_col), F.col("c_id"), *pack_cols)
+    # cell-major layout: hash-repartition on c_id + in-partition sort
+    # makes each cell's rows contiguous in one partition, so its LUT is
+    # built exactly once and freed when the scan moves past it
+    packed = (
+        index_df.select(F.col(id_col), F.col("c_id"), *pack_cols)
+        .repartition(F.col("c_id"))
+        .sortWithinPartitions("c_id")
+    )
 
     schema = T.StructType(
         [
@@ -2719,6 +2731,12 @@ def ivfpq_topk_fused(
         acc_n: list[np.ndarray] = []
         acc_d: list[np.ndarray] = []
         held = 0
+        # per-cell residual LUTs, built HERE from the small shipped
+        # arrays. Cells arrive contiguously (repartition + sort above),
+        # so a fragment-boundary memo of a few entries gives one build
+        # per (cell, partition); the dict is cleared when it grows past
+        # the handful a batch boundary can straddle.
+        lut_memo: dict[int, list] = {}
         for pdf in it:
             if pdf.empty:
                 continue
@@ -2745,7 +2763,12 @@ def ivfpq_topk_fused(
                 cc = codes[rows]
                 d = np.zeros((len(qs), len(ids)), dtype=dt)
                 if residual:
-                    cl = cell_luts[cell]
+                    cl = lut_memo.get(cell)
+                    if cl is None:
+                        if len(lut_memo) > 16:
+                            lut_memo.clear()
+                        cl = _block_luts(Qa[qs] - C[c_pos[cell]][None, :])
+                        lut_memo[cell] = cl
                     for b in range(m):
                         d += cl[b][:, cc[:, b]]
                 else:

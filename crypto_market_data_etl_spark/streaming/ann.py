@@ -142,11 +142,21 @@ def ivfpq_warm_retrain(
     the same density a cold build would seed at) and the init becomes
     ``serving_centroids ∪ sampled_new_vectors``: resident cells keep their
     warm positions, the new regime gets cold-style coverage, and the
-    rebuild recovers cold recall at a SHORTER Lloyd schedule (fewer
-    iterations, no kmeans|| seeding rounds). Shorter schedule ≠ cheaper
-    wall at every scale: at the 500k+100k rung the seeded arm cost 81.79 s
-    vs the cold rebuild's 76.13 s (SCALE_r12 ``stream_retrain``) — the
-    saved seeding pass was smaller than the union/collect overhead there.
+    rebuild recovers cold DRIFT recall at a SHORTER Lloyd schedule (fewer
+    iterations, no seeding pass).
+
+    **Measured economics** (SCALE_r13 ``stream_retrain``, 1.6M resident +
+    100k drifted, m8, probe32): seeded-warm at 2 Lloyd iters costs
+    **124.9 s vs the cold rebuild's 332.3 s (2.66x cheaper)** at matched
+    drift recall (0.9624 vs 0.9636, frozen had decayed to 0.5168); the
+    1-iter arm already reaches 0.9616, so the schedule lever saturates at
+    one corpus pass. The honest residual: base-regime recall sits ~5 pts
+    under cold (0.704 vs 0.754) because resident centroids keep their
+    old positions and count (1006 cells vs cold's 1266) — cold re-seeds
+    the WHOLE merged corpus at full density. At small N the economics
+    invert (SCALE_r12, 500k+100k: seeded 81.79 s vs cold 76.13 s — fixed
+    per-arm overheads dominate when a corpus pass is cheap); warm-start
+    is the big-N operator, exactly the regime a streaming index lives in.
     Extra seeds' ``c_id`` are shifted above the serving table's max
     ``c_id`` (derived per call) to stay disjoint from resident cell ids.
     """

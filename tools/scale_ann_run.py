@@ -841,24 +841,34 @@ def _sweep(spark, corpus, queries, args) -> None:
             **_pq_seed(args, 64),
         )
         books_cres.count()
-        cres_idx = ivfpq_index(
-            corpus, trained_cen, books_cres, center_vec=bow_mean, residual=True
-        ).localCheckpoint()
-        cres_idx.count()
-        print(
-            json.dumps(
-                {"job": f"crivfpq_m{mm}k64_index_build",
-                 "sec": round(time.time() - t0, 2)}
-            ),
-            flush=True,
+        # the assign_r=1 index only serves the crivfpq_m{mm} tier family —
+        # champion-config rungs (--tiers crivfpq2_...) skip its encode
+        # pass entirely (437 s at 12.8M in SCALE_r12, pure waste there)
+        r1_fam = f"crivfpq_m{mm}"
+        want_r1 = prefixes is None or any(
+            s.startswith("crivfpq_m") or r1_fam.startswith(s)
+            for s in prefixes
         )
+        if want_r1:
+            cres_idx = ivfpq_index(
+                corpus, trained_cen, books_cres, center_vec=bow_mean,
+                residual=True,
+            ).localCheckpoint()
+            cres_idx.count()
+            print(
+                json.dumps(
+                    {"job": f"crivfpq_m{mm}k64_index_build",
+                     "sec": round(time.time() - t0, 2)}
+                ),
+                flush=True,
+            )
         # extended probe ladder: residual ADC nearly saturates the
         # probe-limited recall ceiling (probe16: 0.494 vs the exact-IVF
         # 0.522 ceiling at 1/24 its cost), so the high-probe rungs are
         # where it passes the full-scan centered-ADC point — per-probe
         # marginal cost is an ADC gather over codes, not a raw-vector
         # rerank of whole cells
-        for n_probe in (4, 8, 16, 32, 64, 96):
+        for n_probe in (4, 8, 16, 32, 64, 96) if want_r1 else ():
             configs.append(
                 (
                     f"crivfpq_m{mm}k64_probe{n_probe}_rerank400",
@@ -874,7 +884,7 @@ def _sweep(spark, corpus, queries, args) -> None:
                 index=cres_idx, cents=trained_cen, n_probe=n_probe,
                 center=bow_mean, shortlist=400, m_bytes=mm,
             )
-        for n_probe in (64, 96):
+        for n_probe in (64, 96) if want_r1 else ():
             configs.append(
                 (
                     f"crivfpq_m{mm}k64_probe{n_probe}_rerank1600",

@@ -226,6 +226,13 @@ def main() -> None:
         spark.stop()
         return
 
+    # discarded warm-up pass (same rule as the flagged-axis branch): the
+    # session's first streaming query pays JIT/codegen/shuffle-infra
+    # warm-up ~2-3x — burn it unrecorded so the volume axis is comparable
+    run_path(
+        spark, corpus, reuse_index=True, n_flagged=5, n_clean=500,
+        n_triggers=2, threshold=args.threshold, flagged_mod=97,
+    )
     rungs = []
     for n_clean in [int(x) for x in args.clean.split(",")]:
         for reuse in (True, False):
@@ -261,6 +268,19 @@ def main() -> None:
                 by[("reshingle", c)]["per_trigger_s"]
                 / by[("index", c)]["per_trigger_s"],
                 2,
+            )
+            for c in vols
+        },
+        # the r12 floor attribution claimed the fixed per-trigger cost
+        # "amortizes with trigger size" from wiring analysis alone; this
+        # row MEASURES it — per-document wall on the index path must fall
+        # as the trigger grows (r12 verdict ask #5)
+        "index_ms_per_doc_by_clean": {
+            str(c): round(
+                1000.0
+                * by[("index", c)]["per_trigger_s"]
+                / (c + by[("index", c)]["flagged_per_trigger"]),
+                3,
             )
             for c in vols
         },
