@@ -2549,6 +2549,26 @@ def ivfpq_topk_batched(
     return out
 
 
+def _pack_code_cols(group_lens: list) -> list:
+    """LongType packing expressions for byte-wide PQ codes: group ``g``
+    packs ``codes[g*8 : g*8+group_lens[g]]`` big-endian, one byte per
+    code. Bit ops (``shiftleft | code``), NOT ``acc * 256 + x``: under
+    Spark 4's default ``spark.sql.ansi.enabled=true`` the arithmetic
+    form throws ARITHMETIC_OVERFLOW whenever a full 8-code group's
+    leading code has its top bit set (codebooks with 129–256 centroids)
+    — the sign bit is data here, and shifts don't overflow-check. The
+    numpy unpack side (arithmetic ``>>`` then ``& 255``) is
+    sign-agnostic by construction.
+    """
+    return [
+        F.expr(
+            f"aggregate(slice(codes, {g * 8 + 1}, {glen}), 0L, "
+            f"(acc, x) -> shiftleft(acc, 8) | cast(x AS bigint))"
+        ).alias(f"p{g}")
+        for g, glen in enumerate(group_lens)
+    ]
+
+
 def ivfpq_topk_fused(
     index_df: DataFrame,
     queries: DataFrame,
@@ -2579,17 +2599,22 @@ def ivfpq_topk_fused(
        whole-stage-codegen ``aggregate(slice(...))`` at scan time) and
        unpacked in numpy with vectorized shifts — the Arrow transfer is
        zero-copy primitive columns.
-    2. **Per-partition shortlist fusion.** ivfpq_topk emits up to
-       ``min(shortlist, |cell∩batch|)`` rows per (probed cell, query) —
-       at deep-rerank configs (shortlist ≈ cell size) that is nearly
-       EVERY scored candidate shuffled into the ranking window (~350M
-       rows at the 12.8M/probe96/rerank6400 rung). Here each partition
-       folds scores into per-query accumulators (vectorized lexsort
-       prune, ``(dist, n_id)`` order — the window's exact sort key) and
-       emits only its per-partition top-``shortlist``: ≤ ``n_queries ×
-       n_partitions × shortlist`` rows, a strict superset of the global
-       top-``shortlist``, so the downstream window + rerank see the same
-       survivors.
+    2. **Per-partition shortlist fusion + array-fold merge.** ivfpq_topk
+       emits up to ``min(shortlist, |cell∩batch|)`` rows per (probed
+       cell, query) — at deep-rerank configs (shortlist ≈ cell size)
+       that is nearly EVERY scored candidate shuffled into the ranking
+       window (~350M rows at the 12.8M/probe96/rerank6400 rung). Here
+       each partition folds scores into per-query accumulators
+       (vectorized lexsort prune, ``(dist, n_id)`` order — the reference
+       window's exact sort key, over the same post-self-filter
+       population) and emits ONE Arrow-array row per (partition, query):
+       ≤ ``n_queries × n_partitions`` rows of ≤ ``shortlist``-long
+       arrays, a strict superset of the global top-``shortlist``. A
+       ``groupBy(q_id).applyInPandas`` concat+lexsort replaces the
+       global row_number window entirely — the ``O(n_queries ×
+       n_partitions × shortlist)`` shuffled-row term that dominated
+       deep-shortlist configs is gone (the same candidates cross the
+       shuffle as a few thousand packed arrays).
     3. **Vectorized emission.** ``np.repeat``/``np.concatenate`` replace
        the per-row Python extend loop.
 
@@ -2689,13 +2714,7 @@ def ivfpq_topk_fused(
 
     n_groups = (m + 7) // 8
     group_lens = [min(8, m - g * 8) for g in range(n_groups)]
-    pack_cols = [
-        F.expr(
-            f"aggregate(slice(codes, {g * 8 + 1}, {group_lens[g]}), 0L, "
-            f"(acc, x) -> acc * 256L + x)"
-        ).alias(f"p{g}")
-        for g in range(n_groups)
-    ]
+    pack_cols = _pack_code_cols(group_lens)
     # cell-major layout: hash-repartition on c_id + in-partition sort
     # makes each cell's rows contiguous in one partition, so its LUT is
     # built exactly once and freed when the scan moves past it
@@ -2708,8 +2727,8 @@ def ivfpq_topk_fused(
     schema = T.StructType(
         [
             T.StructField("q_id", T.LongType()),
-            T.StructField("n_id", T.LongType()),
-            T.StructField("dist", T.DoubleType()),
+            T.StructField("n_ids", T.ArrayType(T.LongType())),
+            T.StructField("dists", T.ArrayType(T.DoubleType())),
         ]
     )
     nq = len(q_ids)
@@ -2774,10 +2793,23 @@ def ivfpq_topk_fused(
                 else:
                     for b in range(m):
                         d += luts[b][qs][:, cc[:, b]]
-                acc_q.append(np.repeat(q_ids[qs], len(ids)))
-                acc_n.append(np.tile(ids, len(qs)))
-                acc_d.append(d.ravel().astype(np.float64, copy=False))
-                held += len(qs) * len(ids)
+                qa_c = np.repeat(q_ids[qs], len(ids))
+                na_c = np.tile(ids, len(qs))
+                da_c = d.ravel().astype(np.float64, copy=False)
+                # Self pairs (query vector present in the index, incl.
+                # assign_r>1 duplicates) are dropped HERE, before the
+                # prune, so per-partition shortlists are computed over
+                # the same post-filter population the reference path's
+                # pre-window filter ranks — otherwise a self row burns a
+                # prune slot and a boundary candidate at exactly rank
+                # ``shortlist`` can diverge from ivfpq_topk.
+                sm = qa_c != na_c
+                if not sm.all():
+                    qa_c, na_c, da_c = qa_c[sm], na_c[sm], da_c[sm]
+                acc_q.append(qa_c)
+                acc_n.append(na_c)
+                acc_d.append(da_c)
+                held += len(qa_c)
             if held > prune_at:
                 qa, na, da = _prune(
                     np.concatenate(acc_q), np.concatenate(acc_n),
@@ -2790,17 +2822,38 @@ def ivfpq_topk_fused(
                 np.concatenate(acc_q), np.concatenate(acc_n),
                 np.concatenate(acc_d), shortlist,
             )
-            yield pd.DataFrame({"q_id": qa, "n_id": na, "dist": da})
+            # _prune's lexsort leaves qa grouped — emit ONE array row
+            # per (partition, query): ≤ nq rows of ≤ shortlist-long
+            # arrays per partition instead of nq × shortlist candidate
+            # rows. At 12.8M/probe96/rerank6400 that is ~6k Arrow-list
+            # rows through the shuffle where the row form pushed ~40M
+            # rows into a global ranking window — the O(nq × partitions
+            # × shortlist) term that dominated deep-shortlist configs.
+            starts = np.flatnonzero(np.r_[True, qa[1:] != qa[:-1]])
+            ends = np.r_[starts[1:], len(qa)]
+            yield pd.DataFrame(
+                {
+                    "q_id": qa[starts],
+                    "n_ids": [na[s:e] for s, e in zip(starts, ends)],
+                    "dists": [da[s:e] for s, e in zip(starts, ends)],
+                }
+            )
 
     partial = packed.mapInPandas(batches, schema=schema)
-    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id"))
-    cand = (
-        partial.filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= shortlist)
-        .select("q_id", "n_id")
-        .distinct()
-    )
+
+    def _merge(pdf):
+        # Global top-``shortlist`` per query over the per-partition
+        # arrays — same population (self pairs already masked) and same
+        # (dist, n_id) order + post-rank distinct as the reference
+        # path's window, so the rerank sees identical survivors.
+        na = np.concatenate([np.asarray(v, dtype=np.int64) for v in pdf["n_ids"]])
+        da = np.concatenate([np.asarray(v, dtype=np.float64) for v in pdf["dists"]])
+        top = np.lexsort((na, da))[:shortlist]
+        return pd.DataFrame(
+            {"q_id": pdf["q_id"].iloc[0], "n_id": np.unique(na[top])}
+        )
+
+    cand = partial.groupBy("q_id").applyInPandas(_merge, "q_id long, n_id long")
     return _rerank_candidates(
         cand, corpus, id_col, vec_col, k,
         q_vecs=queries if rerank_queries is None else rerank_queries,

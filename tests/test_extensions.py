@@ -2523,6 +2523,129 @@ def test_ivfpq_topk_fused_equals_reference(spark):
     assert fused == ref
 
 
+def test_fused_pack_sign_bit_roundtrip(spark):
+    """Packing codes whose leading byte has the top bit set (codebooks
+    with 129–256 centroids) must round-trip: the old ``acc * 256 + x``
+    fold threw ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode
+    when a full 8-code group packed into the long's sign bit. The bit-op
+    form (shiftleft | code) treats the sign bit as data; the numpy
+    unpack (arithmetic >> then & 255) is sign-agnostic."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        _pack_code_cols,
+    )
+
+    cases = [
+        [255] * 8,                                # all sign bits, max value
+        [128, 0, 0, 0, 0, 0, 0, 0],               # minimal negative long
+        [200, 255, 0, 7, 128, 1, 199, 250],       # mixed full group
+        [127, 255, 255, 255, 255, 255, 255, 255], # max positive long
+        [0] * 8,
+    ]
+    m = 8
+    group_lens = [8]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "vec_id long, codes array<int>"
+    )
+    packed = df.select("vec_id", *_pack_code_cols(group_lens)).orderBy("vec_id")
+    rows = packed.collect()
+    v = np.array([r["p0"] for r in rows], dtype=np.int64)
+    out = np.empty((len(cases), m), dtype=np.int64)
+    for j in range(m):
+        out[:, j] = (v >> (8 * (m - 1 - j))) & 255
+    assert out.tolist() == cases
+
+    # partial trailing group (m=12 -> lens [8, 4]) keeps byte order
+    df12 = spark.createDataFrame(
+        [(0, [200, 1, 255, 3, 129, 5, 6, 7, 255, 9, 10, 128])],
+        "vec_id long, codes array<int>",
+    )
+    r = df12.select(*_pack_code_cols([8, 4])).collect()[0]
+    v0, v1 = np.int64(r["p0"]), np.int64(r["p1"])
+    got = [(v0 >> (8 * (7 - j))) & 255 for j in range(8)] + [
+        (v1 >> (8 * (3 - j))) & 255 for j in range(4)
+    ]
+    assert [int(x) for x in got] == [200, 1, 255, 3, 129, 5, 6, 7, 255, 9, 10, 128]
+
+
+def test_fused_wide_codebooks_and_self_match_parity(spark):
+    """Two fused-vs-reference parity regressions from the r13 audit:
+
+    (1) codebooks with >128 centroids — real PQ codes land in 128–255,
+    so a full 8-code group packs into the long's sign bit; pre-fix the
+    fused path threw ARITHMETIC_OVERFLOW under default ANSI before any
+    row was scored.
+
+    (2) queries that ARE index vectors (self-join ANN) at a tight
+    shortlist — self pairs must be masked BEFORE the per-partition
+    prune, else a self row burns a prune slot and a boundary candidate
+    at exactly rank ``shortlist`` diverges from ivfpq_topk (whose
+    pre-window filter never ranks self rows)."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_fused,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(77)
+    dim, m, kb, n = 16, 8, 200, 360
+    centers = rng.normal(size=(6, dim))
+    X = centers[np.arange(n) % 6] + 0.25 * rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    cents = kmeans_train(df, centroid_filter=F.col("vec_id") % 60 == 1, n_iters=2)
+    # hand-built wide codebooks (pq_train can't fill 200 clusters from a
+    # 360-row fixture): block b's centroids are drawn around the data's
+    # subspace range so argmin spreads codes across the full 0..199 band
+    dsub = dim // m
+    books_rows = []
+    for b in range(m):
+        B = 0.5 * rng.normal(size=(kb, dsub))
+        for c in range(kb):
+            books_rows.append((b, c, [float(x) for x in B[c]]))
+    books = spark.createDataFrame(
+        books_rows, "block int, c_id int, c_vec array<double>"
+    )
+    idx = ivfpq_index(df, cents, books).localCheckpoint()
+    # the fixture genuinely exercises the sign bit: some row's leading
+    # code in a full 8-group is >= 128
+    lead = idx.select(F.expr("codes[0]").alias("c0")).agg(
+        F.max("c0").alias("mx")).collect()[0]["mx"]
+    assert lead >= 128
+
+    # (1) external queries, wide books
+    qs = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in X[i * 37]]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    key = lambda r: (r.q_id, r.rnk, r.n_id, round(r.sim, 9))  # noqa: E731
+    kw = dict(n_probe=3, k=4, shortlist=40)
+    ref = sorted(map(key, ivfpq_topk(idx, qs, cents, books, df, **kw).collect()))
+    assert ref
+    fused = sorted(map(key, ivfpq_topk_fused(
+        idx, qs, cents, books, df, **kw).collect()))
+    assert fused == ref
+
+    # (2) self-join queries at tight shortlists (boundary-sensitive)
+    self_qs = df.filter(F.col("vec_id") % 45 == 2)
+    assert self_qs.count() == 8
+    for shortlist in (3, 5, 11):
+        kw = dict(n_probe=3, k=3, shortlist=shortlist)
+        ref = sorted(map(key, ivfpq_topk(
+            idx, self_qs, cents, books, df, **kw).collect()))
+        assert ref
+        fused = sorted(map(key, ivfpq_topk_fused(
+            idx, self_qs, cents, books, df, **kw).collect()))
+        assert fused == ref, shortlist
+
+
 def test_ivfpq_multi_assignment(spark):
     """Multi-assignment (assign_r=2) invariants: (1) the index lists every
     vector in exactly r distinct cells, cell #1 identical to the

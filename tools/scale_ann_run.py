@@ -967,26 +967,22 @@ def _sweep(spark, corpus, queries, args) -> None:
                 if not args.fused:
                     continue
                 for dt_tag, dt_name in (("64", "float64"), ("32", "float32")):
-                    if over_cap:
-                        ffn = (
-                            lambda p=n_probe, sl=shortlist, b=batch,
-                            d=dt_name: ivfpq_topk_batched(
-                                cres_idx_r, queries, trained_cen, books_cres,
-                                corpus, n_probe=p, k=args.k, shortlist=sl,
-                                center_vec=bow_mean, residual=True,
-                                batch_rows=b, fused=True, adc_dtype=d,
-                            )
+                    # Fused arms ALWAYS run unbatched: the LUT-doubles
+                    # cap only exists for ivfpq_topk's driver-built
+                    # tensor; ivfpq_topk_fused builds LUTs worker-side
+                    # with no cap, and batching it re-shuffles + scans
+                    # the full index once per query chunk — which
+                    # understates the fused win at exactly the deep
+                    # probes the rung exists to measure (r13 ADVICE).
+                    ffn = (
+                        lambda p=n_probe, sl=shortlist,
+                        d=dt_name: ivfpq_topk_fused(
+                            cres_idx_r, queries, trained_cen, books_cres,
+                            corpus, n_probe=p, k=args.k, shortlist=sl,
+                            center_vec=bow_mean, residual=True,
+                            adc_dtype=d,
                         )
-                    else:
-                        ffn = (
-                            lambda p=n_probe, sl=shortlist,
-                            d=dt_name: ivfpq_topk_fused(
-                                cres_idx_r, queries, trained_cen, books_cres,
-                                corpus, n_probe=p, k=args.k, shortlist=sl,
-                                center_vec=bow_mean, residual=True,
-                                adc_dtype=d,
-                            )
-                        )
+                    )
                     fname = (
                         f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
                         f"_rerank{shortlist}_fused{dt_tag}"
