@@ -93,6 +93,8 @@ def ivfpq_warm_retrain(
     assign_r: int = 1,
     seed_mod: int | None = None,
     extra_seed_filter=None,
+    split_index: DataFrame | None = None,
+    split_factor: float = 2.0,
 ):
     """The PERIODIC RETRAIN half of the ingest-vs-retrain contract
     documented on :func:`stream_ivfpq_index`: rebuild the trained
@@ -159,6 +161,23 @@ def ivfpq_warm_retrain(
     is the big-N operator, exactly the regime a streaming index lives in.
     Extra seeds' ``c_id`` are shifted above the serving table's max
     ``c_id`` (derived per call) to stay disjoint from resident cell ids.
+
+    **Cell split for the base-regime residual** (``split_index``): seed
+    expansion fixes DRIFT recall but leaves the resident regime served by
+    the serving table's cell count at its old positions — SCALE_r13
+    ``stream_retrain`` measured base recall ~5 pts under cold (0.704 vs
+    0.754; 1006 vs 1266 cells) because cold re-seeds the whole merged
+    corpus at full density while warm keeps the resident granularity
+    frozen. Pass the CURRENT index table (resident + streamed rows,
+    ``(vec_id, c_id, ...)``) and cells whose occupancy exceeds
+    ``split_factor ×`` the mean gain one extra seed each: the member
+    FARTHEST from its cell centroid in assignment space (the bisecting
+    k-means heuristic — splits the cell along its widest axis), ties to
+    the smallest id. Cost: one groupBy(count) on the codes-only index +
+    one map-side dot pass over oversized-cell members — no corpus scan.
+    The multi-cycle schedule question (does base recall decay across
+    successive warm retrains, and does the split hold it) is measured in
+    SCALE_r14 ``retrain_cycles``.
     """
     from ..materialize import checkpoint_nostats
     from ..operators.similarity import (
@@ -176,7 +195,42 @@ def ivfpq_warm_retrain(
         eager=True,
     )
     init = serving_centroids.select("c_id", "c_vec")
+    extra_ids = None
     if extra_seed_filter is not None:
+        extra_ids = corpus_n.filter(extra_seed_filter).select(id_col)
+    if split_index is not None:
+        occ = split_index.groupBy("c_id").agg(F.count("*").alias("occ"))
+        mean_occ = occ.agg(F.avg("occ")).collect()[0][0] or 0.0
+        over = occ.filter(F.col("occ") > split_factor * mean_occ).select("c_id")
+        # farthest-from-centroid member per oversized cell, in the
+        # module's assignment space (unit member · unit centroid); the
+        # oversized-cell set is ≤ n_cells rows, so both joins broadcast
+        unit_cen = serving_centroids.join(over, "c_id").select(
+            "c_id",
+            F.expr(
+                "transform(c_vec, x -> x / sqrt(aggregate(c_vec, 0.0D, "
+                "(a, v) -> a + v * v)))"
+            ).alias("u_vec"),
+        )
+        members = (
+            split_index.join(F.broadcast(over), "c_id")
+            .select("c_id", id_col)
+            .join(corpus_n, id_col)
+            .join(F.broadcast(unit_cen), "c_id")
+            .select(
+                "c_id",
+                F.col(id_col),
+                F.expr(
+                    f"aggregate(zip_with({vec_col}, u_vec, (a, b) -> a * b), "
+                    "0.0D, (acc, x) -> acc + x)"
+                ).alias("dot"),
+            )
+        )
+        picks = members.groupBy("c_id").agg(
+            F.min_by(F.col(id_col), F.struct("dot", id_col)).alias(id_col)
+        ).select(id_col)
+        extra_ids = picks if extra_ids is None else extra_ids.unionByName(picks)
+    if extra_ids is not None:
         # Seed c_ids must be disjoint from serving c_ids, which are corpus
         # vec_ids (kmeans_train keys cells by seed row id) — a FIXED offset
         # collides once ids reach it, and kmeans_train's groupBy("c_id")
@@ -184,13 +238,18 @@ def ivfpq_warm_retrain(
         # from the observed id ranges instead: shift the seed ids so the
         # smallest lands just above the largest serving c_id. Two tiny
         # aggs (corpus_n is already checkpointed; serving is nlist rows).
+        # distinct(): the same vector may be picked as both a drift seed
+        # and a split seed — duplicated seed ids would collide in c_id and
+        # kmeans_train's mean would silently merge them.
         lo, _hi = corpus_n.agg(
             F.min(F.col(id_col)), F.max(F.col(id_col))
         ).collect()[0]
         serv_max = serving_centroids.agg(F.max("c_id")).collect()[0][0]
         offset = int(serv_max or 0) + 1 - int(lo or 0)
         init = init.unionByName(
-            corpus_n.filter(extra_seed_filter).select(
+            extra_ids.distinct()
+            .join(corpus_n, id_col)
+            .select(
                 (F.col(id_col) + F.lit(offset)).alias("c_id"),
                 F.col(vec_col).alias("c_vec"),
             )

@@ -1797,3 +1797,98 @@ def test_ivfpq_warm_retrain_equals_cold_and_recovers_drift(spark):
     )
     r_seeded = ann_recall(approx3, exact).collect()[0]["recall"]
     assert r_seeded >= 0.9, r_seeded
+
+
+def test_ivfpq_warm_retrain_cell_split(spark):
+    """The cell-split arm of the warm-retrain contract (r13 verdict: warm
+    retrains keep the resident cell count frozen, so base-regime recall
+    sits under cold's — the candidate fix splits oversized resident
+    cells). Asserts the split PLUMBING on a fixture with one dominant
+    cluster: (1) exactly the oversized cells gain a seed, and the seed is
+    a member of that cell (the farthest-from-centroid member by the
+    deterministic (dot, id) rule); (2) a split_factor no cell exceeds is
+    a bit-exact no-op vs warm-only; (3) split composes with
+    extra_seed_filter (shared offset space, distinct-deduped)."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        coarse_residuals,
+        ivfpq_index,
+        kmeans_train,
+        pq_train,
+        with_norm,
+    )
+    from crypto_market_data_etl_spark.streaming.ann import ivfpq_warm_retrain
+
+    rng = np.random.default_rng(31)
+    dim, m, kc, n = 16, 4, 16, 300
+    centers = rng.normal(size=(4, dim))
+    # 70% of mass in cluster 0 — its cell(s) end up oversized
+    which = np.where(np.arange(n) % 10 < 7, 0, np.arange(n) % 4)
+    X = centers[which] + 0.1 * rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).localCheckpoint()
+
+    corpus_n = with_norm(corpus).select(
+        "vec_id", F.expr("transform(embedding, x -> x / norm)").alias("embedding")
+    ).localCheckpoint()
+    serving_cents = kmeans_train(
+        corpus_n, centroid_filter=F.col("vec_id") % 75 == 1, n_iters=2
+    ).localCheckpoint()
+    serving_books = pq_train(
+        coarse_residuals(corpus, serving_cents), vec_col="resid",
+        m=m, k=kc, n_iters=2, dim=dim,
+    )
+    idx = ivfpq_index(
+        corpus, serving_cents, serving_books, residual=True
+    ).localCheckpoint()
+
+    occ = {r["c_id"]: r["n"] for r in
+           idx.groupBy("c_id").agg(F.count("*").alias("n")).collect()}
+    mean_occ = sum(occ.values()) / len(occ)
+    oversized = {c for c, v in occ.items() if v > 2.0 * mean_occ}
+    assert oversized, occ  # the fixture must actually produce a hot cell
+
+    serv_max = serving_cents.agg(F.max("c_id")).collect()[0][0]
+    cents_s, _books_s, idx_s = ivfpq_warm_retrain(
+        corpus, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
+        split_index=idx, split_factor=2.0,
+    )
+    cents_s = cents_s.localCheckpoint()
+    # (1) one new cell per oversized cell, ids above serv_max
+    new_cells = cents_s.filter(F.col("c_id") > serv_max).count()
+    assert new_cells == len(oversized), (new_cells, oversized)
+    assert cents_s.count() == serving_cents.count() + len(oversized)
+    assert idx_s.count() == corpus.count()
+
+    # (2) nothing oversized at a huge factor -> bit-exact warm-only
+    cents_w, _, _ = ivfpq_warm_retrain(
+        corpus, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
+    )
+    cents_n, _, _ = ivfpq_warm_retrain(
+        corpus, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
+        split_index=idx, split_factor=1e9,
+    )
+    canon = lambda df: sorted((r.c_id, tuple(r.c_vec)) for r in df.collect())
+    assert canon(cents_n) == canon(cents_w)
+
+    # (3) composes with extra_seed_filter: both seed families land, and
+    # a vector picked by BOTH is seeded once (distinct dedup)
+    pick_id = None
+    # recompute the rule's pick for one oversized cell to pin determinism
+    cell = sorted(oversized)[0]
+    members = [r["vec_id"] for r in idx.filter(F.col("c_id") == cell)
+               .select("vec_id").collect()]
+    cen = serving_cents.filter(F.col("c_id") == cell).collect()[0]["c_vec"]
+    cu = np.asarray(cen) / np.linalg.norm(cen)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dots = {i: float(Xn[i] @ cu) for i in members}
+    pick_id = min(members, key=lambda i: (dots[i], i))
+    cents_b, _, _ = ivfpq_warm_retrain(
+        corpus, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
+        extra_seed_filter=F.col("vec_id") == pick_id,
+        split_index=idx, split_factor=2.0,
+    )
+    # the overlapping pick seeds ONE cell, not two
+    assert cents_b.count() == serving_cents.count() + len(oversized)
