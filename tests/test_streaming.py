@@ -1847,13 +1847,16 @@ def test_ivfpq_warm_retrain_cell_split(spark):
     occ = {r["c_id"]: r["n"] for r in
            idx.groupBy("c_id").agg(F.count("*").alias("n")).collect()}
     mean_occ = sum(occ.values()) / len(occ)
-    oversized = {c for c, v in occ.items() if v > 2.0 * mean_occ}
+    # the hot cluster lands as TWO ~110-member cells vs mean 75 on this
+    # fixture — 1.4x is the factor that marks exactly those as oversized
+    split_f = 1.4
+    oversized = {c for c, v in occ.items() if v > split_f * mean_occ}
     assert oversized, occ  # the fixture must actually produce a hot cell
 
     serv_max = serving_cents.agg(F.max("c_id")).collect()[0][0]
     cents_s, _books_s, idx_s = ivfpq_warm_retrain(
         corpus, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
-        split_index=idx, split_factor=2.0,
+        split_index=idx, split_factor=split_f,
     )
     cents_s = cents_s.localCheckpoint()
     # (1) one new cell per oversized cell, ids above serv_max
@@ -1888,7 +1891,7 @@ def test_ivfpq_warm_retrain_cell_split(spark):
     cents_b, _, _ = ivfpq_warm_retrain(
         corpus, serving_cents, n_iters=2, m=m, k=kc, pq_iters=2, dim=dim,
         extra_seed_filter=F.col("vec_id") == pick_id,
-        split_index=idx, split_factor=2.0,
+        split_index=idx, split_factor=split_f,
     )
     # the overlapping pick seeds ONE cell, not two
     assert cents_b.count() == serving_cents.count() + len(oversized)
