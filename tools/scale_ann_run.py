@@ -161,6 +161,16 @@ def main() -> None:
         "r12 verdict ask #4; results are the same top-k (pytest parity)",
     )
     ap.add_argument(
+        "--fused-only",
+        action="store_true",
+        dest="fused_only",
+        help="with --fused: run ONLY the _fused64/_fused32 twins of each "
+        "crivfpq{r} tier, skipping the ivfpq_topk reference arm — the "
+        "biggest-N crossover rungs (25.6M) can't afford the reference "
+        "wall and its result is already bit-parity-pinned by pytest + "
+        "the smaller-N interleaves",
+    )
+    ap.add_argument(
         "--opq",
         action="store_true",
         help="train an OPQ-lite rotation (PCA + eigenvalue-balanced block "
@@ -951,19 +961,20 @@ def _sweep(spark, corpus, queries, args) -> None:
                             center_vec=bow_mean, residual=True,
                         )
                     )
-                configs.append(
-                    (
+                if not args.fused_only:
+                    configs.append(
+                        (
+                            f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
+                            f"_rerank{shortlist}",
+                            fn,
+                        )
+                    )
+                    reg_scan(
                         f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
                         f"_rerank{shortlist}",
-                        fn,
+                        index=cres_idx_r, cents=trained_cen, n_probe=n_probe,
+                        center=bow_mean, shortlist=shortlist, m_bytes=mm,
                     )
-                )
-                reg_scan(
-                    f"crivfpq{args.assign_r}_m{mm}k64_probe{n_probe}"
-                    f"_rerank{shortlist}",
-                    index=cres_idx_r, cents=trained_cen, n_probe=n_probe,
-                    center=bow_mean, shortlist=shortlist, m_bytes=mm,
-                )
                 if not args.fused:
                     continue
                 for dt_tag, dt_name in (("64", "float64"), ("32", "float32")):
