@@ -2585,6 +2585,7 @@ def ivfpq_topk_fused(
     rerank_queries: DataFrame | None = None,
     residual: bool = False,
     adc_dtype: str = "float64",
+    merge: str = "arrays",
 ) -> DataFrame:
     """:func:`ivfpq_topk` with the ADC scan re-plumbed for wall clock —
     same probe selection, same LUTs, same shortlist/rerank semantics
@@ -2822,6 +2823,9 @@ def ivfpq_topk_fused(
                 np.concatenate(acc_q), np.concatenate(acc_n),
                 np.concatenate(acc_d), shortlist,
             )
+            if merge == "window":
+                yield pd.DataFrame({"q_id": qa, "n_id": na, "dist": da})
+                return
             # _prune's lexsort leaves qa grouped — emit ONE array row
             # per (partition, query): ≤ nq rows of ≤ shortlist-long
             # arrays per partition instead of nq × shortlist candidate
@@ -2838,6 +2842,33 @@ def ivfpq_topk_fused(
                     "dists": [da[s:e] for s, e in zip(starts, ends)],
                 }
             )
+
+    if merge == "window":
+        # the pre-r14 physical form, kept for interleaved A/Bs: emit
+        # per-partition top-shortlist ROWS into a global ranking window
+        # (the self-pair mask inside `batches` applies to both forms, so
+        # window/arrays stay bit-identical)
+        row_schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType()),
+                T.StructField("n_id", T.LongType()),
+                T.StructField("dist", T.DoubleType()),
+            ]
+        )
+        partial = packed.mapInPandas(batches, schema=row_schema)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("dist").asc(), F.col("n_id")
+        )
+        cand = (
+            partial.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= shortlist)
+            .select("q_id", "n_id")
+            .distinct()
+        )
+        return _rerank_candidates(
+            cand, corpus, id_col, vec_col, k,
+            q_vecs=queries if rerank_queries is None else rerank_queries,
+        )
 
     partial = packed.mapInPandas(batches, schema=schema)
 

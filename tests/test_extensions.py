@@ -2503,6 +2503,11 @@ def test_ivfpq_topk_fused_equals_reference(spark):
         f32 = sorted(map(key, ivfpq_topk_fused(
             idx, qs, cents, books, df, adc_dtype="float32", **kw).collect()))
         assert f32 == ref, (m, residual, assign_r)
+        # the pre-r14 window merge is kept as a physical A/B arm — both
+        # merge strategies must stay bit-identical to the reference
+        win = sorted(map(key, ivfpq_topk_fused(
+            idx, qs, cents, books, df, merge="window", **kw).collect()))
+        assert win == ref, (m, residual, assign_r)
         if m == 4 and residual and assign_r == 1:
             bat = sorted(map(key, ivfpq_topk_batched(
                 idx, qs, cents, books, df, batch_rows=2, fused=True, **kw
