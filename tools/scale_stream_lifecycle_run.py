@@ -92,10 +92,41 @@ def main() -> None:
     spark = get_spark("scale-stream-lifecycle")
     work = tempfile.mkdtemp(prefix="stream_lifecycle_")
     in_path = os.path.join(work, "drift_in")
-    idx_v1 = os.path.join(work, "idx_v1")
-    idx_v2 = os.path.join(work, "idx_v2")
+    # Each index version is a two-directory carrier: a batch-written half
+    # (the build / the retrain+catch-up) and a streaming half (the file
+    # sink). They MUST be separate directories: the streaming sink's
+    # _spark_metadata commit log makes a batch read of its directory see
+    # ONLY sink-committed files, so batch rows written into the same
+    # directory would silently vanish from the serving view (measured:
+    # base-regime recall collapses to 0.0 the moment the first streamed
+    # file lands). The serving view is the union of the two reads.
+    idx_v1_batch = os.path.join(work, "idx_v1_batch")
+    idx_v1_stream = os.path.join(work, "idx_v1_stream")
+    idx_v2_batch = os.path.join(work, "idx_v2_batch")
+    idx_v2_stream = os.path.join(work, "idx_v2_stream")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(in_path, exist_ok=True)
+
+    def serving_view(batch_path, stream_path):
+        # The streaming half is read via a part-file GLOB, not the root
+        # dir: after the blue/green swap the v2 sink resumes the SOURCE
+        # checkpoint's batch numbering (e.g. batch 4) in a fresh
+        # directory, so its _spark_metadata log has no entries 0..3 and
+        # a root-dir batch read throws IllegalStateException
+        # ("_spark_metadata/0 doesn't exist"). The glob bypasses the
+        # sink log; it is exact here because every view is taken at a
+        # QUIESCED point (processAllAvailable() drained, no in-flight
+        # batch that could expose partially-committed files). A
+        # production deployment would get the same property from a
+        # table format with its own transaction log.
+        out = spark.read.parquet(batch_path)
+        if os.path.isdir(stream_path) and any(
+            f.startswith("part-") for f in os.listdir(stream_path)
+        ):
+            out = out.unionByName(
+                spark.read.parquet(os.path.join(stream_path, "part-*"))
+            )
+        return out
 
     n_drift_total = args.chunks * args.chunk
 
@@ -127,11 +158,9 @@ def main() -> None:
         **pq_seed,
     ).localCheckpoint()
     books.count()
-    # the base index is written INTO the v1 carrier path so the serving
-    # view is one parquet read for its whole life
     ivfpq_index(
         base, cents, books, residual=True, assign_r=args.assign_r
-    ).write.mode("overwrite").parquet(idx_v1)
+    ).write.mode("overwrite").parquet(idx_v1_batch)
     _emit("serving_build", sec=round(time.time() - t0, 2),
           cells=cents.count(), n=args.base)
 
@@ -176,7 +205,8 @@ def main() -> None:
 
     # t0: serve the base-only index (drift queries have no true
     # neighbors yet in-corpus; their recall is measured from t1 on)
-    serve_sample("serve_t0_base_only", spark.read.parquet(idx_v1),
+    serve_sample("serve_t0_base_only",
+                 serving_view(idx_v1_batch, idx_v1_stream),
                  cents, books, base)
 
     # --- start the frozen-artifact ingest stream (v1 carrier) ---
@@ -186,7 +216,7 @@ def main() -> None:
         .parquet(in_path)
     )
     q = stream_ivfpq_index(
-        stream, cents, books, idx_v1, ckpt,
+        stream, cents, books, idx_v1_stream, ckpt,
         residual=True, assign_r=args.assign_r,
     ).start()
 
@@ -214,7 +244,8 @@ def main() -> None:
     n_now = corpus_now.count()
     _emit("ingest_phase1", sec=ingest1, vectors=half * args.chunk,
           ev_per_sec=round(half * args.chunk / max(ingest1, 1e-9)))
-    serve_sample("serve_t1_frozen_decayed", spark.read.parquet(idx_v1),
+    serve_sample("serve_t1_frozen_decayed",
+                 serving_view(idx_v1_batch, idx_v1_stream),
                  cents, books, corpus_now, corpus=n_now)
 
     # phase 2: retrain UNDER LOAD — snapshot the merged corpus, launch
@@ -236,7 +267,7 @@ def main() -> None:
                 (F.col("vec_id") >= args.base)
                 & (F.col("vec_id") % seed_mod_m == 1)
             ),
-            split_index=spark.read.parquet(idx_v1),
+            split_index=serving_view(idx_v1_batch, idx_v1_stream),
         )
         i2 = i2.localCheckpoint()
         i2.count()
@@ -250,7 +281,8 @@ def main() -> None:
     th.start()
     feed(range(half, args.chunks))  # ingest keeps running during retrain
     # serving sample DURING the retrain, from the still-live v1 view
-    serve_sample("serve_t2_during_retrain", spark.read.parquet(idx_v1),
+    serve_sample("serve_t2_during_retrain",
+                 serving_view(idx_v1_batch, idx_v1_stream),
                  cents, books, snapshot,
                  note="old artifacts serve the retrain snapshot while "
                       "ingest + retrain run concurrently")
@@ -269,13 +301,13 @@ def main() -> None:
     ).parquet(in_path).localCheckpoint()
     catchup_src = all_in.filter(F.col("vec_id") > snapshot_max)
     n_catchup = catchup_src.count()
-    result["idx"].write.mode("overwrite").parquet(idx_v2)
+    result["idx"].write.mode("overwrite").parquet(idx_v2_batch)
     ivfpq_index(
         catchup_src, result["cents"], result["books"],
         residual=True, assign_r=args.assign_r,
-    ).write.mode("append").parquet(idx_v2)
+    ).write.mode("append").parquet(idx_v2_batch)
     q2 = stream_ivfpq_index(
-        stream, result["cents"], result["books"], idx_v2, ckpt,
+        stream, result["cents"], result["books"], idx_v2_stream, ckpt,
         residual=True, assign_r=args.assign_r,
     ).start()
     q2.processAllAvailable()  # source offsets skip already-processed files
@@ -284,7 +316,8 @@ def main() -> None:
 
     corpus_final = base.unionByName(all_in).localCheckpoint()
     n_final = corpus_final.count()
-    serve_sample("serve_t3_recovered", spark.read.parquet(idx_v2),
+    serve_sample("serve_t3_recovered",
+                 serving_view(idx_v2_batch, idx_v2_stream),
                  result["cents"], result["books"], corpus_final,
                  corpus=n_final)
 
@@ -305,7 +338,8 @@ def main() -> None:
           vectors=args.chunk)
 
     # --- completeness audit: the wiring-bug detector ---
-    served = spark.read.parquet(idx_v2).select("vec_id").distinct()
+    v2_view = serving_view(idx_v2_batch, idx_v2_stream).localCheckpoint()
+    served = v2_view.select("vec_id").distinct()
     expect = args.base + n_drift_total + args.chunk
     n_served = served.count()
     all_ids = base.select("vec_id").unionByName(
@@ -314,7 +348,7 @@ def main() -> None:
     )
     missing = all_ids.join(served, "vec_id", "left_anti").count()
     dup_coded = (
-        spark.read.parquet(idx_v2).groupBy("vec_id")
+        v2_view.groupBy("vec_id")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") != args.assign_r)
         .count()
