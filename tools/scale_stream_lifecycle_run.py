@@ -12,11 +12,28 @@ loop a production index lives on:
                 →  blue/green artifact swap: drain + stop the old
                    ingest query, catch-up re-encode the rows ingested
                    after the retrain snapshot against the NEW artifacts,
-                   restart ingest (same source checkpoint, new index
-                   path — already-processed files are skipped by the
-                   source's offset log, so nothing is double-encoded)
+                   restart ingest on a FRESH checkpoint with a
+                   ``modifiedAfter`` source cutover at the drain
+                   timestamp (see below), so nothing is double-encoded
                 →  serve (recovered) + completeness audit: every corpus
                    vec_id is present in exactly the new serving view.
+
+The swap CANNOT reuse the old source checkpoint against a new sink
+directory: Spark's FileStreamSink log is keyed by the query's batch id,
+so a resumed checkpoint makes the fresh sink's _spark_metadata start at
+a non-zero id — its FIRST batch commits, and its SECOND throws
+BATCH_METADATA_NOT_FOUND(_spark_metadata/0) inside the sink (measured
+here; a one-batch smoke run cannot catch it). Checkpoint and file-sink
+directory are a paired unit. And the green query cannot re-read the old
+source directory selectively either: ``modifiedAfter`` is a batch-only
+option, rejected by file stream sources. The production pattern is a
+SOURCE-PREFIX ROTATION: at the swap, producers switch to a fresh input
+prefix; the green query gets the new prefix, a new checkpoint, and a
+new sink dir, all starting clean at batch 0, while the catch-up batch
+re-encode covers everything the drained blue query had consumed —
+exactly-once holds by construction (audited). This is the file-source
+equivalent of a new Kafka consumer group starting at the drained
+offsets; date-partitioned ingest prefixes give the rotation for free.
 
 The swap protocol is the part only an end-to-end run can prove: the
 retrain runs on a SNAPSHOT of the merged corpus while ingest keeps
@@ -92,6 +109,7 @@ def main() -> None:
     spark = get_spark("scale-stream-lifecycle")
     work = tempfile.mkdtemp(prefix="stream_lifecycle_")
     in_path = os.path.join(work, "drift_in")
+    in_path2 = os.path.join(work, "drift_in_v2")  # post-swap rotation
     # Each index version is a two-directory carrier: a batch-written half
     # (the build / the retrain+catch-up) and a streaming half (the file
     # sink). They MUST be separate directories: the streaming sink's
@@ -108,24 +126,16 @@ def main() -> None:
     os.makedirs(in_path, exist_ok=True)
 
     def serving_view(batch_path, stream_path):
-        # The streaming half is read via a part-file GLOB, not the root
-        # dir: after the blue/green swap the v2 sink resumes the SOURCE
-        # checkpoint's batch numbering (e.g. batch 4) in a fresh
-        # directory, so its _spark_metadata log has no entries 0..3 and
-        # a root-dir batch read throws IllegalStateException
-        # ("_spark_metadata/0 doesn't exist"). The glob bypasses the
-        # sink log; it is exact here because every view is taken at a
-        # QUIESCED point (processAllAvailable() drained, no in-flight
-        # batch that could expose partially-committed files). A
-        # production deployment would get the same property from a
-        # table format with its own transaction log.
+        # Both stream sinks own a complete _spark_metadata log from
+        # batch 0 (v1 from the first checkpoint, v2 from the fresh
+        # post-swap checkpoint), so the streaming half is read through
+        # the root dir — i.e. through the sink's commit log, which is
+        # what makes this view safe to take while the query is live.
         out = spark.read.parquet(batch_path)
         if os.path.isdir(stream_path) and any(
             f.startswith("part-") for f in os.listdir(stream_path)
         ):
-            out = out.unionByName(
-                spark.read.parquet(os.path.join(stream_path, "part-*"))
-            )
+            out = out.unionByName(spark.read.parquet(stream_path))
         return out
 
     n_drift_total = args.chunks * args.chunk
@@ -292,7 +302,10 @@ def main() -> None:
           cells=result["cents"].count(), snapshot_rows=n_now)
 
     # phase 3: blue/green swap — drain + stop v1 ingest, catch-up
-    # re-encode everything past the retrain snapshot, restart on v2
+    # re-encode everything past the retrain snapshot, restart green on
+    # a FRESH checkpoint with a modifiedAfter cutover at the drain
+    # timestamp (same-checkpoint reuse against a new sink dir fails on
+    # the sink's second batch — see module docstring)
     t0 = time.time()
     q.processAllAvailable()
     q.stop()
@@ -306,11 +319,20 @@ def main() -> None:
         catchup_src, result["cents"], result["books"],
         residual=True, assign_r=args.assign_r,
     ).write.mode("append").parquet(idx_v2_batch)
+    # source-prefix rotation: post-swap producers write to in_path2;
+    # the green query starts clean (new prefix + checkpoint + sink)
+    os.makedirs(in_path2, exist_ok=True)
+    stream_v2 = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(in_path2)
+    )
     q2 = stream_ivfpq_index(
-        stream, result["cents"], result["books"], idx_v2_stream, ckpt,
+        stream_v2, result["cents"], result["books"], idx_v2_stream,
+        os.path.join(work, "ckpt_v2"),
         residual=True, assign_r=args.assign_r,
     ).start()
-    q2.processAllAvailable()  # source offsets skip already-processed files
+    q2.processAllAvailable()
     swap_sec = round(time.time() - t0, 2)
     _emit("swap_catchup", sec=swap_sec, catchup_rows=n_catchup)
 
@@ -322,6 +344,7 @@ def main() -> None:
                  corpus=n_final)
 
     # post-swap stream still live: one more chunk arrives through v2
+    # (on the ROTATED source prefix — the swap moved producers there)
     t0 = time.time()
     extra_lo = args.base + n_drift_total
     (
@@ -330,7 +353,7 @@ def main() -> None:
                 _vec(F.col("id"), salt=1).alias("embedding"))
         .coalesce(2)
         .write.mode("append")
-        .parquet(in_path)
+        .parquet(in_path2)
     )
     q2.processAllAvailable()
     q2.stop()
@@ -344,7 +367,7 @@ def main() -> None:
     n_served = served.count()
     all_ids = base.select("vec_id").unionByName(
         spark.read.schema("vec_id long, embedding array<double>")
-        .parquet(in_path).select("vec_id")
+        .parquet(in_path, in_path2).select("vec_id")
     )
     missing = all_ids.join(served, "vec_id", "left_anti").count()
     dup_coded = (
