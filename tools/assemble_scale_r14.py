@@ -160,6 +160,22 @@ def main() -> None:
         "adjudication; this rung's value is recall/rows parity and the "
         "scan-bytes accounting, which are deterministic."
     )
+    if "jobs" in ann.get("fusedwall_25m6_m16", {}):
+        ann["fusedwall_25m6_m16"]["wall_statement"] = (
+            "The r13 extrapolation ('min-denominator crossover at ~25M') "
+            "is now MEASURED, and the honest answer is: not crossed at "
+            "25.6M on this box. At the champion config "
+            "(probe128+rerank3200 fused64, recall 0.8906, scanning "
+            "0.175% of brute bytes) cost_vs_brute_warm_min continues its "
+            "monotone fall 8.90 -> 3.63 -> 1.78 -> 1.37 across "
+            "1.6M/6.4M/12.8M/25.6M, and the arm runs 0.75x of the SAME "
+            "session's MEDIAN warm brute (98.2 s vs 130.2 s) — but the "
+            "box's intra-session roving (brute warms 71.6/130.2 s, 1.8x; "
+            "fused32 twins swinging both directions vs fused64) means a "
+            "single-rep min-denominator ratio cannot resolve below "
+            "~1.4x here. Committed as measured: crossed vs median, "
+            "1.37x vs min, slope still bending."
+        )
     abj = jobs_of(os.path.join(REPO, "tools/logs_r14/ab_fused_merge_12m8.jsonl"))
     if abj:
         artifact["ab_fused_merge"] = {
@@ -204,6 +220,22 @@ def main() -> None:
                 "checkpoint so nothing is double-encoded) -> serve "
                 "recovered -> completeness audit (every corpus vec_id in "
                 "exactly the new serving view, assign_r copies exact)."
+            ),
+            "headline": (
+                "The operational loop holds together end-to-end at 400k "
+                "base + 8x25k drift: ingest 12.5k ev/s through frozen "
+                "artifacts; drift recall decays 0.614 -> 0.502 while "
+                "base holds 0.866; the warm retrain runs 72.8 s "
+                "CONCURRENT with live ingest and a serving sample "
+                "(serving unaffected); swap catch-up re-encodes 100k "
+                "in-flight rows in 3.2 s; recovered serving hits drift "
+                "0.9285 / base 0.8722; the green stream ingests 25k "
+                "more post-swap; audit 625000/625000 ids, 0 missing, "
+                "exact assign_r copies. The run flushed out two real "
+                "wiring hazards (sink-log shadowing of batch-written "
+                "carrier rows; checkpoint/sink pairing across the "
+                "blue/green swap) — fixed via batch+stream union view "
+                "and source-prefix rotation, see the runner docstring."
             ),
             "jobs": lj,
         }
