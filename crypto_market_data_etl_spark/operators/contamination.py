@@ -45,30 +45,36 @@ def contamination_report(
     fractions are shared boilerplate. Docs shorter than ``gram_n`` tokens
     have no grams and report (0, 0, 0.0) — present, not dropped, so the
     report covers the whole corpus.
+
+    Shape (r15 single-pass rewrite, guide §2.3/§2.4): the corpus gram set
+    is computed ONCE — ``explode_outer`` keeps gram-less docs as an
+    ``(id, NULL)`` row, the broadcast bench probe rides a LEFT join (still
+    map-side), and one ``groupBy(id)`` computes ``count(s)`` (skips the
+    NULL) and the hit count together. The previous form computed the gram
+    explode twice (totals pass + hits pass — Spark does not share
+    subtrees) and joined both back onto a third corpus scan: 3 corpus-side
+    passes and 4 shuffles collapse to 1 pass and 2 shuffles (the gram-set
+    distinct + the per-doc agg). The corpus side is also SPREAD now: the
+    r15 stage profile showed the single-row-group bench input serializing
+    the whole gram pipeline through one task (1.1-3.0 s single-task stages
+    at sf0.1 — the heaviest stage of x22/x26); at production scale the
+    input already has many splits and the spread is a no-op.
     """
-    # spread=False on BOTH sides: the per-gram work here is a broadcast
-    # probe + partial count (light — unlike the minhash digest pipeline),
-    # so the spread's extra exchange costs more than the parallelism buys
-    # at small scale, and at production scale the corpus already has
-    # thousands of splits (spread is a no-op there by construction)
-    grams = word_shingles(corpus, id_col, text_col, gram_n, spread=False)
+    grams = word_shingles(corpus, id_col, text_col, gram_n, outer=True)
     bench_grams = (
         word_shingles(bench, id_col, text_col, gram_n, spread=False)
         .select("s").distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    hits = (
-        grams.join(bench_grams, "s")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        corpus.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
-        .na.fill({"n_grams": 0, "n_hit": 0})
+        grams.join(bench_grams, "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("s").alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
         .select(
             id_col,
             "n_grams",
@@ -199,9 +205,15 @@ def bloom_contamination_report(
     map-side broadcast join per hash on the word index + a bitwise AND —
     the corpus side still never shuffles before the per-doc count, and a
     gram counts only when ALL ``n_hashes`` probes hit.
+
+    Single-pass + spread (r15): same rewrite as
+    :func:`contamination_report` — ``explode_outer`` grams computed once,
+    totals and maybe-hits from ONE ``groupBy(id)`` (the old totals/hits
+    subtrees each re-ran the explode AND the 2x-md5 probe projection —
+    the two heaviest stages of x26 at sf0.1, both single-task before the
+    spread), and no corpus-spine join.
     """
-    # spread=False on both sides — same reasoning as contamination_report
-    grams = word_shingles(corpus, id_col, text_col, gram_n, spread=False)
+    grams = word_shingles(corpus, id_col, text_col, gram_n, outer=True)
     bench_grams = (
         word_shingles(bench, id_col, text_col, gram_n, spread=False)
         .select("s").distinct()
@@ -216,7 +228,10 @@ def bloom_contamination_report(
         )
     )
     probed = grams
-    all_hit = F.lit(True)
+    # NULL grams (outer rows for gram-less docs) hash to NULL positions,
+    # never match the bitmap, and the isNotNull guard keeps them out of the
+    # maybe-hit count while count("s") keeps them out of n_grams
+    all_hit = F.col("s").isNotNull()
     for i in range(n_hashes):
         bm = F.broadcast(
             bitmap.select(F.col("widx").alias(f"widx{i}"), F.col("wbits").alias(f"wbits{i}"))
@@ -231,19 +246,19 @@ def bloom_contamination_report(
             .join(bm, f"widx{i}", "left")
         )
         all_hit = all_hit & (
-            F.coalesce(F.col(f"wbits{i}"), F.lit(0)).bitwiseAND(F.col(f"bit{i}")) != 0
+            F.coalesce(F.col(f"wbits{i}"), F.lit(0)).bitwiseAND(
+                F.coalesce(F.col(f"bit{i}"), F.lit(0))
+            )
+            != 0
         )
-    hits = (
-        probed.filter(all_hit)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_maybe_hit"))
-    )
-    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        corpus.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
-        .na.fill({"n_grams": 0, "n_maybe_hit": 0})
+        probed.groupBy(id_col)
+        .agg(
+            F.count("s").alias("n_grams"),
+            F.sum(F.when(all_hit, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_maybe_hit"),
+        )
         .select(
             id_col,
             "n_grams",

@@ -106,6 +106,7 @@ def word_shingles(
     n: int = 2,
     distinct: bool = True,
     spread: bool = True,
+    outer: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles per document: (id, s); set semantics by default.
 
@@ -123,12 +124,19 @@ def word_shingles(
     :func:`spread_small_input`) — right for side tables that stay tiny by
     contract (a benchmark suite, a query set), where the extra exchange
     costs more than the single-task explode it parallelizes.
+
+    ``outer=True`` uses ``explode_outer``: a doc with fewer than ``n``
+    tokens keeps one ``(id, NULL)`` row instead of vanishing — the
+    whole-corpus-coverage form that lets a consumer compute per-doc stats
+    in ONE aggregation without joining back to a corpus spine (nulls never
+    equi-join and ``count(s)`` skips them).
     """
     staged = (spread_small_input(df) if spread else df).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
+    explode = F.explode_outer if outer else F.explode
     out = staged.select(
-        F.col(id_col), F.explode(gram_array_expr(F.col("__toks"), n)).alias("s")
+        F.col(id_col), explode(gram_array_expr(F.col("__toks"), n)).alias("s")
     )
     return out.distinct() if distinct else out
 
@@ -458,8 +466,16 @@ def span_dedup(
     16-hex md5 PREFIX of the window text (fixed-width shuffle key — the
     raw ~span_words-token string would multiply shuffle bytes by the window
     length), occurrence counts via one map-side-combined agg, join back on
-    the same key, a bounded ``<= span_words``-per-hit coverage explode, and
-    one per-doc reassembly agg ordered by position — every stage linear in
+    the same key, then (r15 rewrite, guide §2.3) the covered POSITIONS are
+    reduced per doc with one ``collect_set`` agg — integers only — and the
+    excision + reassembly happen IN-ROW against the staged token arrays:
+    ``array_except(sequence(0, n-1), removed)`` (hash-based, linear,
+    order-preserving) indexes back into the token array. The pre-r15 form
+    shuffled corpus-scale rows twice more: a ``distinct`` over the exploded
+    coverage positions AND a ``collect_list`` reassembly agg that moved
+    EVERY TOKEN of the corpus through an exchange (measured at sf0.1: the
+    token collect stage alone shuffled ~4 MB of 20 MB total and two of the
+    six corpus-scale stages disappear with it). Every stage stays linear in
     tokens; nothing is quadratic in document or corpus size.
     """
     # NOT materialized, deliberately: staged feeds three consumers, but its
@@ -492,7 +508,11 @@ def span_dedup(
     dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
         F.col("occ") > 1
     )
-    covered = (
+    # per-doc removed-position sets: the coverage explode is bounded
+    # (span_words rows per duplicated window) and collect_set partial-
+    # aggregates map-side — the shuffle carries one integer-array row per
+    # affected doc, never tokens
+    removed = (
         grams.join(dup.select("h"), "h")
         .select(
             F.col(id_col),
@@ -500,32 +520,27 @@ def span_dedup(
                 F.sequence(F.col("p"), F.col("p") + (span_words - 1))
             ).alias("tpos"),
         )
-        .distinct()
-    )
-    toks = staged.select(F.col(id_col), F.posexplode(tk).alias("tpos", "tok"))
-    kept = (
-        toks.join(covered, [id_col, "tpos"], "left_anti")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                    lambda s: s.getField("tok"),
-                ),
-                " ",
-            ).alias("__clean"),
-        )
+        .agg(F.collect_set("tpos").alias("__rem"))
     )
-    spine = staged.select(F.col(id_col), n_tok.alias("n_tokens"))
+    # in-row excision: kept positions = sequence minus removed set
+    # (array_except is hash-based and preserves first-array order), then
+    # index the staged token array back out — no token ever shuffles
+    rem = F.coalesce(F.col("__rem"), F.array().cast("array<int>"))
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(tk) - 1).cast("array<int>"), rem
+    )
     return (
-        spine.join(kept, id_col, "left")
-        .na.fill({"n_kept": 0})
+        staged.join(removed, id_col, "left")
         .select(
-            id_col,
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
-            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+            F.col(id_col),
+            n_tok.cast("long").alias("n_tokens"),
+            F.size(rem).cast("long").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(kept_pos, lambda p: F.element_at(tk, p + 1)), " "
+                )
+            ).alias("clean_md5"),
         )
     )
 

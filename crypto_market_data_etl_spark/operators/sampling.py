@@ -276,20 +276,32 @@ def dsir_logratios(
 
         log_ratio(doc) = sum_f [ ln p_target(bkt(f)) - ln p_raw(bkt(f)) ]
 
-    Shape at 100 TB: TWO corpus passes total. Pass one explodes
-    tokens+bigrams and bucket-counts raw and target occupancy in a single
-    conditional aggregation (map-side partials into ≤ ``n_buckets`` rows);
-    totals then come from summing that tiny table, never from re-scanning
-    the corpus. Pass two re-explodes and joins the ≤ ``n_buckets``-row
-    BROADCAST weight table, leaving the per-doc sum as the only shuffle of
-    the corpus-sized side. The token array is STAGED in its own projection
-    before the bigram lambda references it (a raw ``split`` would be
-    re-evaluated per gram — the CollapseProject pitfall measured in
-    ``text.fingerprints``; un-staged this ran 6x slower at 20k docs).
-    NULL text coalesces to '' (whole-corpus coverage; the empty doc still
-    carries its one empty-string unigram). Output: (id, n_feats, log_ratio).
+    Shape at 100 TB: ONE corpus pass (r15 rewrite — the pre-r15 form
+    re-exploded and re-hashed every feature a second time for the per-doc
+    scoring pass). The explode + md5 bucketing runs once and reduces
+    immediately to a per-(doc, bucket) HISTOGRAM (``groupBy(id, bkt)``
+    count — map-side partials, output bounded by
+    ``min(feats_per_doc, n_buckets)`` rows per doc), which is materialized
+    (deployment-aware; orders of magnitude smaller than the raw feature
+    stream). Bucket occupancies re-aggregate FROM the histogram; totals
+    from summing that tiny table; the per-doc score is then
+    ``sum(cnt * w)`` over the histogram joined to the ≤ ``n_buckets``-row
+    BROADCAST weight table. ``sum(cnt * w)`` replaces the old per-feature
+    ``sum(w)``: same value up to FP associativity (both engines already
+    round to 6dp over an engine-ordered double sum — oracle-verified at
+    all three SFs). The input is SPREAD (see ``dedup.spread_small_input``)
+    — the r15 profile showed both old passes serializing through one task
+    on the single-row-group bench input; no-op at production split counts.
+    The token array is STAGED in its own projection before the bigram
+    lambda references it (a raw ``split`` would be re-evaluated per gram —
+    the CollapseProject pitfall measured in ``text.fingerprints``;
+    un-staged this ran 6x slower at 20k docs). NULL text coalesces to ''
+    (whole-corpus coverage; the empty doc still carries its one
+    empty-string unigram). Output: (id, n_feats, log_ratio).
     """
-    staged = df.select(
+    from .dedup import spread_small_input
+
+    staged = spread_small_input(df).select(
         F.col(id_col),
         target_filter.alias("__is_target"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
@@ -315,17 +327,23 @@ def dsir_logratios(
             % n_buckets
         ).alias("bkt"),
     )
-    # MATERIALIZED: counts is referenced twice (totals + weights) and Spark
-    # does not share subtrees — without this, each reference replays the
-    # corpus-scale explode+count, turning the documented 2 passes into 3
+    # MATERIALIZED: the per-(doc, bucket) histogram is referenced twice
+    # (bucket occupancies + per-doc scoring) and Spark does not share
+    # subtrees — materializing HERE (instead of the old bucket-level counts)
+    # is what removes the second corpus-scale explode+md5 pass entirely
     # (deployment-aware: localCheckpoint locally, persist on a cluster)
     from ..materialize import materialize
 
-    counts = materialize(
-        fb.groupBy("bkt").agg(
-            F.count(F.lit(1)).alias("c_raw"),
-            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_tgt"),
+    hist = materialize(
+        fb.groupBy(id_col, "__is_target", "bkt").agg(
+            F.count(F.lit(1)).alias("__cnt")
         )
+    )
+    counts = hist.groupBy("bkt").agg(
+        F.sum("__cnt").alias("c_raw"),
+        F.sum(F.when(F.col("__is_target"), F.col("__cnt")).otherwise(0)).alias(
+            "c_tgt"
+        ),
     )
     totals = counts.agg(
         F.sum("c_raw").alias("tot_raw"), F.sum("c_tgt").alias("tot_tgt")
@@ -340,11 +358,11 @@ def dsir_logratios(
     )
     # every feature bucket exists in counts by construction — inner join
     return (
-        fb.join(F.broadcast(weights), "bkt")
+        hist.join(F.broadcast(weights), "bkt")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("w"), 6).alias("log_ratio"),
+            F.sum("__cnt").alias("n_feats"),
+            F.round(F.sum(F.col("__cnt") * F.col("w")), 6).alias("log_ratio"),
         )
     )
 

@@ -44,6 +44,12 @@ from ..materialize import materialize
 
 
 def _dot(a, b):
+    # NOTE (r15, measured): an unrolled element_at fast path was prototyped
+    # and REVERTED — warm HOF evaluation does 12.8M multiply-adds in ~0.1 s
+    # (8 cores), a pure unrolled form is only ~1.6x that, and a size-guarded
+    # hybrid is 2-4x SLOWER because the CodegenFallback child disables
+    # whole-stage codegen for the whole projection. The fold is not the
+    # bottleneck; stage parallelism is (see spread_small_input call sites).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -163,12 +169,19 @@ def cosine_topk(
 
     Output: (q_id, n_id, rnk, sim). Ties broken by neighbor id.
     """
+    from .dedup import spread_small_input
+
     q = F.broadcast(
         with_norm(queries, vec_col, "q_norm").select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "q_norm"
         )
     )
-    c = with_norm(corpus, vec_col, "c_norm").select(
+    # spread the corpus side: the |Q| x |corpus| sim computation is map-side
+    # (broadcast queries), so its parallelism IS the corpus split count — a
+    # single-row-group input serializes the whole scoring pass through one
+    # task (r15 profile: the entire x05 compute ran as 1 task). No-op once
+    # the corpus has >= defaultParallelism splits.
+    c = with_norm(spread_small_input(corpus), vec_col, "c_norm").select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), "c_norm"
     )
     sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
@@ -231,11 +244,16 @@ def lsh_buckets(
     the join back is broadcast when the bucket space is provably small — so
     the big side never shuffles at all.
     """
+    from .dedup import spread_small_input
+
     # materialized once: both the count aggregate and the join probe read the
     # signature projection (n_planes x dim HOF folds per row) — without this
-    # the probe side recomputes every signature a second time
+    # the probe side recomputes every signature a second time. The input is
+    # SPREAD first: the signature projection is the heavy stage and its
+    # parallelism is the input split count (r15 profile: single-task at
+    # sf0.1); no-op at production split counts.
     out = materialize(
-        df.select(
+        spread_small_input(df).select(
             F.col(id_col), bucket_signature(vec_col, n_planes, dim).alias("bucket")
         )
     )
@@ -262,18 +280,29 @@ def lsh_ann_topk(
     missed) — multi-probe or band-OR raises it; this is the single-table
     variant. Output: (q_id, n_id, rnk, sim) like cosine_topk.
     """
+    from .dedup import spread_small_input
+
     sig = bucket_signature(vec_col, n_planes, dim)
-    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    # norms are computed ONCE per vector here instead of once per candidate
+    # pair below (the pair count is a multiple of the vector count — the old
+    # per-pair form re-folded both self-dots for every candidate), and the
+    # spread parallelizes the signature+norm projection on single-split
+    # inputs (no-op at production split counts)
+    t = spread_small_input(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        sig.alias("bucket"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
+    )
     a = t.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        "bucket", F.col("__norm").alias("__qn"),
     )
     b = t.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"),
+        "bucket", F.col("__norm").alias("__cn"),
     )
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
-        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
-    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
         a.join(b, "bucket")
@@ -347,12 +376,17 @@ def _rerank_candidates(
     Defaults to ``vecs`` for the self-join ANN form.
     """
     q_vecs = vecs if q_vecs is None else q_vecs
-    q = q_vecs.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    n = vecs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
-        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    # norms ride the vector projections (one fold per vector) instead of
+    # being re-folded per candidate pair — bit-identical, k-fold less work
+    q = q_vecs.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__qn"),
     )
+    n = vecs.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__cn"),
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
         cand.join(q, "q_id")
@@ -585,27 +619,45 @@ def embedding_neardup_pairs(
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    from .dedup import spread_small_input
+
     sig = bucket_signature(vec_col, n_planes, dim)
     # both self-join sides read the signature projection (n_planes x dim HOF
-    # work per vector) — materialize once, deployment-aware (materialize.py)
-    t = materialize(df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket")))
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    # work per vector) — materialize once, deployment-aware (materialize.py).
+    # Norms ride the same materialized projection (one fold per vector, not
+    # two per candidate pair — bit-identical), and the input is spread so the
+    # projection parallelizes on single-split inputs (no-op at scale).
+    t = materialize(
+        spread_small_input(df).select(
+            F.col(id_col),
+            F.col(vec_col),
+            sig.alias("bucket"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
+        )
     )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     if max_bucket_size > 0:
         ra, rb = ranked_pair_sides(t, ["bucket"], id_col, max_bucket_size)
         a = ra.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", "__rn_a"
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket",
+            "__rn_a", F.col("__norm").alias("__na"),
         )
         b = rb.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", "__rn_b"
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket",
+            "__rn_b", F.col("__norm").alias("__nb"),
         )
         joined = a.join(b, "bucket").filter(
             capped_pair_condition("id_a", "id_b", max_bucket_size)
         )
     else:
-        a = t.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-        b = t.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+        a = t.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket",
+            F.col("__norm").alias("__na"),
+        )
+        b = t.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket",
+            F.col("__norm").alias("__nb"),
+        )
         joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         joined.withColumn("sim", F.round(sim, 6))
@@ -2952,9 +3004,15 @@ def semantic_dedup(
     :func:`shared_component_ratio` and centers iff it clears
     :data:`CENTER_AUTO_RATIO` (same contract as :func:`ivf_ann_topk`).
     """
+    from .dedup import spread_small_input
+
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 50 == 1
-    vecs = df.select(
+    # spread: the n x k assignment scoring below is map-side (broadcast
+    # centroids), so its parallelism is the corpus split count — single-
+    # row-group inputs serialized it through 1-2 tasks (r15 profile);
+    # no-op at production split counts
+    vecs = spread_small_input(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
     )
     # the centroid side must be resolved for the assignment anyway (it is
@@ -3011,7 +3069,11 @@ def semantic_dedup(
             )
         )
         # assignment-space vectors: centered when center_vec is given (the
-        # verdict sim below always stays on the raw `ev`)
+        # verdict sim below always stays on the raw `ev`). Both the assign-
+        # space vector and its floored norm are precomputed PER ROW on each
+        # side (r15): the old per-pair form re-centered and re-folded both
+        # self-dots for every one of the n*k pairs — k-fold redundant work
+        # on the corpus side; same expression bits, so sims are unchanged.
         ev_a, cv_a = F.col("ev"), F.col("cv")
         if m_lit is not None:
             ev_a = F.zip_with(ev_a, m_lit, lambda x, y: x - y)
@@ -3020,12 +3082,14 @@ def semantic_dedup(
         # to the zero vector): floor both denominators like nearest_cells —
         # sims become 0.0 and max_by falls to the lowest c_id, matching the
         # numpy tier's NaN-argmax behavior instead of NULLing the cluster
+        vecs_a = vecs.select(
+            F.col(id_col), "ev", ev_a.alias("__va"),
+        ).withColumn("__vn", F.greatest(F.sqrt(_dot(F.col("__va"), F.col("__va"))), F.lit(1e-12)))
+        cents_a = cents.select(
+            "c_id", cv_a.alias("__ca"),
+        ).withColumn("__cn", F.greatest(F.sqrt(_dot(F.col("__ca"), F.col("__ca"))), F.lit(1e-12)))
         c_sim = F.round(
-            _dot(ev_a, cv_a)
-            / (
-                F.greatest(F.sqrt(_dot(ev_a, ev_a)), F.lit(1e-12))
-                * F.greatest(F.sqrt(_dot(cv_a, cv_a)), F.lit(1e-12))
-            ),
+            _dot(F.col("__va"), F.col("__ca")) / (F.col("__vn") * F.col("__cn")),
             round_dp,
         )
         # argmax as a hash agg, not a rank window: max_by with the ordering
@@ -3035,7 +3099,7 @@ def semantic_dedup(
         # shuffled and sorted all n*k rows (measured on x32: the exchange
         # shrinks k-fold and the per-partition sort disappears)
         assign = (
-            vecs.join(cents)
+            vecs_a.join(cents_a)
             .withColumn("__c_sim", c_sim)
             .groupBy(id_col)
             .agg(
@@ -3051,8 +3115,13 @@ def semantic_dedup(
             )
         )
     # both the member side and the rep side re-read the assignment (k dot
-    # products per vector) — materialize once (deployment-aware)
-    assign = materialize(assign)
+    # products per vector) — materialize once (deployment-aware). The RAW
+    # verdict norm rides the materialized table too: the member-vs-rep pair
+    # count is up to max_reps x |corpus|, and the old per-pair form re-folded
+    # both self-dots for every pair (bit-identical values either way).
+    assign = materialize(
+        assign.withColumn("__n", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    )
     reps = (
         assign.withColumn(
             "__rep_rn",
@@ -3064,15 +3133,12 @@ def semantic_dedup(
         .select(
             F.col(id_col).alias("__rep_id"),
             F.col("ev").alias("rv"),
+            F.col("__n").alias("__rn"),
             "cluster_id",
         )
     )
     pair_sim = F.round(
-        _dot(F.col("ev"), F.col("rv"))
-        / (
-            F.sqrt(_dot(F.col("ev"), F.col("ev")))
-            * F.sqrt(_dot(F.col("rv"), F.col("rv")))
-        ),
+        _dot(F.col("ev"), F.col("rv")) / (F.col("__n") * F.col("__rn")),
         round_dp,
     )
     dropped = (
