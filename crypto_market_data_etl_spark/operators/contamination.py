@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..materialize import materialize
-from .dedup import lsh_bands, minhash_signatures, word_shingles
+from .dedup import lsh_bands, minhash_signatures_inrow, word_shingles
 
 
 def contamination_report(
@@ -117,15 +117,20 @@ def cross_corpus_neardup(
     Output per corpus doc: ``(id, n_candidates, max_jaccard, keep)`` with
     ``keep = max_jaccard < threshold``.
     """
-    sh_c = word_shingles(corpus, id_col, text_col, shingle_n, distinct=False)
-    # bench side stays tiny by contract — skip the small-input spread
-    sh_b = word_shingles(
-        bench, id_col, text_col, shingle_n, distinct=False, spread=False
-    )
-    # each signature table feeds its band explode AND the estimate join;
+    # in-row signatures (r15): identical values as the explode + groupBy
+    # form with ZERO pre-signature shuffles — the corpus side goes from one
+    # full gram-table exchange to none (dedup.minhash_signatures_inrow).
+    # Bench side stays tiny by contract — skip the small-input spread.
+    # Each signature table feeds its band explode AND the estimate join;
     # deployment-aware materialization (see materialize.py)
-    sig_c = materialize(minhash_signatures(sh_c, id_col, n_hashes))
-    sig_b = materialize(minhash_signatures(sh_b, id_col, n_hashes))
+    sig_c = materialize(
+        minhash_signatures_inrow(corpus, id_col, text_col, shingle_n, n_hashes)
+    )
+    sig_b = materialize(
+        minhash_signatures_inrow(
+            bench, id_col, text_col, shingle_n, n_hashes, spread=False
+        )
+    )
     bands_c = lsh_bands(sig_c, id_col, n_hashes, rows_per_band).select(
         F.col(id_col).alias("c_id"), "band_idx", "band_sig"
     )

@@ -177,9 +177,19 @@ def minhash_sig_cols(grams, n_hashes: int = 15) -> list:
     Empty gram arrays yield NULL minhashes (the batch form simply has no
     row) — callers drop or null-handle gram-less docs.
     """
+    return minhash_cols_from_ab(minhash_ab_expr(grams), n_hashes)
+
+
+def minhash_ab_expr(grams):
+    """Per-gram (a, b) hash-seed struct array — ONE md5 per gram, shared by
+    every seed (the same digest-slice family as :func:`minhash_signatures`).
+    Factored out so callers can STAGE the array in its own projection:
+    CollapseProject keeps a multiply-referenced non-cheap alias staged, which
+    is what guarantees the digest runs once when ``n_hashes`` seed columns
+    consume it (un-staged, every seed column re-hashes every gram)."""
     p = 2_147_483_647  # 2^31 - 1 (prime); same family as minhash_signatures
     h = lambda g: F.md5(g)  # noqa: E731
-    ab = F.transform(
+    return F.transform(
         grams,
         lambda g: F.struct(
             (F.conv(F.substring(h(g), 1, 8), 16, 10).cast("bigint") % p).alias("a"),
@@ -188,12 +198,63 @@ def minhash_sig_cols(grams, n_hashes: int = 15) -> list:
             ).alias("b"),
         ),
     )
+
+
+def minhash_cols_from_ab(ab, n_hashes: int = 15) -> list:
+    """``mh0..mhN-1`` seed columns over a (staged) ``minhash_ab_expr`` array
+    column — ``min((a + i*b) mod p)`` per seed, linear in grams."""
+    p = 2_147_483_647
     return [
         F.array_min(
             F.transform(ab, lambda x: (x["a"] + F.lit(i) * x["b"]) % p)
         ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
+
+
+def minhash_signatures_inrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    n_hashes: int = 15,
+    spread: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash signatures as a PURE PROJECTION — no gram explode, no
+    shuffle. Same output schema and bit-identical values as
+    ``minhash_signatures(word_shingles(df, distinct=False))`` (same md5-slice
+    seed family over the same multiset gram array; MinHash is duplicate-
+    invariant), including the absence rule: docs with fewer than
+    ``shingle_n`` tokens have no gram and yield NO row (the batch form's
+    explode drops them; here the ``size(__toks) >= shingle_n`` filter does —
+    staged-column comparison, pushed to the token projection, never
+    re-evaluating the gram build).
+
+    Why a third form (r15, guide §2.4): the batch form shuffles the ENTIRE
+    exploded gram table by doc id (the signature groupBy) just to reduce it
+    back to one row per doc — the largest exchange of the whole LSH family
+    at corpus scale. In-row ``transform`` + ``array_min`` removes the
+    explode AND that exchange outright; the hashing work is identical (one
+    md5 per gram occurrence — the ``__ab`` array is STAGED in its own
+    projection so the ``n_hashes`` seed columns share it, see
+    :func:`minhash_ab_expr`). The streaming tier (`streaming/corpus.py`)
+    has used the in-row kernel since r8 for statelessness; this wraps it
+    for batch pipelines where the win is the shuffle, with the
+    :func:`spread_small_input` treatment standing in for the explode's
+    parallelism on single-split bench inputs (no-op at production split
+    counts).
+    """
+    staged = (spread_small_input(df) if spread else df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams = staged.filter(F.size(F.col("__toks")) >= shingle_n).select(
+        F.col(id_col), gram_array_expr(F.col("__toks"), shingle_n).alias("__grams")
+    )
+    ab = grams.select(
+        F.col(id_col), minhash_ab_expr(F.col("__grams")).alias("__ab")
+    )
+    sig = ab.select(F.col(id_col), *minhash_cols_from_ab(F.col("__ab"), n_hashes))
+    return sig.withColumn("mhs", F.array(*[f"mh{i}" for i in range(n_hashes)]))
 
 
 def minhash_signatures(
@@ -334,15 +395,18 @@ def minhash_jaccard_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs + estimated jaccard
     (= fraction of matching minhashes)."""
-    # multiset shingles: MinHash is distinct-invariant, so the set-dedup
-    # shuffle of the exploded gram table is skipped entirely
-    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
-    # the signature table is referenced three times (bands + both pair
+    # in-row signatures (r15): the old explode + groupBy form shuffled the
+    # whole gram table by doc id before reducing it to one signature row per
+    # doc — minhash_signatures_inrow computes the identical signatures as a
+    # pure projection (zero pre-signature shuffles; see its docstring).
+    # The signature table is referenced three times (bands + both pair
     # sides); Spark does not share subtrees, so materialize it once — the
     # same move a production LSH pipeline makes by checkpointing signatures.
     # Strategy is deployment-aware (localCheckpoint locally, lineage-keeping
     # persist on a cluster): see materialize.py.
-    sig = materialize(minhash_signatures(sh, id_col, n_hashes))
+    sig = materialize(
+        minhash_signatures_inrow(df, id_col, text_col, shingle_n, n_hashes)
+    )
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, n_hashes, rows_per_band), id_col)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("mhs").alias("mhs_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("mhs").alias("mhs_b"))

@@ -97,9 +97,18 @@ def bm25_topk(
             + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    # JOIN ORDER (r15, guide §2.3/§3): the broadcast (query-term, idf) dim
+    # joins FIRST — a map-side filter that drops every posting whose term no
+    # query mentions — and only the surviving candidate postings join doc
+    # lengths. The old order (postings ⋈ doclen ⋈ broadcast(qidf)) shuffled
+    # the ENTIRE postings table by doc_id before the broadcast filter ran
+    # (plan: Exchange + SortMergeJoin ahead of the BroadcastHashJoin —
+    # Catalyst does not commute inner joins without CBO), which is exactly
+    # the corpus-scale shuffle the docstring promises never happens. Inner
+    # joins commute; scores are bit-identical.
     scored = (
-        postings.join(doclen, id_col)
-        .join(F.broadcast(qidf), "t")
+        postings.join(F.broadcast(qidf), "t")
+        .join(doclen, id_col)
         .groupBy(q_id_col, id_col)
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )

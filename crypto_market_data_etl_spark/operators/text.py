@@ -294,26 +294,39 @@ def ngram_lm_scores(
 
         P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k · V),   V = |vocabulary|
 
-    Shape at 100 TB: shingle explode (linear in tokens), two count
-    aggregations keyed on gram/history (map-side partials; the tables are
-    vocabulary-sized — orders smaller than the corpus), a scoring join back
-    on the same keys (AQE splits the stop-word-history skew), one per-doc
-    mean. The vocab scalar V stays in-plan as a broadcast cross join — no
-    driver collect. Docs with < 2 tokens have no bigram and are omitted
-    (oracle-mirrored). Output: (id, n_bigrams, avg_nll).
+    Shape at 100 TB (r15 single-explode rewrite, guide §2.3): the gram
+    stream is exploded ONCE and reduced immediately to a per-(doc, bigram)
+    HISTOGRAM (``groupBy(id, s)`` count — map-side partials; output bounded
+    by distinct bigrams per doc, never gram occurrences), which is
+    materialized. Everything else derives from the histogram: the bigram
+    count table ``c2`` re-aggregates it (vocabulary²-bounded), the history
+    rollup ``c1`` re-aggregates ``c2``, and the scoring join carries one
+    row per DISTINCT (doc, bigram) instead of one per occurrence — the
+    per-doc mean becomes the count-weighted ``sum(cnt·nll)/sum(cnt)``
+    (identical up to FP summation order; both engines already sum engine-
+    ordered doubles and round to 6dp — oracle-verified at all three SFs).
+    The pre-r15 form re-ran the corpus-scale explode TWICE (count pass +
+    scoring pass — Spark shares no subtrees) and shuffled every gram
+    occurrence into the scoring aggregation. The vocab scalar V stays
+    in-plan as a broadcast cross join — no driver collect; its token
+    explode is the one remaining second pass (single-token docs appear in
+    no bigram, so V cannot be derived from the histogram). Docs with < 2
+    tokens have no bigram and are omitted (oracle-mirrored).
+    Output: (id, n_bigrams, avg_nll).
     """
     from .dedup import word_shingles
 
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-    grams = word_shingles(df, id_col, text_col, n=2, distinct=False).withColumn(
-        "w1", F.substring_index(F.col("s"), " ", 1)
-    )
+    grams = word_shingles(df, id_col, text_col, n=2, distinct=False)
     from ..materialize import materialize
 
-    # MATERIALIZED: c2 feeds both the history rollup below and the scoring
-    # join — Spark shares no subtrees, so an unmaterialized c2 would replay
-    # the corpus-scale gram count once per reference
-    c2 = materialize(grams.groupBy("s").agg(F.count(F.lit(1)).alias("c2")))
+    # MATERIALIZED: the histogram feeds the c2 rollup AND the scoring join —
+    # Spark shares no subtrees, so an unmaterialized hist would replay the
+    # corpus-scale explode once per reference
+    hist = materialize(
+        grams.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    c2 = hist.groupBy("s").agg(F.sum("__cnt").alias("c2"))
     # history counts re-aggregate the DISTINCT-bigram table (vocabulary²-
     # bounded), not the corpus-scale gram stream — same value, one fewer
     # corpus pass: c(w1 ·) = sum over s of c(w1 w2)
@@ -329,13 +342,16 @@ def ngram_lm_scores(
         / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
     )
     return (
-        grams.join(c2, "s")
+        hist.withColumn("w1", F.substring_index(F.col("s"), " ", 1))
+        .join(c2, "s")
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.sum("__cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__cnt") * nll) / F.sum("__cnt"), 6
+            ).alias("avg_nll"),
         )
     )
 

@@ -30,7 +30,7 @@ from ..operators.dedup import (
     lsh_bands,
     lsh_candidate_pairs,
     minhash_jaccard_pairs,
-    minhash_signatures,
+    minhash_signatures_inrow,
     ngram_jaccard_pairs,
     simhash,
     word_shingles,
@@ -787,14 +787,14 @@ WHERE rnk <= 100
 # --------------------------------------------------------------------------
 
 def x21_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multiset shingles: MinHash is distinct-invariant (no set-dedup shuffle)
-    sh = word_shingles(_docs(spark, sf_dir), distinct=False)
-    # materialized once: both pair-join sides read the signature table —
+    # in-row signatures (r15): identical values as the explode + groupBy
+    # form with ZERO pre-signature shuffles (dedup.minhash_signatures_inrow).
+    # Materialized once: both pair-join sides read the signature table —
     # one minhash computation, not two. Deployment-aware strategy
     # (materialize.py): localCheckpoint locally (ContextCleaner-released;
     # persist() here leaked a cached table per call across a long-lived
     # session), lineage-keeping persist on a cluster.
-    sig = materialize(minhash_signatures(sh, n_hashes=N_HASHES))
+    sig = materialize(minhash_signatures_inrow(_docs(spark, sf_dir), n_hashes=N_HASHES))
     cand = lsh_candidate_pairs(
         lsh_bands(sig, n_hashes=N_HASHES, rows_per_band=ROWS_PER_BAND)
     )
