@@ -236,6 +236,17 @@ def asof_join_adaptive(
         )
         .select(*on, "__w")
     )
+    # MATERIALIZED (r15, guide §2.3): stats is referenced THREE times (the
+    # left-side bucket assignment, the main interval build, and — through
+    # r's lineage — block_firsts' aggregate). Spark shares no subtrees, so
+    # the un-materialized form aggregated the ENTIRE right side three times
+    # (q29 plan: three Scan+HashAggregate+Exchange pipelines over events,
+    # scans (11)/(23)/(38) in plans/r15/q29_asof_adaptive_before.txt). The
+    # table itself is tiny (one row per key), so the checkpoint is
+    # broadcast-cheap; deployment-aware strategy per materialize.py.
+    from ..materialize import materialize
+
+    stats = materialize(stats)
 
     # lead(ts) per key — computed BLOCKED: a plain per-key lead window would
     # serialize a hot key through one task (the same skew the blocked cumsum
@@ -243,18 +254,24 @@ def asof_join_adaptive(
     # each block takes the next non-empty block's first ts from a tiny
     # per-(key, block) aggregate.
     lead_span = tolerance * 16
-    r = r.join(F.broadcast(stats), on).withColumn(
-        "__lblk", F.expr(f"{r_ts} div {lead_span}")
-    )
+    # block_firsts from the PRE-stats-join right side (r15): __lblk depends
+    # only on the constant lead_span, and the broadcast stats join never
+    # drops rows (stats aggregates r itself, so every key matches) — so the
+    # old post-join formulation only added a redundant third stats
+    # aggregation pass + broadcast under this subtree. NULL-key rows group
+    # here but never match the main join below — identical output either
+    # way (the old inner join dropped them up front).
+    rblk = r.withColumn("__lblk", F.expr(f"{r_ts} div {lead_span}"))
     order = [F.col(r_ts)] + [F.col(c + suffix) for c in right_tiebreak]
     w_local = Window.partitionBy(*on, "__lblk").orderBy(*order)
     w_blocks = Window.partitionBy(*on).orderBy("__lblk")
     block_firsts = (
-        r.groupBy(*on, "__lblk")
+        rblk.groupBy(*on, "__lblk")
         .agg(F.min(r_ts).alias("__first"))
         .withColumn("__next_first", F.lead("__first").over(w_blocks))
         .select(*on, "__lblk", "__next_first")
     )
+    r = rblk.join(F.broadcast(stats), on)
     r = (
         r.withColumn("__next_local", F.lead(r_ts).over(w_local))
         .join(F.broadcast(block_firsts), [*on, "__lblk"])

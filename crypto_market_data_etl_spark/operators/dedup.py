@@ -627,19 +627,24 @@ def chunk_dedup(
     text is fingerprinted (md5) so downstream compares stay cheap; swap the
     digest for the string itself when writing a cleaned corpus.
 
-    Shape at 100 TB: explode to one row per chunk (bounded fan-out
-    tokens/chunk_words), doc-frequency via two map-side-combined aggs on
-    the chunk text (exact distinct-doc counts — a corpus-wide shuffle on
-    the chunk key, the step that HAS to see all docs), broadcast-free join
-    back on the same key, then ONE per-doc agg computing stats and the
-    deterministic reassembly (``array_sort(collect_list(when(df <= max,
-    struct(idx, chunk))))`` — ``collect_list`` skips the NULLs the dropped
-    chunks become, and order is restored after the shuffle, never assumed).
-    A single agg, not stats + kept-text aggs joined back: the two-agg form
-    shuffled the corpus-scale chunk table twice on the doc key and paid a
-    per-doc join — measured 5-8% slower at sf0.1 with identical output
-    (all-dropped docs hash the same: empty collect_list -> array_join ""
-    ≡ the old anti-joined coalesce-to-"" path).
+    Shape at 100 TB (r15 single-pass rewrite): explode to one row per
+    chunk occurrence (bounded fan-out tokens/chunk_words), reduce
+    IMMEDIATELY to one row per DISTINCT (chunk, doc) carrying the
+    occurrence count and positions (map-side partials; this is the one
+    corpus-wide shuffle that HAS to see all docs), materialize that table
+    (it feeds the doc-frequency rollup AND the mark join — Spark shares
+    no subtrees, so the pre-r15 double reference re-ran the corpus
+    explode twice), derive doc frequency as a row count over it, join
+    back on the chunk key at DISTINCT level (boilerplate collapses;
+    within-doc repeats ride as an int array), then ONE per-doc agg
+    computing stats and the deterministic reassembly
+    (``array_sort(flatten(collect_list(when(df <= max, transform(idxs,
+    i -> struct(i, chunk))))))`` — ``collect_list`` skips the NULLs the
+    dropped chunks become, and order is restored after the shuffle, never
+    assumed; all-dropped docs hash the empty string either way). A single
+    final agg, not stats + kept-text aggs joined back: the two-agg form
+    shuffled the chunk table twice on the doc key and paid a per-doc join
+    — measured 5-8% slower at sf0.1 with identical output.
     """
     staged = spread_small_input(df).select(
         F.col(id_col),
@@ -656,24 +661,46 @@ def chunk_dedup(
     exploded = staged.select(
         F.col(id_col), F.posexplode(chunks).alias("idx", "chunk")
     )
-    doc_freq = (
-        exploded.groupBy("chunk", id_col)
-        .agg(F.lit(1).alias("__one"))
-        .groupBy("chunk")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # SINGLE corpus pass (r15, guide §2.2/§2.3): reduce the occurrence
+    # stream immediately to one row per DISTINCT (chunk, doc) carrying the
+    # occurrence count + positions, and materialize it — the pre-r15 form
+    # referenced `exploded` twice (doc-freq agg + mark join; Spark shares
+    # no subtrees, so the corpus-scale explode ran TWICE) and shuffled
+    # occurrence-level rows through BOTH the chunk-key join and the final
+    # per-doc agg. Now the join and the per-doc agg carry distinct-level
+    # rows (boilerplate chunks collapse; within-doc repeats ride as an int
+    # array), and doc frequency is a row count over the distinct table.
+    from ..materialize import materialize
+
+    per_doc = materialize(
+        exploded.groupBy("chunk", id_col).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.collect_list("idx").alias("__idxs"),
+        )
     )
-    marked = exploded.join(doc_freq, "chunk")
+    doc_freq = per_doc.groupBy("chunk").agg(F.count(F.lit(1)).alias("df"))
+    marked = per_doc.join(doc_freq, "chunk")
     return marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((F.col("df") > max_doc_freq).cast("long")).alias("n_dropped"),
+        F.sum("__cnt").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("df") > max_doc_freq, F.col("__cnt")).otherwise(F.lit(0))
+        ).alias("n_dropped"),
         F.md5(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("df") <= max_doc_freq,
-                                F.struct("idx", "chunk"),
+                        F.flatten(
+                            F.collect_list(
+                                F.when(
+                                    F.col("df") <= max_doc_freq,
+                                    F.transform(
+                                        F.col("__idxs"),
+                                        lambda i: F.struct(
+                                            i.alias("idx"),
+                                            F.col("chunk").alias("chunk"),
+                                        ),
+                                    ),
+                                )
                             )
                         )
                     ),

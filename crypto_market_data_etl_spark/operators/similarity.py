@@ -2641,8 +2641,10 @@ def ivfpq_topk_fused(
 ) -> DataFrame:
     """:func:`ivfpq_topk` with the ADC scan re-plumbed for wall clock —
     same probe selection, same LUTs, same shortlist/rerank semantics
-    (the final top-k is identical; pytest-asserted), but three physical
-    changes that target exactly where the big-N rungs spend their time:
+    (pytest-asserted equal to ivfpq_topk on the committed fixtures; see
+    the KNOWN DIVERGENCE note below for the one regime where the two
+    paths legitimately differ), but physical changes that target exactly
+    where the big-N rungs spend their time:
 
     1. **Packed code transfer.** The per-row ``codes`` array<int> column
        crosses Arrow as a Python list per row, and
@@ -2701,9 +2703,29 @@ def ivfpq_topk_fused(
     ``max(1M, 2 × shortlist × n_queries)`` tuples, so a partition holds
     O(shortlist × n_queries) candidate tuples, never its full scored set;
     LUTs live one cell at a time (≤ n_queries × m × k doubles).
+
+    KNOWN DIVERGENCE (self-join queries at tight shortlists): this path
+    masks self pairs BEFORE its per-partition prune, so every shortlist
+    slot holds a real candidate. :func:`ivfpq_topk` instead lets a self
+    row occupy a slot in its per-cell ``argpartition`` and filters it
+    only AFTER the ranking window — so when a self query's ADC distance
+    lands in a cell fragment's top-``shortlist`` and the fragment has
+    more than ``shortlist`` members (the truncation binding), the
+    reference emits one fewer real candidate and the final top-k can
+    differ, with the fused result the better one (a real neighbor where
+    the reference burned the slot on the masked-out self row). The two
+    paths are therefore equal whenever queries are disjoint from the
+    index, or shortlists are not truncating — which covers every gated
+    oracle query — but NOT universally for self-join ANN; pinned by
+    ``test_fused_self_join_divergence_regime``.
     """
     import numpy as np
     from pyspark.sql import types as T
+
+    if merge not in ("arrays", "window"):
+        # a typo like "windows" would silently select the arrays path and
+        # invalidate any A/B that believed it was timing the window arm
+        raise ValueError(f"merge must be 'arrays' or 'window', got {merge!r}")
 
     books, m = _pq_codebook_tensor(codebooks)
     if any(b.shape[0] > 256 for b in books):
@@ -2851,11 +2873,11 @@ def ivfpq_topk_fused(
                 da_c = d.ravel().astype(np.float64, copy=False)
                 # Self pairs (query vector present in the index, incl.
                 # assign_r>1 duplicates) are dropped HERE, before the
-                # prune, so per-partition shortlists are computed over
-                # the same post-filter population the reference path's
-                # pre-window filter ranks — otherwise a self row burns a
-                # prune slot and a boundary candidate at exactly rank
-                # ``shortlist`` can diverge from ivfpq_topk.
+                # prune, so a self row never burns a prune slot. NOTE:
+                # ivfpq_topk's per-cell argpartition DOES rank self rows
+                # (its filter runs post-window), so under a binding
+                # per-cell truncation the two paths legitimately diverge
+                # — see the KNOWN DIVERGENCE docstring note.
                 sm = qa_c != na_c
                 if not sm.all():
                     qa_c, na_c, da_c = qa_c[sm], na_c[sm], da_c[sm]

@@ -212,7 +212,15 @@ def fingerprints(
     # admit sub-gram_n docs whose gram sequence(1, n<=0) runs DESCENDING and
     # crashes F.slice with index 0 — the filter must reject them itself
     keep = (F.size(toks) - (gram_n - 1)) >= window
-    return df.filter(keep).select(F.col(id_col), F.inline(F.array(result)))
+    # spread (r15, guide §2.5): the whole fingerprint is one zero-shuffle
+    # projection, so on a low-split input (the sf fixtures are a single
+    # parquet row group) ALL the md5/HOF compute serializes through one
+    # task. No-op at production split counts (see spread_small_input).
+    from .dedup import spread_small_input
+
+    return spread_small_input(df.filter(keep)).select(
+        F.col(id_col), F.inline(F.array(result))
+    )
 
 
 #: Default sensitive-term pattern for :func:`redact_terms`. Production swaps

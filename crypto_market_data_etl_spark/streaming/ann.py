@@ -220,9 +220,13 @@ def ivfpq_warm_retrain(
         # oversized-cell set is ≤ n_cells rows, so both joins broadcast
         unit_cen = serving_centroids.join(over, "c_id").select(
             "c_id",
+            # norm floored at 1e-12 (probe-side convention): a degenerate
+            # all-zero serving centroid would otherwise yield NaN/Inf dots
+            # and min_by would pick an arbitrary member, silently breaking
+            # the deterministic (dot, id) split rule
             F.expr(
-                "transform(c_vec, x -> x / sqrt(aggregate(c_vec, 0.0D, "
-                "(a, v) -> a + v * v)))"
+                "transform(c_vec, x -> x / greatest(sqrt(aggregate(c_vec, "
+                "0.0D, (a, v) -> a + v * v)), 1e-12D))"
             ).alias("u_vec"),
         )
         members = (

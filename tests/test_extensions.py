@@ -1383,6 +1383,36 @@ def test_chunk_dedup_fully_boilerplate_doc_empties(spark):
     assert got == {1: (1, empty), 2: (1, empty), 3: (1, empty)}
 
 
+def test_chunk_dedup_within_doc_repeats(spark):
+    """Focused regression for the r15 single-pass rewrite (distinct
+    (chunk, doc) rows carrying occurrence count + positions): a chunk
+    repeated WITHIN one doc must (1) count each occurrence in n_chunks,
+    (2) count as ONE doc for the doc-frequency threshold, (3) reassemble
+    at every original position when kept, and (4) count every occurrence
+    in n_dropped when its chunk is boilerplate."""
+    from crypto_market_data_etl_spark.operators.dedup import chunk_dedup
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: "p q r" twice within the SAME doc (df=1 -> kept, both
+            # positions), "a b c" shared with doc 2 (df=2 -> dropped)
+            (1, "p q r a b c p q r"),
+            # doc 2: "a b c" twice within doc AND shared (df=2 -> both
+            # occurrences dropped), "u v w" unique
+            (2, "a b c u v w a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.clean_md5)
+        for r in chunk_dedup(docs, chunk_words=3, max_doc_freq=1).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (3, 1, md5("p q r p q r"))
+    assert got[2] == (3, 2, md5("u v w"))
+
+
 def test_repetition_metrics_hand_case(spark):
     from crypto_market_data_etl_spark.operators.text import repetition_metrics
 
@@ -2584,9 +2614,13 @@ def test_fused_wide_codebooks_and_self_match_parity(spark):
 
     (2) queries that ARE index vectors (self-join ANN) at a tight
     shortlist — self pairs must be masked BEFORE the per-partition
-    prune, else a self row burns a prune slot and a boundary candidate
-    at exactly rank ``shortlist`` diverges from ivfpq_topk (whose
-    pre-window filter never ranks self rows)."""
+    prune so a self row never burns a prune slot. NOTE this asserts
+    parity on THIS fixture (multi-partition index, non-binding per-cell
+    truncation), not a universal invariant: when a cell fragment larger
+    than ``shortlist`` ranks a self row in its top-shortlist, ivfpq_topk
+    (which filters self rows only AFTER its window) legitimately emits
+    one fewer real candidate and the paths diverge — that regime is
+    pinned by ``test_fused_self_join_divergence_regime``."""
     import numpy as np
 
     from crypto_market_data_etl_spark.operators.similarity import (
@@ -2649,6 +2683,84 @@ def test_fused_wide_codebooks_and_self_match_parity(spark):
         fused = sorted(map(key, ivfpq_topk_fused(
             idx, self_qs, cents, books, df, **kw).collect()))
         assert fused == ref, shortlist
+
+
+def test_fused_self_join_divergence_regime(spark):
+    """Pin the KNOWN DIVERGENCE documented on :func:`ivfpq_topk_fused`:
+    self-join queries against a single-partition index whose one cell is
+    far larger than the shortlist (the per-cell truncation BINDING).
+
+    ivfpq_topk ranks self rows in its per-cell argpartition and filters
+    them only after the ranking window, so a self query whose ADC dist
+    lands in the cell's top-``shortlist`` burns a slot and the reference
+    emits one fewer real candidate. The fused path masks self pairs
+    before its prune, so every slot holds a real candidate. Asserted:
+    (1) fused returns no self pairs and exactly k real neighbors per
+    query; (2) fused's candidate coverage is never below the
+    reference's; (3) the divergence is REAL — at least one tight
+    shortlist produces different top-k sets (if this stops diverging,
+    the paths' semantics changed: re-read the docstring note)."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_fused,
+    )
+
+    rng = np.random.default_rng(41)
+    dim, m, kb, n = 16, 8, 16, 180
+    X = rng.normal(size=(n, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    # ONE coarse cell -> every vector lands in it; coalesce(1) keeps the
+    # whole cell in a single partition so the fused per-partition prune
+    # and the reference per-cell argpartition see the identical fragment
+    cents = spark.createDataFrame(
+        [(0, [float(v) for v in X.mean(axis=0)])], "c_id long, c_vec array<double>"
+    )
+    dsub = dim // m
+    books = spark.createDataFrame(
+        [
+            (b, c, [float(x) for x in v])
+            for b in range(m)
+            for c, v in enumerate(0.6 * rng.normal(size=(kb, dsub)))
+        ],
+        "block int, c_id int, c_vec array<double>",
+    )
+    idx = ivfpq_index(df, cents, books).coalesce(1).localCheckpoint()
+    self_qs = df.filter(F.col("vec_id") % 36 == 5)  # 5 index vectors
+    key = lambda r: (r.q_id, r.rnk, r.n_id)  # noqa: E731
+    diverged = False
+    for shortlist in (3, 5, 8, 12):
+        kw = dict(n_probe=1, k=3, shortlist=shortlist)
+        fused = ivfpq_topk_fused(idx, self_qs, cents, books, df, **kw).collect()
+        ref = ivfpq_topk(idx, self_qs, cents, books, df, **kw).collect()
+        # fused: no self pairs, k real neighbors for every query
+        assert all(r.q_id != r.n_id for r in fused)
+        per_q = {}
+        for r in fused:
+            per_q.setdefault(r.q_id, []).append(r)
+        assert all(len(v) == 3 for v in per_q.values()), shortlist
+        assert all(r.q_id != r.n_id for r in ref)
+        assert len(fused) >= len(ref), shortlist
+        if sorted(map(key, fused)) != sorted(map(key, ref)):
+            diverged = True
+    assert diverged, (
+        "self-join tight-shortlist regime no longer diverges — the "
+        "documented ivfpq_topk/fused semantics changed"
+    )
+    # merge= is validated at entry: a typo like "windows" must raise, not
+    # silently select the arrays path (would invalidate an A/B run)
+    import pytest
+
+    with pytest.raises(ValueError, match="merge"):
+        ivfpq_topk_fused(
+            idx, self_qs, cents, books, df, n_probe=1, k=3, merge="windows"
+        )
 
 
 def test_ivfpq_multi_assignment(spark):

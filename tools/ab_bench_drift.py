@@ -52,11 +52,13 @@ spark = get_spark(app_name="ab_bench_drift")
 for t in TESTDATA_TABLES:
     try:
         load_table(spark, sf_dir, t).count()
-    except Exception:
+    except Exception as exc:
         # pre-r2 trees (e.g. the r01 x02-baseline shape) can't read
         # events.parquet's TIMESTAMP(NANOS) ts; fine as long as the
-        # queries under test don't touch the unreadable table
-        pass
+        # queries under test don't touch the unreadable table. Print it —
+        # a missing sf dir / corrupt parquet must not silently leave the
+        # fixture un-warmed or the run on a broken table
+        print(f"# warm-up skip {t}: {type(exc).__name__}: {exc}", file=sys.stderr)
 qs = plans.all_queries()
 # pre-r5 trees (e.g. the r01 bench commit, the x02 baseline shape) have
 # no variant registry yet
