@@ -526,10 +526,13 @@ def span_dedup(
     coverage (a doc with nothing removed reports ``n_removed = 0``; a doc
     that is ALL duplicate text reports ``clean_md5 = md5('')``).
 
-    Shape at 100 TB: windows explode to one row per position carrying a
-    16-hex md5 PREFIX of the window text (fixed-width shuffle key — the
-    raw ~span_words-token string would multiply shuffle bytes by the window
-    length), occurrence counts via one map-side-combined agg, join back on
+    Shape at 100 TB: windows explode to one row per position carrying the
+    16-hex md5 PREFIX of the window text packed into ONE BIGINT (r15: an
+    8-byte fixed-width shuffle key — the raw ~span_words-token string would
+    multiply shuffle bytes by the window length, and the hex string form
+    costs 24 UnsafeRow bytes where the packed long costs 8; the packing is
+    bijective so duplicate detection is unchanged), occurrence counts via
+    one map-side-combined agg, join back on
     the same key, then (r15 rewrite, guide §2.3) the covered POSITIONS are
     reduced per doc with one ``collect_set`` agg — integers only — and the
     excision + reassembly happen IN-ROW against the staged token arrays:
@@ -554,12 +557,27 @@ def span_dedup(
     tk = F.col("__toks")
     n_tok = F.size(tk)
     n_win = n_tok - (span_words - 1)
-    windows = F.when(n_win < 1, F.array().cast("array<string>")).otherwise(
+    # the shuffle/materialize key is the 16-hex md5 prefix PACKED into one
+    # bigint (high 8 hex → bits 63..32, low 8 hex → bits 31..0; both halves
+    # < 2^32, shiftleft wraps the sign bit silently — bitwise, never ANSI
+    # overflow). Bijective with the hex string, so every groupBy/join below
+    # partitions identically — but the key is a FIXED 8-byte UnsafeRow slot
+    # instead of a 24-byte var-length string (guide §2.2 narrower shuffle
+    # types). Two nested transforms: the inner array computes ONE md5 per
+    # window; the outer lambda's two substrings slice the already-computed
+    # 16-char element, never re-hashing.
+    win_hex = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(tk, i, span_words))), 1, 16
+        ),
+    )
+    windows = F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(tk, i, span_words))), 1, 16
-            ),
+            win_hex,
+            lambda h: F.shiftleft(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), 32
+            ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")),
         )
     )
     # MATERIALIZED: the window table feeds both the occurrence count and the

@@ -1960,6 +1960,30 @@ def test_span_dedup_conservation_on_mixed_corpus(spark):
     assert got[201]["n_removed"] == 10
 
 
+def test_span_dedup_sign_bit_window_key(spark):
+    """The r15 packed-bigint window key wraps the md5 prefix's sign bit via
+    shiftleft (bitwise, silent). A shared span whose 16-hex prefix starts
+    >= '8' (here md5('alpha bravo ... hotel')[:16] = 8586de4889620f20 —
+    high half 0x8586de48 sets bit 63) must still be detected: if the wrap
+    ever became an ANSI overflow/NULL, the key would vanish from the
+    occurrence count and the span would silently survive."""
+    import hashlib
+
+    from crypto_market_data_etl_spark.operators.dedup import span_dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    assert int(hashlib.md5(shared.encode()).hexdigest()[:8], 16) >= 0x80000000
+    docs = spark.createDataFrame(
+        [(1, f"pre1 {shared}"), (2, f"{shared} post2"), (3, "no dup span here at all ok")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in span_dedup(docs, span_words=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1]["n_removed"] == 8 and got[1]["clean_md5"] == md5("pre1")
+    assert got[2]["n_removed"] == 8 and got[2]["clean_md5"] == md5("post2")
+    assert got[3]["n_removed"] == 0
+
+
 def test_span_dedup_invariants(spark):
     """All-unique corpus -> nothing removed and clean text == original;
     fully-duplicated corpus -> everything removed; counts stay bounded."""
