@@ -943,6 +943,36 @@ def _collect_small_side(df: DataFrame, what: str, cap: int | None = None):
     return rows
 
 
+def _sweep_rows(A, B):
+    """Row-paired dot products replicating the expression-tier ``_dot`` fold
+    BIT-EXACTLY: the fold computes ``acc = ((0.0 + a0*b0) + a1*b1) + ...`` —
+    one correctly-rounded IEEE multiply and one add per element, in element
+    order.  This sweep performs the identical op sequence per row (numpy
+    ufuncs are strictly per-op rounded, no FMA contraction), vectorized
+    ACROSS rows instead of across elements — so results carry the exact bits
+    of the JVM fold at numpy speed.  NOT equivalent to ``np.dot``/BLAS, which
+    reassociates the summation (last-bit drift — the reason the oracle-gated
+    queries could never use :func:`assign_centroids_np`)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def _sweep_cross(V, C):
+    """All-pairs variant of :func:`_sweep_rows`: ``acc[i, j]`` accumulates
+    ``V[i, d] * C[j, d]`` over ``d`` in element order — the exact FP sequence
+    of one expression-tier fold per (row, centroid) pair."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(V.shape[1]):
+        acc += np.multiply.outer(V[:, d], C[:, d])
+    return acc
+
+
 def assign_centroids_np(
     df: DataFrame,
     centroids: DataFrame,
@@ -2976,6 +3006,7 @@ def semantic_dedup(
     numpy_assign: bool = False,
     center_vec: list[float] | None = None,
     center: bool | str = False,
+    exact_arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then inside each cluster drop any
@@ -3043,17 +3074,23 @@ def semantic_dedup(
     # Without the guard an empty centroid set returns ZERO rows from the
     # inner assignment join and a keep-filter caller silently drops the
     # whole corpus instead of learning its filter matched nothing.
-    cent_side = materialize(
-        df.filter(centroid_filter).select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-        )
+    # (r15: the sweep tier collects the centroid side to the driver anyway,
+    # so there the collect itself IS the materialization and the empty
+    # guard — the localCheckpoint + isEmpty jobs only run for the tiers
+    # that keep the centroids distributed.)
+    _empty_centroids_msg = (
+        "semantic_dedup: centroid_filter selected no rows — every input "
+        "row needs a cluster; pass a filter that matches this corpus's "
+        "ids (or feed kmeans_step output)"
     )
-    if cent_side.isEmpty():
-        raise ValueError(
-            "semantic_dedup: centroid_filter selected no rows — every input "
-            "row needs a cluster; pass a filter that matches this corpus's "
-            "ids (or feed kmeans_step output)"
-        )
+    cent_proj = df.filter(centroid_filter).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    cent_side = None
+    if numpy_assign or not exact_arrow:
+        cent_side = materialize(cent_proj)
+        if cent_side.isEmpty():
+            raise ValueError(_empty_centroids_msg)
     if center_vec is None:
         if center == "auto":
             ratio, probed_mean = shared_component_ratio(df, vec_col)
@@ -3085,18 +3122,14 @@ def semantic_dedup(
                 F.col(id_col), "ev", F.col("c_id").alias("cluster_id")
             )
     else:
-        cents = F.broadcast(
-            cent_side.select(
-                "c_id", F.col("c_vec").cast("array<double>").alias("cv")
-            )
-        )
         # assignment-space vectors: centered when center_vec is given (the
         # verdict sim below always stays on the raw `ev`). Both the assign-
         # space vector and its floored norm are precomputed PER ROW on each
         # side (r15): the old per-pair form re-centered and re-folded both
         # self-dots for every one of the n*k pairs — k-fold redundant work
         # on the corpus side; same expression bits, so sims are unchanged.
-        ev_a, cv_a = F.col("ev"), F.col("cv")
+        ev_a = F.col("ev")
+        cv_a = F.col("c_vec").cast("array<double>")
         if m_lit is not None:
             ev_a = F.zip_with(ev_a, m_lit, lambda x, y: x - y)
             cv_a = F.zip_with(cv_a, m_lit, lambda x, y: x - y)
@@ -3107,35 +3140,172 @@ def semantic_dedup(
         vecs_a = vecs.select(
             F.col(id_col), "ev", ev_a.alias("__va"),
         ).withColumn("__vn", F.greatest(F.sqrt(_dot(F.col("__va"), F.col("__va"))), F.lit(1e-12)))
-        cents_a = cents.select(
-            "c_id", cv_a.alias("__ca"),
-        ).withColumn("__cn", F.greatest(F.sqrt(_dot(F.col("__ca"), F.col("__ca"))), F.lit(1e-12)))
-        c_sim = F.round(
-            _dot(F.col("__va"), F.col("__ca")) / (F.col("__vn") * F.col("__cn")),
-            round_dp,
-        )
-        # argmax as a hash agg, not a rank window: max_by with the ordering
-        # struct (sim, -c_id) picks the same (best sim, smallest c_id)
-        # winner, but partial-aggregates MAP-SIDE — the n*k cross product
-        # collapses to n rows before the shuffle, where the window form
-        # shuffled and sorted all n*k rows (measured on x32: the exchange
-        # shrinks k-fold and the per-partition sort disappears)
-        assign = (
-            vecs_a.join(cents_a)
-            .withColumn("__c_sim", c_sim)
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    F.struct(F.col("c_id"), F.col("ev")),
-                    F.struct(F.col("__c_sim"), (-F.col("c_id")).alias("__nc")),
-                ).alias("__best")
+        def _cents_a(side):
+            return side.select("c_id", cv_a.alias("__ca")).withColumn(
+                "__cn",
+                F.greatest(F.sqrt(_dot(F.col("__ca"), F.col("__ca"))), F.lit(1e-12)),
             )
-            .select(
-                F.col(id_col),
-                F.col("__best.ev").alias("ev"),
-                F.col("__best.c_id").alias("cluster_id"),
+
+        cent_rows = None
+        if exact_arrow:
+            try:
+                cent_rows = _collect_small_side(
+                    _cents_a(cent_proj).orderBy("c_id"), "semantic_dedup centroid"
+                )
+            except ValueError:
+                cent_rows = None  # too many centroids: expression tier below
+            if cent_rows is not None and not cent_rows:
+                raise ValueError(_empty_centroids_msg)
+        if cent_rows is None and cent_side is None:
+            # sweep declined (centroid side above the driver-collect cap):
+            # fall back to the distributed expression tier, which needs the
+            # materialized + emptiness-guarded centroid table after all
+            cent_side = materialize(cent_proj)
+            if cent_side.isEmpty():
+                raise ValueError(_empty_centroids_msg)
+        if cent_rows is not None:
+            # Arrow sweep tier (r15, guide §4.2): the n×k assignment dots are
+            # the operator's dominant cost (measured on x32: ~70 s task-run
+            # at sf0.1, ~1 µs per interpreted fold element). The sweep
+            # computes the SAME raw cosines bit-exactly (see _sweep_cross —
+            # identical per-pair FP op sequence; norms are NOT replicated:
+            # __vn rides the row from the Spark expression built below and
+            # the collected centroid rows carry the Spark-computed __cn).
+            # Python emits only CANDIDATE winners per vector — every
+            # centroid whose numpy-rounded sim is within two rounding quanta
+            # of the row max (numpy half-even and Spark HALF_UP can disagree
+            # by at most one quantum, so the true winner is always in this
+            # superset) — and the FINAL rounded argmax runs in the same
+            # max_by/Round expressions as the expression tier: no Python
+            # replication of decimal-rounding semantics anywhere. Output is
+            # therefore identical to the expression tier (pytest-asserted),
+            # which remains both the >cap fallback and the
+            # exact_arrow=False arm.
+            import numpy as np
+            from pyspark.sql import types as T
+
+            c_id_arr = np.array([int(r["c_id"]) for r in cent_rows], dtype=np.int64)
+            C_mat = np.array([list(r["__ca"]) for r in cent_rows], dtype=np.float64)
+            c_norms = np.array([r["__cn"] for r in cent_rows], dtype=np.float64)
+            min_cid = int(c_id_arr.min())
+            cand_margin = 2 * 10.0 ** (-round_dp)
+            # the sweep wants few LARGE Arrow batches (its parallelism axis
+            # is numpy rows inside the batch), so it reads the un-spread
+            # input — the 32-way spread exists for the expression tier's
+            # per-row fold parallelism and would only shrink batches here
+            vecs_sw = df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
+            ).select(
+                F.col(id_col), "ev", ev_a.alias("__va")
+            ).withColumn(
+                "__vn",
+                F.greatest(F.sqrt(_dot(F.col("__va"), F.col("__va"))), F.lit(1e-12)),
             )
-        )
+            id_field = vecs_sw.schema[id_col]
+            cand_schema = T.StructType(
+                [
+                    id_field,
+                    T.StructField("ev", T.ArrayType(T.DoubleType())),
+                    T.StructField("c_id", T.LongType()),
+                    T.StructField("__raw", T.DoubleType()),
+                ]
+            )
+
+            def _assign_batches(it):
+                for pdf in it:
+                    if pdf.empty:
+                        continue
+                    na = pdf["__va"].isna().to_numpy()
+                    frames = []
+                    if (~na).any():
+                        sub = pdf[~na]
+                        V = np.array(sub["__va"].tolist(), dtype=np.float64)
+                        vn = sub["__vn"].to_numpy(dtype=np.float64)
+                        raw = _sweep_cross(V, C_mat) / np.multiply.outer(
+                            vn, c_norms
+                        )
+                        r_np = np.round(raw, round_dp)
+                        mx = r_np.max(axis=1, keepdims=True)
+                        # NaN sims (NaN vector data) stay candidates: Spark's
+                        # NaN-is-largest max_by ordering decides, exactly
+                        # like the expression tier
+                        keep = (r_np >= mx - cand_margin) | np.isnan(r_np)
+                        ri, cj = np.nonzero(keep)
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    id_col: sub[id_col].to_numpy()[ri],
+                                    "ev": sub["ev"].to_numpy()[ri],
+                                    "c_id": c_id_arr[cj],
+                                    "__raw": raw[ri, cj],
+                                }
+                            )
+                        )
+                    if na.any():
+                        # whole-vector NULLs: the expression tier's sims are
+                        # all NULL there and max_by's struct ordering falls
+                        # to the -c_id tiebreak — the SMALLEST c_id wins
+                        # (with the NULL ev riding along). One candidate row
+                        # with a NULL __raw reproduces that ordering.
+                        sub = pdf[na]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    id_col: sub[id_col],
+                                    "ev": sub["ev"],
+                                    "c_id": np.full(len(sub), min_cid, dtype=np.int64),
+                                    "__raw": pd.array([None] * len(sub), dtype="float64"),
+                                }
+                            )
+                        )
+                    yield pd.concat(frames, ignore_index=True)
+
+            cand_rows = vecs_sw.mapInPandas(_assign_batches, schema=cand_schema)
+            assign = (
+                cand_rows.groupBy(id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("c_id"), F.col("ev")),
+                        F.struct(
+                            F.round(F.col("__raw"), round_dp),
+                            (-F.col("c_id")).alias("__nc"),
+                        ),
+                    ).alias("__best")
+                )
+                .select(
+                    F.col(id_col),
+                    F.col("__best.ev").alias("ev"),
+                    F.col("__best.c_id").alias("cluster_id"),
+                )
+            )
+        else:
+            cents_a = F.broadcast(_cents_a(cent_side))
+            c_sim = F.round(
+                _dot(F.col("__va"), F.col("__ca")) / (F.col("__vn") * F.col("__cn")),
+                round_dp,
+            )
+            # argmax as a hash agg, not a rank window: max_by with the ordering
+            # struct (sim, -c_id) picks the same (best sim, smallest c_id)
+            # winner, but partial-aggregates MAP-SIDE — the n*k cross product
+            # collapses to n rows before the shuffle, where the window form
+            # shuffled and sorted all n*k rows (measured on x32: the exchange
+            # shrinks k-fold and the per-partition sort disappears)
+            assign = (
+                vecs_a.join(cents_a)
+                .withColumn("__c_sim", c_sim)
+                .groupBy(id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("c_id"), F.col("ev")),
+                        F.struct(F.col("__c_sim"), (-F.col("c_id")).alias("__nc")),
+                    ).alias("__best")
+                )
+                .select(
+                    F.col(id_col),
+                    F.col("__best.ev").alias("ev"),
+                    F.col("__best.c_id").alias("cluster_id"),
+                )
+            )
     # both the member side and the rep side re-read the assignment (k dot
     # products per vector) — materialize once (deployment-aware). The RAW
     # verdict norm rides the materialized table too: the member-vs-rep pair
@@ -3159,19 +3329,64 @@ def semantic_dedup(
             "cluster_id",
         )
     )
-    pair_sim = F.round(
-        _dot(F.col("ev"), F.col("rv")) / (F.col("__n") * F.col("__rn")),
-        round_dp,
+    pairs = assign.join(reps, "cluster_id").filter(
+        F.col("__rep_id") < F.col(id_col)
     )
-    dropped = (
-        assign.join(reps, "cluster_id")
-        .filter(F.col("__rep_id") < F.col(id_col))
-        .withColumn("__sim", pair_sim)
-        .filter(F.col("__sim") >= threshold)
-        .select(id_col)
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+    if exact_arrow:
+        # Arrow sweep for the member×rep verdict dots (same contract as the
+        # assignment sweep: _sweep_rows replicates the fold bit-exactly, the
+        # norms are the Spark-computed __n/__rn riding the joined row, and
+        # the threshold decision stays in Spark — the sweep only PRE-FILTERS
+        # with a slack of one rounding quantum (no raw value below
+        # threshold - 10^-dp can round up to the threshold), then Spark's
+        # own Round expression applies the exact cut.
+        import numpy as np
+        from pyspark.sql import types as T
+
+        margin = threshold - 10.0 ** (-round_dp)
+        id_field = df.schema[id_col]
+        raw_schema = T.StructType(
+            [id_field, T.StructField("__raw", T.DoubleType())]
+        )
+
+        def _verdict_batches(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                Ev = np.array(pdf["ev"].tolist(), dtype=np.float64)
+                Rv = np.array(pdf["rv"].tolist(), dtype=np.float64)
+                denom = pdf["__n"].to_numpy(dtype=np.float64) * pdf[
+                    "__rn"
+                ].to_numpy(dtype=np.float64)
+                raw = _sweep_rows(Ev, Rv) / denom
+                # NaN raws must reach Spark: its NaN-is-largest comparison
+                # semantics make round(NaN) >= threshold TRUE, exactly like
+                # the expression tier's filter on the folded sim
+                m = (raw >= margin) | np.isnan(raw)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col][m], "__raw": raw[m]}
+                )
+
+        dropped = (
+            pairs.select(id_col, "ev", "rv", "__n", "__rn")
+            .mapInPandas(_verdict_batches, schema=raw_schema)
+            .filter(F.round(F.col("__raw"), round_dp) >= threshold)
+            .select(id_col)
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
+    else:
+        pair_sim = F.round(
+            _dot(F.col("ev"), F.col("rv")) / (F.col("__n") * F.col("__rn")),
+            round_dp,
+        )
+        dropped = (
+            pairs.withColumn("__sim", pair_sim)
+            .filter(F.col("__sim") >= threshold)
+            .select(id_col)
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
     return assign.join(dropped, id_col, "left").select(
         F.col(id_col),
         "cluster_id",

@@ -340,6 +340,60 @@ def test_semantic_dedup_numpy_assign_equivalent(spark):
     assert drift <= len(expr) * 0.01
 
 
+def test_semantic_dedup_exact_arrow_bit_parity(spark):
+    """The r15 Arrow-sweep tier must be IDENTICAL to the expression tier —
+    not tolerance-equal like the BLAS tier: the sweep replicates the fold's
+    exact FP sequence (_sweep_cross/_sweep_rows), norms ride the rows from
+    Spark expressions, and rounding/argmax/threshold stay in Spark. Full
+    output equality on every column, plain and centered."""
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        embedding_mean,
+        semantic_dedup,
+    )
+    from crypto_market_data_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    mean = [round(v, 6) for v in embedding_mean(embs)]
+    for kwargs in (
+        {},
+        {"center_vec": mean},
+        {"threshold": 0.8, "max_reps": 3},
+    ):
+        sweep = semantic_dedup(embs, exact_arrow=True, **kwargs).collect()
+        expr = semantic_dedup(embs, exact_arrow=False, **kwargs).collect()
+        assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), kwargs
+
+
+def test_sweep_dots_bit_identical_to_expression_fold(spark):
+    """_sweep_cross/_sweep_rows vs the JVM ``_dot`` fold: EXACT (==) float64
+    equality on random vectors — the core invariant the sweep tier rests on
+    (numpy ufunc per-op rounding in element order == the fold's sequence;
+    BLAS np.dot would fail this test)."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        _dot,
+        _sweep_cross,
+        _sweep_rows,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((40, 64)) * rng.uniform(0.1, 100, (40, 1))
+    B = rng.standard_normal((40, 64)) * rng.uniform(0.1, 100, (40, 1))
+    rows = [(a.tolist(), b.tolist()) for a, b in zip(A, B)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    jvm = np.array(
+        [r[0] for r in df.select(_dot(F.col("a"), F.col("b"))).collect()]
+    )
+    assert (_sweep_rows(A, B) == jvm).all()  # exact, not allclose
+    # cross form: pair i scored against every row of B; diagonal == rows form
+    assert (np.diagonal(_sweep_cross(A, B)) == jvm).all()
+
+
 def test_semantic_dedup_rejects_empty_centroid_set(spark):
     import pytest
     from pyspark.sql import functions as F
