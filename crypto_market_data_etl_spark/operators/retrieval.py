@@ -50,6 +50,12 @@ def bm25_topk(
     """
     from ..materialize import materialize
 
+    # NOTE (r15, measured): spread_small_input(docs) before the postings
+    # build was prototyped and REVERTED — interleaved 3-rep A/B at sf0.1
+    # showed 1.22x SLOWER (x37) / 1.05x (x47): the round-robin exchange of
+    # the full text column costs more than the single-task explode it
+    # parallelizes, because the postings groupBy right after it already
+    # redistributes the exploded rows. Do not re-try.
     base = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     # drop empty-string tokens (double/leading/trailing spaces, empty docs):
     # they would otherwise become real postings — an empty document could

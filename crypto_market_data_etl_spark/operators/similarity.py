@@ -164,18 +164,134 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exact_arrow: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (brute force, broadcast queries).
 
     Output: (q_id, n_id, rnk, sim). Ties broken by neighbor id.
+
+    Default physical tier (r15, guide §4.2): the corpus streams through
+    ``mapInPandas``; each Arrow batch scores against the collected query
+    matrix with the bit-exact fold replication :func:`_sweep_cross` (norms
+    ride the rows from Spark expressions) and emits only the batch's
+    top-``k``-with-margin candidate rows per query — so the final ranking
+    window sees O(partitions × k) rows per query instead of the WHOLE
+    n×q cross product, and the per-pair dots run at numpy speed instead
+    of ~1 µs/element interpreted folds. Rounding and the rank itself stay
+    in Spark expressions (same ``round``/``row_number`` as the expression
+    tier), and the candidate margin is two rounding quanta, so the output
+    is identical to the expression tier (pytest-asserted). The expression
+    tier remains the fallback when the query side exceeds the driver-
+    collect cap, and the ``exact_arrow=False`` arm.
     """
     from .dedup import spread_small_input
 
-    q = F.broadcast(
-        with_norm(queries, vec_col, "q_norm").select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "q_norm"
-        )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    q_proj = with_norm(queries, vec_col, "q_norm").select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        "q_norm",
     )
+    q_rows = None
+    if exact_arrow:
+        try:
+            q_rows = _collect_small_side(q_proj, "cosine_topk query")
+        except ValueError:
+            q_rows = None  # query side above the cap: expression tier below
+    if q_rows is not None:
+        import numpy as np
+        from pyspark.sql import types as T
+
+        q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+        Q_mat = (
+            np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+            if q_rows
+            else np.zeros((0, 1))
+        )
+        q_norms = np.array([r["q_norm"] for r in q_rows], dtype=np.float64)
+        cand_margin = 2e-6  # two quanta of the 6dp sim rounding below
+        c = with_norm(corpus, vec_col, "c_norm").select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+            "c_norm",
+        )
+        id_field = c.schema["n_id"]
+        cand_schema = T.StructType(
+            [
+                q_proj.schema["q_id"],
+                id_field,
+                T.StructField("__raw", T.DoubleType()),
+            ]
+        )
+
+        def _topk_batches(it):
+            for pdf in it:
+                if pdf.empty or len(q_ids) == 0:
+                    continue
+                na = pdf["c_vec"].isna().to_numpy()
+                frames = []
+                if (~na).any():
+                    sub = pdf[~na]
+                    ids = sub["n_id"].to_numpy()
+                    V = np.array(sub["c_vec"].tolist(), dtype=np.float64)
+                    cn = sub["c_norm"].to_numpy(dtype=np.float64)
+                    raw = _sweep_cross(V, Q_mat) / np.multiply.outer(
+                        cn, q_norms
+                    )
+                    self_m = ids[:, None] == q_ids[None, :]
+                    # selection copy: self pairs can never rank (the exact
+                    # tier filters them pre-window), NaN ranks FIRST under
+                    # Spark's NaN-is-largest ordering → treat as +inf here
+                    r_sel = np.round(raw, 6)
+                    r_sel = np.where(np.isnan(r_sel), np.inf, r_sel)
+                    r_sel = np.where(self_m, -np.inf, r_sel)
+                    b = r_sel.shape[0]
+                    if b > k:
+                        thr = np.partition(r_sel, b - k, axis=0)[b - k, :]
+                        keep = (r_sel >= thr - cand_margin) & ~self_m
+                    else:
+                        keep = ~self_m
+                    ri, qj = np.nonzero(keep)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": q_ids[qj],
+                                "n_id": ids[ri],
+                                "__raw": raw[ri, qj],
+                            }
+                        )
+                    )
+                if na.any():
+                    # NULL corpus vectors: the exact tier ranks their NULL
+                    # sims LAST (they only reach top-k in degenerate <k
+                    # corpora) — emit them all with NULL raw so the Spark
+                    # window applies the identical ordering
+                    nul_ids = pdf["n_id"][na].to_numpy()
+                    nri, nqj = np.nonzero(
+                        nul_ids[:, None] != q_ids[None, :]
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": q_ids[nqj],
+                                "n_id": nul_ids[nri],
+                                # object column: TRUE nulls, not NaN — the
+                                # rank orders NULL last / NaN first
+                                "__raw": [None] * len(nri),
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        cand = c.mapInPandas(_topk_batches, schema=cand_schema)
+        return (
+            cand.withColumn("sim", F.round(F.col("__raw"), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "n_id", "rnk", "sim")
+        )
+    q = F.broadcast(q_proj)
     # spread the corpus side: the |Q| x |corpus| sim computation is map-side
     # (broadcast queries), so its parallelism IS the corpus split count — a
     # single-row-group input serializes the whole scoring pass through one
@@ -185,7 +301,6 @@ def cosine_topk(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), "c_norm"
     )
     sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
         c.crossJoin(q)
         .filter(F.col("q_id") != F.col("n_id"))
@@ -231,6 +346,7 @@ def lsh_buckets(
     vec_col: str = "embedding",
     n_planes: int = 16,
     dim: int = 64,
+    exact_arrow: bool = True,
 ) -> DataFrame:
     """Sign-LSH bucket signature per vector: (id, bucket, n_in_bucket).
 
@@ -243,20 +359,63 @@ def lsh_buckets(
     ``min(2^n_planes, n_rows)`` rows (65,536 at the default 16 planes), and
     the join back is broadcast when the bucket space is provably small — so
     the big side never shuffles at all.
+
+    Default signature tier (r15): Arrow sweep. The expression form pays
+    TWICE for its n_planes × dim literal tree — seconds of driver-side
+    py4j round-trips just BUILDING the 16 × 64-literal expressions on every
+    call, then an oversized whole-stage-codegen method for the fold
+    (measured on x06: 1.5-3.5 s build + erratic 0.5-4 s exec). The sweep
+    keeps the planes in a numpy closure and replicates the fold's exact FP
+    sequence (:func:`_sweep_cross`); a sign decision on a bit-identical dot
+    is bit-identical, so buckets are unchanged (pytest + oracle). The
+    expression tier stays as the ``exact_arrow=False`` arm.
     """
     from .dedup import spread_small_input
 
     # materialized once: both the count aggregate and the join probe read the
-    # signature projection (n_planes x dim HOF folds per row) — without this
-    # the probe side recomputes every signature a second time. The input is
-    # SPREAD first: the signature projection is the heavy stage and its
-    # parallelism is the input split count (r15 profile: single-task at
-    # sf0.1); no-op at production split counts.
-    out = materialize(
-        spread_small_input(df).select(
-            F.col(id_col), bucket_signature(vec_col, n_planes, dim).alias("bucket")
+    # signature projection (n_planes x dim folds per row) — without this
+    # the probe side recomputes every signature a second time.
+    if exact_arrow:
+        import numpy as np
+        from pyspark.sql import types as T
+
+        P_mat = np.array(hyperplane_weights(n_planes, dim), dtype=np.float64)
+        sig_schema = T.StructType(
+            [df.schema[id_col], T.StructField("bucket", T.StringType())]
         )
-    )
+        src = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+
+        def _sig_batches(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                na = pdf["__v"].isna().to_numpy()
+                buckets = np.empty(len(pdf), dtype=object)
+                if (~na).any():
+                    V = np.array(pdf["__v"][~na].tolist(), dtype=np.float64)
+                    dots = _sweep_cross(V, P_mat)
+                    # `dot > 0` in Spark is TRUE for NaN (NaN-is-largest);
+                    # replicate so NaN vector data buckets identically
+                    bits = (dots > 0) | np.isnan(dots)
+                    chars = np.where(bits, "1", "0")
+                    buckets[~na] = ["".join(row) for row in chars]
+                # NULL vector → every plane's `when` falls to '0', exactly
+                # like the expression tier's NULL dot
+                buckets[na] = "0" * n_planes
+                yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+        out = materialize(src.mapInPandas(_sig_batches, schema=sig_schema))
+    else:
+        # expression tier; input SPREAD first: the signature projection is
+        # the heavy stage and its parallelism is the input split count (r15
+        # profile: single-task at sf0.1); no-op at production split counts.
+        out = materialize(
+            spread_small_input(df).select(
+                F.col(id_col), bucket_signature(vec_col, n_planes, dim).alias("bucket")
+            )
+        )
     counts = out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
     if n_planes <= 20:  # <= 1M distinct buckets -> tens of MB broadcast, tops
         counts = F.broadcast(counts)

@@ -89,6 +89,31 @@ def test_cosine_topk_finds_identical_vector(spark, embs):
     assert out[0].n_id == 777_777 and abs(out[0].sim - 1.0) < 1e-6
 
 
+def test_lsh_buckets_exact_arrow_bit_parity(spark, embs):
+    """The r15 sweep signature tier must produce IDENTICAL buckets to the
+    expression tier: sign decisions on bit-exact dots need no margin at all.
+    Full-output equality, both plane widths used by the gated queries."""
+    from crypto_market_data_etl_spark.operators.similarity import lsh_buckets
+
+    for planes in (6, 16):
+        sweep = lsh_buckets(embs, n_planes=planes, exact_arrow=True).collect()
+        expr = lsh_buckets(embs, n_planes=planes, exact_arrow=False).collect()
+        assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), planes
+
+
+def test_cosine_topk_exact_arrow_bit_parity(spark, embs):
+    """The r15 sweep tier must equal the expression tier on the FULL output
+    (ids, ranks AND rounded sims) — it replicates the fold bit-exactly and
+    only pre-selects candidates with a 2-quantum margin; the rank and the
+    rounding run in the same Spark expressions either way. Covers k larger
+    than the corpus (every row a candidate) and tiny-k."""
+    qs = embs.filter(F.col("vec_id") % 7 == 0)
+    for corpus, kk in ((embs, 5), (embs, 1), (embs.limit(4), 10)):
+        sweep = cosine_topk(corpus, qs, k=kk, exact_arrow=True).collect()
+        expr = cosine_topk(corpus, qs, k=kk, exact_arrow=False).collect()
+        assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), kk
+
+
 def test_cosine_topk_np_matches_expression_tier(spark, embs):
     from crypto_market_data_etl_spark.operators.similarity import cosine_topk_np
 
