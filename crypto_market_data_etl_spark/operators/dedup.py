@@ -247,13 +247,38 @@ def minhash_signatures_inrow(
     staged = (spread_small_input(df) if spread else df).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
-    grams = staged.filter(F.size(F.col("__toks")) >= shingle_n).select(
-        F.col(id_col), gram_array_expr(F.col("__toks"), shingle_n).alias("__grams")
+    # The projections below are generated as SQL strings parsed JVM-side in
+    # ONE selectExpr call per stage instead of the Column-builder helpers
+    # (r15, measured): constructing the gram/ab/15-seed Column trees costs
+    # ~0.4-0.5 s of driver py4j round-trips on EVERY call — and bench.py /
+    # the driver rebuild the query per rep, x38 builds TWO signature
+    # pipelines per run. Expressions are identical to gram_array_expr /
+    # minhash_ab_expr / minhash_cols_from_ab (the streaming tier still uses
+    # those builders; pytest pins bit-equality across the two forms), so
+    # values and plans are unchanged — only the construction path differs.
+    p = 2_147_483_647  # 2^31 - 1, same family as minhash_signatures
+    n1 = shingle_n - 1
+    idq = f"`{id_col}`"
+    gram_sql = (
+        f"CASE WHEN size(__toks) - {n1} < 1 THEN cast(array() as array<string>) "
+        f"ELSE transform(sequence(1, greatest(size(__toks) - {n1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {shingle_n}))) END"
     )
-    ab = grams.select(
-        F.col(id_col), minhash_ab_expr(F.col("__grams")).alias("__ab")
+    ab_sql = (
+        "transform(__grams, g -> named_struct("
+        f"'a', cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % {p}, "
+        f"'b', cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint) % {p - 1} + 1))"
     )
-    sig = ab.select(F.col(id_col), *minhash_cols_from_ab(F.col("__ab"), n_hashes))
+    mh_sqls = [
+        f"array_min(transform(__ab, x -> (x.a + {i} * x.b) % {p})) as mh{i}"
+        for i in range(n_hashes)
+    ]
+    sig = (
+        staged.filter(F.size(F.col("__toks")) >= shingle_n)
+        .selectExpr(idq, f"{gram_sql} as __grams")
+        .selectExpr(idq, f"{ab_sql} as __ab")
+        .selectExpr(idq, *mh_sqls)
+    )
     return sig.withColumn("mhs", F.array(*[f"mh{i}" for i in range(n_hashes)]))
 
 

@@ -31,6 +31,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r15 (measured): PySpark 4 captures a Python-side call-site fragment
+    # for every DataFrame/Column operation to enrich error messages; on
+    # expression-heavy plans (15-seed MinHash, multi-stage dedup) that
+    # DRIVER-side bookkeeping is ~25% of warm query-construction time
+    # (fresh-session A/B: 0.11-0.13 s vs 0.15-0.17 s per signature-pipeline
+    # build). Scale-independent (pure driver overhead, same at any data
+    # size); errors still carry the JVM-side SQL context.
+    "spark.sql.dataFrameQueryContextEnabled": "false",
 }
 
 

@@ -46,6 +46,41 @@ def test_exact_dedup_counts_duplicates(spark):
     assert dup.keep_id == 1
 
 
+def test_minhash_inrow_selectexpr_matches_column_builders(spark, docs):
+    """The r15 selectExpr form of minhash_signatures_inrow must be
+    bit-identical to the Column-builder form (gram_array_expr +
+    minhash_ab_expr + minhash_cols_from_ab — still used by the streaming
+    tier) AND to the explode+groupBy agg form: same expressions, different
+    construction path only."""
+    from crypto_market_data_etl_spark.operators.dedup import (
+        gram_array_expr,
+        minhash_ab_expr,
+        minhash_cols_from_ab,
+        minhash_signatures,
+        minhash_signatures_inrow,
+        spread_small_input,
+        word_shingles,
+    )
+
+    staged = spread_small_input(docs).select(
+        F.col("doc_id"), F.split(F.col("text"), " ").alias("__toks")
+    )
+    built = (
+        staged.filter(F.size(F.col("__toks")) >= 2)
+        .select(F.col("doc_id"), gram_array_expr(F.col("__toks"), 2).alias("__grams"))
+        .select(F.col("doc_id"), minhash_ab_expr(F.col("__grams")).alias("__ab"))
+    )
+    built = built.select(
+        F.col("doc_id"), *minhash_cols_from_ab(F.col("__ab"), 15)
+    ).withColumn("mhs", F.array(*[f"mh{i}" for i in range(15)]))
+    new = sorted(map(tuple, minhash_signatures_inrow(docs).collect()))
+    assert new == sorted(map(tuple, built.collect()))
+    agg = sorted(
+        map(tuple, minhash_signatures(word_shingles(docs, distinct=False)).collect())
+    )
+    assert new == agg
+
+
 def test_minhash_self_duplicate_detected(spark, docs):
     # append an exact copy of one doc under a new id: jaccard_est must be 1.0
     one = docs.filter(F.col("doc_id") == 1).withColumn("doc_id", F.lit(999_999).cast("long"))
