@@ -23,9 +23,12 @@ EVDIR = "/tmp/spark-events-r15"
 
 
 def main() -> None:
+    import shutil
+
     os.makedirs(EVDIR, exist_ok=True)
     for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
+        p = os.path.join(EVDIR, f)
+        shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
 
     from crypto_market_data_etl_spark.session import get_spark
 
@@ -80,47 +83,73 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log ----
-    log_path = os.path.join(EVDIR, app_id)
+    # Spark 4 writes a rolling v2 layout (eventlog_v2_<appId>/events_*.zstd)
+    # rather than a single <appId> file — iterate whichever exists (the
+    # session crashed here on the v2 dir until r15 batch 7's session)
+    def _iter_event_lines():
+        flat = os.path.join(EVDIR, app_id)
+        v2 = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+        if os.path.isfile(flat):
+            with open(flat) as fh:
+                yield from fh
+            return
+        import glob
+        import subprocess
+
+        for path in sorted(glob.glob(os.path.join(v2, "events_*"))):
+            if path.endswith(".zstd"):
+                proc = subprocess.Popen(
+                    ["zstd", "-dc", path], stdout=subprocess.PIPE, text=True
+                )
+                yield from proc.stdout
+                proc.wait()
+            else:
+                with open(path) as fh:
+                    yield from fh
+
     jobs: dict[int, dict] = {}          # jobId -> {group, stages:[ids]}
     stage_info: dict[tuple, dict] = {}  # (stageId, attempt) -> metrics
-    with open(log_path) as fh:
-        for line in fh:
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                grp = props.get("spark.jobGroup.id", "")
-                jobs[ev["Job ID"]] = {
-                    "group": grp,
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
-                }
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = (si["Stage ID"], si["Stage Attempt ID"])
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                stage_info[sid] = {
-                    "name": si.get("Stage Name", "")[:90],
-                    "ntasks": si.get("Number of Tasks", 0),
-                    "wall_ms": (comp - sub) if sub and comp else 0,
-                    "run_ms": 0, "sh_read": 0, "sh_write": 0,
-                    "input": 0, "cpu_ms": 0,
-                }
-            elif e == "SparkListenerTaskEnd":
-                si = (ev["Stage ID"], ev["Stage Attempt ID"])
-                m = ev.get("Task Metrics") or {}
-                d = stage_info.setdefault(si, {
-                    "name": "?", "ntasks": 0, "wall_ms": 0, "run_ms": 0,
-                    "sh_read": 0, "sh_write": 0, "input": 0, "cpu_ms": 0,
-                })
-                d["run_ms"] += m.get("Executor Run Time", 0)
-                d["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
-                sr = m.get("Shuffle Read Metrics") or {}
-                d["sh_read"] += sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0)
-                sw = m.get("Shuffle Write Metrics") or {}
-                d["sh_write"] += sw.get("Shuffle Bytes Written", 0)
-                inp = m.get("Input Metrics") or {}
-                d["input"] += inp.get("Bytes Read", 0)
+    for line in _iter_event_lines():
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            grp = props.get("spark.jobGroup.id", "")
+            jobs[ev["Job ID"]] = {
+                "group": grp,
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+            }
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = (si["Stage ID"], si["Stage Attempt ID"])
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            # update in place: TaskEnd events for this stage have already
+            # accumulated run/cpu/shuffle totals — a dict REPLACEMENT here
+            # zeroed them (the standalone r15_parse_eventlog.py always
+            # updated in place; this inline copy diverged)
+            d = stage_info.setdefault(sid, {
+                "name": "?", "ntasks": 0, "wall_ms": 0, "run_ms": 0,
+                "sh_read": 0, "sh_write": 0, "input": 0, "cpu_ms": 0,
+            })
+            d["name"] = si.get("Stage Name", "")[:90]
+            d["ntasks"] = si.get("Number of Tasks", 0)
+            d["wall_ms"] = (comp - sub) if sub and comp else 0
+        elif e == "SparkListenerTaskEnd":
+            si = (ev["Stage ID"], ev["Stage Attempt ID"])
+            m = ev.get("Task Metrics") or {}
+            d = stage_info.setdefault(si, {
+                "name": "?", "ntasks": 0, "wall_ms": 0, "run_ms": 0,
+                "sh_read": 0, "sh_write": 0, "input": 0, "cpu_ms": 0,
+            })
+            d["run_ms"] += m.get("Executor Run Time", 0)
+            d["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
+            sr = m.get("Shuffle Read Metrics") or {}
+            d["sh_read"] += sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0)
+            sw = m.get("Shuffle Write Metrics") or {}
+            d["sh_write"] += sw.get("Shuffle Bytes Written", 0)
+            inp = m.get("Input Metrics") or {}
+            d["input"] += inp.get("Bytes Read", 0)
 
     # attribute stages to query name via job group "name|repN" (rep1 only)
     per_query: dict[str, dict] = {}
