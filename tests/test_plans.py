@@ -55,9 +55,25 @@ def test_x02_candidates_via_equi_join(spark):
 
 
 def test_x05_broadcasts_query_side_only(spark):
+    # brute-force top-k: the corpus side must never shuffle before scoring.
+    # r15 sweep tier: the query side is driver-collected into the
+    # MapInPandas closure, the corpus streams straight into it — no join
+    # node at all, and the only Exchange is the per-query rank window over
+    # the bounded candidate set
     plan = _plan(extensions.x05_embedding_topk(spark, SF_SMOKE))
-    # brute-force top-k: the corpus side must not shuffle before the join
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    scoring = plan.split("MapInPandas")[-1]  # below = corpus side
+    assert "Exchange" not in scoring.split("Scan parquet")[0]
+    # the expression-tier arm keeps the broadcast-queries shape
+    from crypto_market_data_etl_spark.operators.similarity import cosine_topk
+    from crypto_market_data_etl_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    qs = embs.filter(F.col("vec_id") % 50 == 0)
+    expr_plan = _plan(cosine_topk(embs, qs, k=5, exact_arrow=False))
+    assert "BroadcastExchange" in expr_plan
 
 
 def test_partition_filters_reach_scan(spark, tmp_path):
