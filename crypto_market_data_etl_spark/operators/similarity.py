@@ -182,7 +182,17 @@ def cosine_topk(
     tier), and the candidate margin is two rounding quanta, so the output
     is identical to the expression tier (pytest-asserted). The expression
     tier remains the fallback when the query side exceeds the driver-
-    collect cap, and the ``exact_arrow=False`` arm.
+    collect cap / carries NULL query vectors / has non-integral id types,
+    and the ``exact_arrow=False`` arm.
+
+    Sweep-tier contract notes: the query side is resolved (driver-collected)
+    when the DataFrame is BUILT, not when it executes — queries are small by
+    contract, and the operator's centroid/materialize siblings already
+    resolve eagerly; pass ``exact_arrow=False`` for a fully lazy plan.
+    Whole-NULL vectors are handled identically to the expression tier;
+    element-level NULLs inside a non-null array are out of contract (dense
+    embeddings — same caveat as the BLAS tier). A zero-norm vector raises
+    (DIVIDE_BY_ZERO parity with the expression tier's ANSI divide).
     """
     from .dedup import spread_small_input
 
@@ -192,15 +202,28 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         "q_norm",
     )
+    from pyspark.sql import types as T
+
+    _int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     q_rows = None
-    if exact_arrow:
+    if (
+        exact_arrow
+        and isinstance(queries.schema[id_col].dataType, _int_types)
+        and isinstance(corpus.schema[id_col].dataType, _int_types)
+    ):
         try:
             q_rows = _collect_small_side(q_proj, "cosine_topk query")
         except ValueError:
             q_rows = None  # query side above the cap: expression tier below
+        if q_rows is not None and any(
+            r["q_id"] is None or r["q_vec"] is None or r["q_norm"] is None
+            for r in q_rows
+        ):
+            # NULL query vector/id/norm: the expression tier ranks its NULL
+            # sims without crashing — fall back to it (exact equivalence)
+            q_rows = None
     if q_rows is not None:
         import numpy as np
-        from pyspark.sql import types as T
 
         q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
         Q_mat = (
@@ -209,6 +232,14 @@ def cosine_topk(
             else np.zeros((0, 1))
         )
         q_norms = np.array([r["q_norm"] for r in q_rows], dtype=np.float64)
+        if (q_norms == 0.0).any():
+            # loudness parity: the expression tier's sim divide raises
+            # DIVIDE_BY_ZERO under Spark 4 default ANSI for a zero-norm
+            # query; a silent inf/NaN here would rank garbage first
+            raise ArithmeticError(
+                "cosine_topk: zero-norm query vector (DIVIDE_BY_ZERO parity "
+                "with the expression tier's ANSI divide)"
+            )
         cand_margin = 2e-6  # two quanta of the 6dp sim rounding below
         c = with_norm(corpus, vec_col, "c_norm").select(
             F.col(id_col).alias("n_id"),
@@ -235,6 +266,14 @@ def cosine_topk(
                     ids = sub["n_id"].to_numpy()
                     V = np.array(sub["c_vec"].tolist(), dtype=np.float64)
                     cn = sub["c_norm"].to_numpy(dtype=np.float64)
+                    if (cn == 0.0).any():
+                        # loudness parity with the expression tier's ANSI
+                        # divide (see the query-norm guard above)
+                        raise ArithmeticError(
+                            "cosine_topk: zero-norm corpus vector "
+                            "(DIVIDE_BY_ZERO parity with the expression "
+                            "tier's ANSI divide)"
+                        )
                     raw = _sweep_cross(V, Q_mat) / np.multiply.outer(
                         cn, q_norms
                     )
@@ -264,9 +303,11 @@ def cosine_topk(
                 if na.any():
                     # NULL corpus vectors: the exact tier ranks their NULL
                     # sims LAST (they only reach top-k in degenerate <k
-                    # corpora) — emit them all with NULL raw so the Spark
-                    # window applies the identical ordering
-                    nul_ids = pdf["n_id"][na].to_numpy()
+                    # corpora) — and among themselves they tie on sim, so
+                    # only the k SMALLEST n_ids per batch can ever survive
+                    # the global (sim desc, n_id asc) window: emit just
+                    # those with NULL raw (bounded, not |nulls| × |queries|)
+                    nul_ids = np.sort(pdf["n_id"][na].to_numpy())[: k + 1]
                     nri, nqj = np.nonzero(
                         nul_ids[:, None] != q_ids[None, :]
                     )
@@ -368,7 +409,10 @@ def lsh_buckets(
     keeps the planes in a numpy closure and replicates the fold's exact FP
     sequence (:func:`_sweep_cross`); a sign decision on a bit-identical dot
     is bit-identical, so buckets are unchanged (pytest + oracle). The
-    expression tier stays as the ``exact_arrow=False`` arm.
+    expression tier stays as the ``exact_arrow=False`` arm. Whole-NULL
+    vectors bucket to the all-zeros string like the expression tier's NULL
+    dots; element-level NULLs inside a non-null array are out of contract
+    (dense embeddings — same caveat as the BLAS tier).
     """
     from .dedup import spread_small_input
 
@@ -3292,21 +3336,17 @@ def semantic_dedup(
         if m_lit is not None:
             ev_a = F.zip_with(ev_a, m_lit, lambda x, y: x - y)
             cv_a = F.zip_with(cv_a, m_lit, lambda x, y: x - y)
-        # zero-norm guard (a vector exactly equal to the corpus mean centers
-        # to the zero vector): floor both denominators like nearest_cells —
-        # sims become 0.0 and max_by falls to the lowest c_id, matching the
-        # numpy tier's NaN-argmax behavior instead of NULLing the cluster
-        vecs_a = vecs.select(
-            F.col(id_col), "ev", ev_a.alias("__va"),
-        ).withColumn("__vn", F.greatest(F.sqrt(_dot(F.col("__va"), F.col("__va"))), F.lit(1e-12)))
         def _cents_a(side):
             return side.select("c_id", cv_a.alias("__ca")).withColumn(
                 "__cn",
                 F.greatest(F.sqrt(_dot(F.col("__ca"), F.col("__ca"))), F.lit(1e-12)),
             )
 
+        from pyspark.sql import types as T
+
+        _int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
         cent_rows = None
-        if exact_arrow:
+        if exact_arrow and isinstance(df.schema[id_col].dataType, _int_types):
             try:
                 cent_rows = _collect_small_side(
                     _cents_a(cent_proj).orderBy("c_id"), "semantic_dedup centroid"
@@ -3315,6 +3355,10 @@ def semantic_dedup(
                 cent_rows = None  # too many centroids: expression tier below
             if cent_rows is not None and not cent_rows:
                 raise ValueError(_empty_centroids_msg)
+            if cent_rows is not None and any(
+                r["c_id"] is None or r["__ca"] is None for r in cent_rows
+            ):
+                cent_rows = None  # NULL centroid row: expression tier handles it
         if cent_rows is None and cent_side is None:
             # sweep declined (centroid side above the driver-collect cap):
             # fall back to the distributed expression tier, which needs the
@@ -3341,7 +3385,6 @@ def semantic_dedup(
             # which remains both the >cap fallback and the
             # exact_arrow=False arm.
             import numpy as np
-            from pyspark.sql import types as T
 
             c_id_arr = np.array([int(r["c_id"]) for r in cent_rows], dtype=np.int64)
             C_mat = np.array([list(r["__ca"]) for r in cent_rows], dtype=np.float64)
@@ -3365,7 +3408,9 @@ def semantic_dedup(
                 [
                     id_field,
                     T.StructField("ev", T.ArrayType(T.DoubleType())),
-                    T.StructField("c_id", T.LongType()),
+                    # cluster_id inherits the id column's (integral) type,
+                    # exactly like the expression tier's c_id passthrough
+                    T.StructField("c_id", df.schema[id_col].dataType),
                     T.StructField("__raw", T.DoubleType()),
                 ]
             )
@@ -3438,6 +3483,17 @@ def semantic_dedup(
                 )
             )
         else:
+            # zero-norm guard (a vector exactly equal to the corpus mean
+            # centers to the zero vector): floor both denominators like
+            # nearest_cells — sims become 0.0 and max_by falls to the lowest
+            # c_id, matching the numpy tier's NaN-argmax behavior instead of
+            # NULLing the cluster
+            vecs_a = vecs.select(
+                F.col(id_col), "ev", ev_a.alias("__va"),
+            ).withColumn(
+                "__vn",
+                F.greatest(F.sqrt(_dot(F.col("__va"), F.col("__va"))), F.lit(1e-12)),
+            )
             cents_a = F.broadcast(_cents_a(cent_side))
             c_sim = F.round(
                 _dot(F.col("__va"), F.col("__ca")) / (F.col("__vn") * F.col("__cn")),
@@ -3517,6 +3573,16 @@ def semantic_dedup(
                 denom = pdf["__n"].to_numpy(dtype=np.float64) * pdf[
                     "__rn"
                 ].to_numpy(dtype=np.float64)
+                if (denom == 0.0).any():
+                    # loudness parity: the expression tier's pair_sim divide
+                    # raises DIVIDE_BY_ZERO under Spark 4 default ANSI for a
+                    # zero-norm member/rep — a silent NaN here would instead
+                    # DROP the row (NaN >= threshold is true in Spark)
+                    raise ArithmeticError(
+                        "semantic_dedup verdict: zero-norm vector in a "
+                        "member/rep pair (DIVIDE_BY_ZERO parity with the "
+                        "expression tier's ANSI divide)"
+                    )
                 raw = _sweep_rows(Ev, Rv) / denom
                 # NaN raws must reach Spark: its NaN-is-largest comparison
                 # semantics make round(NaN) >= threshold TRUE, exactly like
@@ -3527,7 +3593,12 @@ def semantic_dedup(
                 )
 
         dropped = (
-            pairs.select(id_col, "ev", "rv", "__n", "__rn")
+            # NULL ev/rv pairs can never drop a row in the expression tier
+            # (NULL pair_sim fails the >= filter) — excluding them here is
+            # that exact behavior, and keeps None out of the numpy batch
+            # (np.array over a list/None mix raises)
+            pairs.filter(F.col("ev").isNotNull() & F.col("rv").isNotNull())
+            .select(id_col, "ev", "rv", "__n", "__rn")
             .mapInPandas(_verdict_batches, schema=raw_schema)
             .filter(F.round(F.col("__raw"), round_dp) >= threshold)
             .select(id_col)

@@ -367,6 +367,33 @@ def test_semantic_dedup_exact_arrow_bit_parity(spark):
         assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), kwargs
 
 
+def test_semantic_dedup_sweep_edge_regimes(spark):
+    """Review-flagged sweep-tier edges: a whole-NULL embedding row must flow
+    through (NULL ev/rv pairs pre-filtered exactly like the expression
+    tier's NULL pair_sim), and an IntegerType id column must keep its type
+    on cluster_id in both tiers."""
+    from pyspark.sql import functions as F
+
+    from crypto_market_data_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 7) + 0.1 * d for d in range(8)]) for i in range(60)]
+    rows.append((60, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cf = F.col("vec_id") % 10 == 1
+    sweep = semantic_dedup(df, centroid_filter=cf, exact_arrow=True).collect()
+    expr = semantic_dedup(df, centroid_filter=cf, exact_arrow=False).collect()
+    assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr))
+    assert len(sweep) == 61  # the NULL-vector row is present, keep=true
+    i32 = spark.createDataFrame(rows[:60], "vec_id long, embedding array<double>")
+    i32 = i32.withColumn("vec_id", F.col("vec_id").cast("int"))
+    t_sweep = semantic_dedup(i32, centroid_filter=cf, exact_arrow=True)
+    t_expr = semantic_dedup(i32, centroid_filter=cf, exact_arrow=False)
+    assert t_sweep.schema == t_expr.schema
+    assert sorted(map(tuple, t_sweep.collect())) == sorted(
+        map(tuple, t_expr.collect())
+    )
+
+
 def test_sweep_dots_bit_identical_to_expression_fold(spark):
     """_sweep_cross/_sweep_rows vs the JVM ``_dot`` fold: EXACT (==) float64
     equality on random vectors — the core invariant the sweep tier rests on

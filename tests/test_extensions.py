@@ -149,6 +149,32 @@ def test_cosine_topk_exact_arrow_bit_parity(spark, embs):
         assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), kk
 
 
+def test_cosine_topk_sweep_edge_regimes(spark):
+    """Review-flagged sweep-tier edges: NULL query vectors fall back to the
+    expression tier; NULL corpus vectors rank identically (bounded
+    emission); zero-norm vectors raise in BOTH tiers (the expression tier's
+    ANSI DIVIDE_BY_ZERO, the sweep's explicit parity guard)."""
+    import pytest
+
+    rows = [(i, [float(i % 7) + 0.1 * d for d in range(8)]) for i in range(40)]
+    rows.append((40, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for qfilter in (F.col("vec_id").isin(1, 40), F.col("vec_id") == 1):
+        qs = df.filter(qfilter)
+        sweep = cosine_topk(df, qs, k=3, exact_arrow=True).collect()
+        expr = cosine_topk(df, qs, k=3, exact_arrow=False).collect()
+        assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr))
+    z = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.0] * 8), (2, [2.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    for exact in (True, False):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+            cosine_topk(
+                z, z.filter(F.col("vec_id") == 0), k=2, exact_arrow=exact
+            ).collect()
+
+
 def test_cosine_topk_np_matches_expression_tier(spark, embs):
     from crypto_market_data_etl_spark.operators.similarity import cosine_topk_np
 
