@@ -381,6 +381,75 @@ def bucket_signature(vec_col: str, n_planes: int, dim: int, offset: int = 0):
     return F.concat(*bits)
 
 
+def _signature_sweep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    offset: int = 0,
+    carry_vec: bool = False,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH signatures, Arrow sweep tier — bit-identical buckets to
+    :func:`bucket_signature` with none of its construction or codegen cost.
+
+    The expression tier pays twice per call: the ``n_planes × dim`` literal
+    tree costs seconds of driver-side py4j round-trips just to BUILD
+    (measured on x06, r15 batch 6: 1.5-3.5 s at 16×64), then an oversized
+    whole-stage-codegen method at exec. Here the planes live in a numpy
+    closure; dots replicate the fold's exact FP op sequence
+    (:func:`_sweep_cross`), and a sign decision on a bit-identical dot is
+    bit-identical. NaN dots emit '1' (Spark's ``NaN > 0`` is true under its
+    NaN-is-largest ordering) and a whole-NULL vector emits the all-zeros
+    bucket (every plane's ``when`` falls through to '0') — exactly the
+    expression tier; element-level NULLs inside a non-null array are out of
+    contract (dense embeddings — same caveat as the BLAS tier).
+
+    ``carry_vec`` passes the original vector column through the Arrow
+    boundary unchanged so downstream norms/sims stay JVM-fold expressions —
+    the sweep only ever decides bucket strings. ``offset`` selects planes
+    [offset, offset+n_planes) from the deterministic family, the same
+    slicing contract as :func:`bucket_signature` (each plane's dot is an
+    independent fold, so slicing cannot change any bit).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    P_mat = np.array(
+        hyperplane_weights(offset + n_planes, dim)[offset:], dtype=np.float64
+    )
+    fields = [df.schema[id_col]]
+    if carry_vec:
+        fields.append(df.schema[vec_col])
+    fields.append(T.StructField(out_col, T.StringType()))
+    out_schema = T.StructType(fields)
+    src = df.select(id_col, vec_col)
+
+    def _batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            na = pdf[vec_col].isna().to_numpy()
+            buckets = np.empty(len(pdf), dtype=object)
+            if (~na).any():
+                # float32 → float64 is exact, so widening here equals the
+                # expression tier's per-element cast("double") bit-for-bit
+                V = np.array(pdf[vec_col][~na].tolist(), dtype=np.float64)
+                dots = _sweep_cross(V, P_mat)
+                bits = (dots > 0) | np.isnan(dots)
+                chars = np.where(bits, "1", "0")
+                buckets[~na] = ["".join(row) for row in chars]
+            buckets[na] = "0" * n_planes
+            out = {id_col: pdf[id_col]}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            out[out_col] = buckets
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_batches, schema=out_schema)
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -420,37 +489,7 @@ def lsh_buckets(
     # signature projection (n_planes x dim folds per row) — without this
     # the probe side recomputes every signature a second time.
     if exact_arrow:
-        import numpy as np
-        from pyspark.sql import types as T
-
-        P_mat = np.array(hyperplane_weights(n_planes, dim), dtype=np.float64)
-        sig_schema = T.StructType(
-            [df.schema[id_col], T.StructField("bucket", T.StringType())]
-        )
-        src = df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        )
-
-        def _sig_batches(it):
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                na = pdf["__v"].isna().to_numpy()
-                buckets = np.empty(len(pdf), dtype=object)
-                if (~na).any():
-                    V = np.array(pdf["__v"][~na].tolist(), dtype=np.float64)
-                    dots = _sweep_cross(V, P_mat)
-                    # `dot > 0` in Spark is TRUE for NaN (NaN-is-largest);
-                    # replicate so NaN vector data buckets identically
-                    bits = (dots > 0) | np.isnan(dots)
-                    chars = np.where(bits, "1", "0")
-                    buckets[~na] = ["".join(row) for row in chars]
-                # NULL vector → every plane's `when` falls to '0', exactly
-                # like the expression tier's NULL dot
-                buckets[na] = "0" * n_planes
-                yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
-
-        out = materialize(src.mapInPandas(_sig_batches, schema=sig_schema))
+        out = materialize(_signature_sweep(df, id_col, vec_col, n_planes, dim))
     else:
         # expression tier; input SPREAD first: the signature projection is
         # the heavy stage and its parallelism is the input split count (r15
@@ -482,6 +521,15 @@ def lsh_ann_topk(
     |Q| x |corpus|. Recall is probabilistic (neighbors in other buckets are
     missed) — multi-probe or band-OR raises it; this is the single-table
     variant. Output: (q_id, n_id, rnk, sim) like cosine_topk.
+
+    NOTE (r15 batch 9, measured NEGATIVE — do not re-try blindly): a
+    :func:`_signature_sweep` tier here (``carry_vec=True``, with and
+    without ``materialize``) ran 1.07-1.6× the expression tier in
+    interleaved sf0.1 A/Bs. Unlike x06 (16 planes) / x14 (8 planes,
+    materialized in both arms) / x17-x18 (signature-only, no vector
+    pass-through), this operator needs the VECTORS themselves downstream
+    (pair sims), so the sweep pays a full corpus round-trip through the
+    Arrow boundary both ways to save only a 6-plane tree.
     """
     from .dedup import spread_small_input
 
@@ -611,6 +659,7 @@ def lsh_ann_multiprobe(
     k: int = 3,
     probe_hamming: int = 1,
     numpy_sig: bool = False,
+    exact_arrow: bool = True,
 ) -> DataFrame:
     """Multi-probe sign-LSH ANN: probe the query's bucket AND its Hamming-1
     neighbor buckets (each single-bit flip), then exact-rerank candidates.
@@ -626,6 +675,14 @@ def lsh_ann_multiprobe(
     (cos≈0.99), 12 planes, numpy_sig: probe=0 finds 64% of planted pairs in
     top-10; Hamming-1 probing lifts that to 92% for ~1.5x the wall time.
 
+    Default signature tier (r15 batch 9): :func:`_signature_sweep` —
+    bit-identical buckets without the expression tier's n_planes × dim
+    literal-tree construction cost (interleaved sf0.1 A/B: 0.80-0.85×;
+    signature-only through Arrow, vectors never cross the boundary — the
+    rerank reads them from ``df`` directly). ``exact_arrow=False`` keeps
+    the expression arm; ``numpy_sig`` remains the BLAS (non-oracle-exact)
+    arm and takes precedence.
+
     Output: (q_id, n_id, rnk, sim), ties by neighbor id.
     """
     if queries is None:
@@ -637,6 +694,17 @@ def lsh_ann_multiprobe(
         qt = lsh_signatures_np(queries, id_col, vec_col, n_planes, dim).withColumnRenamed(
             id_col, "q_id"
         )
+    elif exact_arrow:
+        # default tier (r15 batch 9): sweep signatures — bit-identical
+        # buckets to the expression tier without its literal-tree
+        # construction cost (see _signature_sweep); numpy_sig stays the
+        # BLAS (non-oracle-exact) arm
+        corpus = _signature_sweep(
+            df, id_col, vec_col, n_planes, dim
+        ).withColumnRenamed(id_col, "n_id")
+        qt = _signature_sweep(
+            queries, id_col, vec_col, n_planes, dim
+        ).withColumnRenamed(id_col, "q_id")
     else:
         sig = bucket_signature(vec_col, n_planes, dim)
         corpus = df.select(F.col(id_col).alias("n_id"), sig.alias("bucket"))
@@ -674,6 +742,7 @@ def lsh_ann_bandor(
     dim: int = 64,
     k: int = 3,
     numpy_sig: bool = False,
+    exact_arrow: bool = True,
 ) -> DataFrame:
     """Band-OR sign-LSH ANN: L independent hash tables; a pair is a candidate
     if it collides in ANY table, then exact rerank.
@@ -717,6 +786,13 @@ def lsh_ann_bandor(
     corpus-side index is reused across many query batches; for one-shot
     general k-NN at this scale, prefer brute or :func:`ivf_ann_topk`
     (probe-fraction curve in its docstring).
+
+    Default signature tier (r15 batch 9): :func:`_signature_sweep` — ONE
+    Arrow pass computes every table's planes, bit-identical to the
+    expression arm's per-table offset signatures (interleaved sf0.1 A/B:
+    0.65-0.68×; signature-only, vectors never cross the boundary).
+    ``exact_arrow=False`` keeps the expression arm; ``numpy_sig`` remains
+    the BLAS (non-oracle-exact) arm and takes precedence.
     """
     if queries is None:
         queries = df
@@ -742,6 +818,32 @@ def lsh_ann_bandor(
 
         corpus = tabled(df, "n_id")
         q = tabled(queries, "q_id")
+    elif exact_arrow:
+        # default tier (r15 batch 9): ONE sweep pass computes every table's
+        # planes (bit-identical dots — each plane's fold is independent, so
+        # slicing the full-family bitstring equals the expression arm's
+        # per-table offset signatures), then in-plan substring slices
+        def tabled_sweep(side: DataFrame, out_id: str) -> DataFrame:
+            full = _signature_sweep(
+                side, id_col, vec_col, planes_per_table * n_tables, dim
+            )
+            slices = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.substring(
+                            "bucket", t * planes_per_table + 1, planes_per_table
+                        ).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+            return full.select(
+                F.col(id_col).alias(out_id), F.explode(slices).alias("b")
+            ).select(out_id, "b.tbl", "b.sig")
+
+        corpus = tabled_sweep(df, "n_id")
+        q = tabled_sweep(queries, "q_id")
     else:
         sigs = F.array(
             *[
@@ -795,6 +897,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     threshold: float = 0.9,
     max_bucket_size: int | None = None,
+    exact_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates.
 
@@ -813,6 +916,12 @@ def embedding_neardup_pairs(
     the join's exchange and the capped condition degenerates to
     ``id_a < id_b`` for in-cap buckets) — no driver-side pre-count, no
     second pass over the embeddings. See ``operators.skew``.
+
+    Default signature tier (r15 batch 9): :func:`_signature_sweep` with the
+    vector carried through (both arms materialize, so the sweep's saving is
+    pure signature construction + codegen: interleaved sf0.1 A/B 0.59-0.61×).
+    Norms/sims stay JVM-fold expressions — every emitted value bit-identical
+    to the ``exact_arrow=False`` expression arm (pytest + oracle).
     """
     from .skew import (
         DEFAULT_MAX_BUCKET_SIZE,
@@ -824,20 +933,31 @@ def embedding_neardup_pairs(
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     from .dedup import spread_small_input
 
-    sig = bucket_signature(vec_col, n_planes, dim)
-    # both self-join sides read the signature projection (n_planes x dim HOF
-    # work per vector) — materialize once, deployment-aware (materialize.py).
-    # Norms ride the same materialized projection (one fold per vector, not
-    # two per candidate pair — bit-identical), and the input is spread so the
-    # projection parallelizes on single-split inputs (no-op at scale).
-    t = materialize(
-        spread_small_input(df).select(
-            F.col(id_col),
-            F.col(vec_col),
-            sig.alias("bucket"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
+    # both self-join sides read the signature projection — materialize once,
+    # deployment-aware (materialize.py). Norms ride the same materialized
+    # table (one fold per vector, not two per candidate pair — bit-identical).
+    # Default tier (r15 batch 9): sweep signatures (see _signature_sweep) —
+    # bit-identical buckets without the expression tier's n_planes × dim
+    # literal-tree construction cost; norms/sims stay JVM folds on the
+    # carried vector, so every emitted value is bit-identical either way.
+    if exact_arrow:
+        t = materialize(
+            _signature_sweep(
+                df, id_col, vec_col, n_planes, dim, carry_vec=True
+            ).withColumn("__norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
         )
-    )
+    else:
+        sig = bucket_signature(vec_col, n_planes, dim)
+        # input spread so the n_planes x dim HOF projection parallelizes on
+        # single-split inputs (no-op at scale)
+        t = materialize(
+            spread_small_input(df).select(
+                F.col(id_col),
+                F.col(vec_col),
+                sig.alias("bucket"),
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
+            )
+        )
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     if max_bucket_size > 0:
         ra, rb = ranked_pair_sides(t, ["bucket"], id_col, max_bucket_size)

@@ -232,6 +232,63 @@ def test_bandor_recall_dominates_one_table(spark, embs):
     assert r_or.recall >= r_one.recall
 
 
+def test_sign_lsh_family_exact_arrow_bit_parity(spark, embs):
+    """r15 batch 9: the _signature_sweep tier propagated to the sign-LSH
+    family must equal the expression tier on the FULL output (ids, ranks,
+    rounded sims / thresholds) — sign decisions on bit-exact dots need no
+    margin, and norms/sims stay JVM folds either way. Covers the gated
+    shapes: x14 (8 planes, capped + uncapped), x17 (multi-probe, 6 planes),
+    x18 (band-OR 4×3)."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    qs = embs.filter(F.col("vec_id") % 25 == 0)
+    cases = [
+        ("x14", lambda ea: embedding_neardup_pairs(
+            embs, n_planes=8, threshold=0.25, exact_arrow=ea)),
+        ("x14_capped", lambda ea: embedding_neardup_pairs(
+            embs, n_planes=2, threshold=0.0, max_bucket_size=5, exact_arrow=ea)),
+        ("x17", lambda ea: lsh_ann_multiprobe(
+            embs, qs, n_planes=6, k=3, exact_arrow=ea)),
+        ("x17_p0", lambda ea: lsh_ann_multiprobe(
+            embs, qs, n_planes=6, k=3, probe_hamming=0, exact_arrow=ea)),
+        ("x18", lambda ea: lsh_ann_bandor(
+            embs, qs, planes_per_table=4, n_tables=3, k=3, exact_arrow=ea)),
+    ]
+    for name, fn in cases:
+        sweep = fn(True).collect()
+        expr = fn(False).collect()
+        assert len(sweep) > 0, name
+        assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), name
+
+
+def test_sign_lsh_family_sweep_null_vector_parity(spark, embs):
+    """A whole-NULL vector buckets to the all-zeros string in both tiers
+    (sweep pre-handles it; the expression tier's NULL dots fall to '0'),
+    and downstream NULL norms/sims rank/filter identically."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    nul = spark.createDataFrame(
+        [(900001, None, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    dfn = embs.unionByName(nul)
+    qs = dfn.filter((F.col("vec_id") % 25 == 0) | F.col("embedding").isNull())
+    for name, fn in [
+        ("x14", lambda ea: embedding_neardup_pairs(
+            dfn, n_planes=8, threshold=0.25, exact_arrow=ea)),
+        ("x17", lambda ea: lsh_ann_multiprobe(
+            dfn, qs, n_planes=6, k=3, exact_arrow=ea)),
+        ("x18", lambda ea: lsh_ann_bandor(
+            dfn, qs, planes_per_table=4, n_tables=3, k=3, exact_arrow=ea)),
+    ]:
+        sweep = fn(True).collect()
+        expr = fn(False).collect()
+        assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), name
+
+
 def test_numpy_signatures_match_expression_tier(spark, embs):
     expr_sig = {
         r.vec_id: r.b
