@@ -272,7 +272,10 @@ def test_sign_lsh_family_sweep_null_vector_parity(spark, embs):
     )
 
     nul = spark.createDataFrame(
-        [(900001, None, 0)], "vec_id long, embedding array<float>, label int"
+        # a whole-NULL vector AND a NULL id: the id column must survive the
+        # sweep's Arrow→pandas→Arrow round-trip null-intact (nullable int64)
+        [(900001, None, 0), (None, [1.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
     )
     dfn = embs.unionByName(nul)
     qs = dfn.filter((F.col("vec_id") % 25 == 0) | F.col("embedding").isNull())
