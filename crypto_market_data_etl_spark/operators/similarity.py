@@ -687,24 +687,18 @@ def lsh_ann_multiprobe(
     """
     if queries is None:
         queries = df
-    if numpy_sig:
-        corpus = lsh_signatures_np(df, id_col, vec_col, n_planes, dim).withColumnRenamed(
-            id_col, "n_id"
-        )
-        qt = lsh_signatures_np(queries, id_col, vec_col, n_planes, dim).withColumnRenamed(
-            id_col, "q_id"
-        )
-    elif exact_arrow:
+    if numpy_sig or exact_arrow:
         # default tier (r15 batch 9): sweep signatures — bit-identical
         # buckets to the expression tier without its literal-tree
         # construction cost (see _signature_sweep); numpy_sig stays the
-        # BLAS (non-oracle-exact) arm
-        corpus = _signature_sweep(
-            df, id_col, vec_col, n_planes, dim
-        ).withColumnRenamed(id_col, "n_id")
-        qt = _signature_sweep(
-            queries, id_col, vec_col, n_planes, dim
-        ).withColumnRenamed(id_col, "q_id")
+        # BLAS (non-oracle-exact) arm and takes precedence
+        sig_fn = lsh_signatures_np if numpy_sig else _signature_sweep
+        corpus = sig_fn(df, id_col, vec_col, n_planes, dim).withColumnRenamed(
+            id_col, "n_id"
+        )
+        qt = sig_fn(queries, id_col, vec_col, n_planes, dim).withColumnRenamed(
+            id_col, "q_id"
+        )
     else:
         sig = bucket_signature(vec_col, n_planes, dim)
         corpus = df.select(F.col(id_col).alias("n_id"), sig.alias("bucket"))
@@ -797,36 +791,16 @@ def lsh_ann_bandor(
     if queries is None:
         queries = df
 
-    if numpy_sig:
-        # one matmul computes ALL tables' planes; split the bitstring after
-        def tabled(side: DataFrame, out_id: str) -> DataFrame:
-            full = lsh_signatures_np(
-                side, id_col, vec_col, planes_per_table * n_tables, dim
-            )
-            slices = F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.substring("bucket", t * planes_per_table + 1, planes_per_table).alias("sig"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-            return full.select(
-                F.col(id_col).alias(out_id), F.explode(slices).alias("b")
-            ).select(out_id, "b.tbl", "b.sig")
+    if numpy_sig or exact_arrow:
+        # ONE pass computes every table's planes, then in-plan substring
+        # slices — numpy_sig via the BLAS matmul tier, the default (r15
+        # batch 9) via the bit-exact sweep (each plane's fold is
+        # independent, so slicing the full-family bitstring equals the
+        # expression arm's per-table offset signatures)
+        sig_fn = lsh_signatures_np if numpy_sig else _signature_sweep
 
-        corpus = tabled(df, "n_id")
-        q = tabled(queries, "q_id")
-    elif exact_arrow:
-        # default tier (r15 batch 9): ONE sweep pass computes every table's
-        # planes (bit-identical dots — each plane's fold is independent, so
-        # slicing the full-family bitstring equals the expression arm's
-        # per-table offset signatures), then in-plan substring slices
-        def tabled_sweep(side: DataFrame, out_id: str) -> DataFrame:
-            full = _signature_sweep(
-                side, id_col, vec_col, planes_per_table * n_tables, dim
-            )
+        def tabled(side: DataFrame, out_id: str) -> DataFrame:
+            full = sig_fn(side, id_col, vec_col, planes_per_table * n_tables, dim)
             slices = F.array(
                 *[
                     F.struct(
@@ -842,8 +816,8 @@ def lsh_ann_bandor(
                 F.col(id_col).alias(out_id), F.explode(slices).alias("b")
             ).select(out_id, "b.tbl", "b.sig")
 
-        corpus = tabled_sweep(df, "n_id")
-        q = tabled_sweep(queries, "q_id")
+        corpus = tabled(df, "n_id")
+        q = tabled(queries, "q_id")
     else:
         sigs = F.array(
             *[
@@ -2249,8 +2223,13 @@ def pq_train(
 
     if m == 1:
         return materialize(_train_block(0))
+    # session-argument form: the bare-function form warns "Tags will not be
+    # inherited" in classic pinned-thread mode (block jobs would escape
+    # tag-based cancellation) and treats its argument as the session under
+    # Spark Connect (AttributeError before any job runs)
+    target = inheritable_thread_target(df.sparkSession)(_train_block)
     with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
-        denses = list(pool.map(inheritable_thread_target(_train_block), range(m)))
+        denses = list(pool.map(target, range(m)))
     out = denses[0]
     for dense in denses[1:]:  # assembled in block order, as before
         out = out.unionByName(dense)
