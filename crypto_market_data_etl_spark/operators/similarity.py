@@ -412,6 +412,16 @@ def _signature_sweep(
     [offset, offset+n_planes) from the deterministic family, the same
     slicing contract as :func:`bucket_signature` (each plane's dot is an
     independent fold, so slicing cannot change any bit).
+
+    Physical form (r16): ``mapInArrow``, not ``mapInPandas``. The id (and
+    carried vector) columns pass through as the ORIGINAL Arrow arrays —
+    an int64 id column with a NULL in the batch keeps its validity bitmap
+    instead of widening to float64 (the pandas hop silently rounded any
+    |id| > 2^53 co-batched with a NULL id — ADVICE r15), and the vectors
+    decode zero-copy (``drop_null().flatten()`` + reshape) instead of
+    through per-row Python lists. The dot kernel and every emitted bit are
+    unchanged: the same float64 values reach the same :func:`_sweep_cross`
+    FP sequence (float32 inputs widen exactly, as before).
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -427,27 +437,36 @@ def _signature_sweep(
     src = df.select(id_col, vec_col)
 
     def _batches(it):
-        for pdf in it:
-            if pdf.empty:
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            na = pdf[vec_col].isna().to_numpy()
-            buckets = np.empty(len(pdf), dtype=object)
+            vec = batch.column(1)
+            na = np.asarray(vec.is_null())
+            buckets = np.empty(n, dtype=object)
             if (~na).any():
-                # float32 → float64 is exact, so widening here equals the
-                # expression tier's per-element cast("double") bit-for-bit
-                V = np.array(pdf[vec_col][~na].tolist(), dtype=np.float64)
+                # zero-copy decode: non-null rows' elements are contiguous
+                # after drop_null(); float32 → float64 widening is exact,
+                # so this equals the expression tier's cast("double")
+                flat = np.asarray(vec.drop_null().flatten(), dtype=np.float64)
+                V = flat.reshape(-1, dim)
                 dots = _sweep_cross(V, P_mat)
                 bits = (dots > 0) | np.isnan(dots)
                 chars = np.where(bits, "1", "0")
                 buckets[~na] = ["".join(row) for row in chars]
             buckets[na] = "0" * n_planes
-            out = {id_col: pdf[id_col]}
+            cols = [batch.column(0)]
+            names = [id_col]
             if carry_vec:
-                out[vec_col] = pdf[vec_col]
-            out[out_col] = buckets
-            yield pd.DataFrame(out)
+                cols.append(vec)
+                names.append(vec_col)
+            cols.append(pa.array(buckets, type=pa.string()))
+            names.append(out_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return src.mapInPandas(_batches, schema=out_schema)
+    return src.mapInArrow(_batches, schema=out_schema)
 
 
 def lsh_buckets(
@@ -489,6 +508,12 @@ def lsh_buckets(
     # signature projection (n_planes x dim folds per row) — without this
     # the probe side recomputes every signature a second time.
     if exact_arrow:
+        # NOTE (r16, measured): spread_small_input before this sweep is
+        # 1.47× SLOWER interleaved at sf0.1 (0.618 → 0.911 s best-of-3×3)
+        # — the repartition exchange costs more than 32-way signature
+        # parallelism saves on a 2k-row fixture, and unlike x14 there is
+        # no carried vector/norm fold to parallelize. Do not re-add
+        # without a single-split mid-size probe showing it wins.
         out = materialize(_signature_sweep(df, id_col, vec_col, n_planes, dim))
     else:
         # expression tier; input SPREAD first: the signature projection is
@@ -915,9 +940,15 @@ def embedding_neardup_pairs(
     # literal-tree construction cost; norms/sims stay JVM folds on the
     # carried vector, so every emitted value is bit-identical either way.
     if exact_arrow:
+        # input spread BEFORE the sweep: a mapInPandas projection's
+        # parallelism is its input split count, so a single-row-group input
+        # would run the signature sweep + the per-vector norm fold as ONE
+        # task before materialize (the same gap the expression arm's spread
+        # guards); no-op at production split counts (ADVICE r15)
         t = materialize(
             _signature_sweep(
-                df, id_col, vec_col, n_planes, dim, carry_vec=True
+                spread_small_input(df), id_col, vec_col, n_planes, dim,
+                carry_vec=True,
             ).withColumn("__norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
         )
     else:
@@ -2226,8 +2257,19 @@ def pq_train(
     # session-argument form: the bare-function form warns "Tags will not be
     # inherited" in classic pinned-thread mode (block jobs would escape
     # tag-based cancellation) and treats its argument as the session under
-    # Spark Connect (AttributeError before any job runs)
-    target = inheritable_thread_target(df.sparkSession)(_train_block)
+    # Spark Connect (AttributeError before any job runs). One opt-out
+    # deployment shape remains (ADVICE r15): classic mode with
+    # PYSPARK_PIN_THREAD=false makes the session-argument form return its
+    # argument UNWRAPPED (the SparkSession itself), so guard and run the
+    # bare function — thread-local inheritance is a no-op without pinned
+    # threads anyway, and the blocks are bit-identical either way.
+    from pyspark.sql import SparkSession as _SparkSession
+
+    wrapper = inheritable_thread_target(df.sparkSession)
+    if callable(wrapper) and not isinstance(wrapper, _SparkSession):
+        target = wrapper(_train_block)
+    else:  # pragma: no cover - PYSPARK_PIN_THREAD=false deployments
+        target = _train_block
     with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
         denses = list(pool.map(target, range(m)))
     out = denses[0]

@@ -17,6 +17,8 @@ Determinism policy for oracle hash-parity (every rule mirrored in the SQL):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -102,6 +104,26 @@ GROUP BY l_returnflag, l_linestatus
 # q02 revenue by nation — multi-way join; dims broadcast
 # --------------------------------------------------------------------------
 
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for *df* (file-size-based for bare
+    scans); None when the private API is unavailable (Connect mode)."""
+    try:
+        sib = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(sib if isinstance(sib, int) else sib.toString())
+    except Exception:  # pragma: no cover - connect mode
+        return None
+
+
+def _autobroadcast_threshold(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
+    try:
+        return int(spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold())
+    except Exception:  # pragma: no cover - connect mode
+        v = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(v[-1:].lower(), 1)
+        return int(v.rstrip("bkmgBKMG")) * mult
+
+
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -109,6 +131,42 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Pre-aggregate lineitem by orderkey ONLY when orders will not broadcast
+    # (r16, guide §2.3 "aggregate before you shuffle"): with orders above the
+    # broadcast threshold the orderkey join is a shuffle of BOTH sides, and
+    # pre-reducing lineitem to one (rev, cnt) row per order shuffles ~4x
+    # fewer rows — and the join then reuses the groupBy's hash partitioning,
+    # so lineitem bytes cross the wire once, already reduced. When orders
+    # DOES broadcast (every local/bench SF), the pre-agg would ADD an
+    # exchange to an otherwise shuffle-free join, so the plan is unchanged
+    # there. Oracle parity of the re-associated FP sum is pinned at all
+    # three SFs with the arm forced on (tests + selfcheck --q02-preagg).
+    mode = os.environ.get("SPARK_GRAFT_Q02_PREAGG", "auto")
+    if mode == "auto":
+        # estimate the PRUNED projection — the planner's broadcast decision
+        # is made on the two join columns that actually ship, not the full
+        # table width; None (Connect mode) conservatively keeps the
+        # broadcast-join shape, matching pre-r16 behavior
+        osz = _plan_size_estimate(orders.select("o_orderkey", "o_custkey"))
+        thr = _autobroadcast_threshold(spark)
+        preagg = osz is not None and (thr <= 0 or osz > thr)
+    else:
+        preagg = mode == "on"
+    if preagg:
+        li_pre = li.groupBy("l_orderkey").agg(
+            F.sum(revenue).alias("__rev"), F.count(F.lit(1)).alias("__cnt")
+        )
+        return (
+            li_pre.join(orders, li_pre.l_orderkey == orders.o_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.round(F.sum("__rev"), 2).alias("revenue"),
+                F.sum("__cnt").alias("n_items"),
+            )
+        )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)

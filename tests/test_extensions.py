@@ -292,6 +292,46 @@ def test_sign_lsh_family_sweep_null_vector_parity(spark, embs):
         assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), name
 
 
+def test_signature_sweep_id_exactness_past_2_53(spark):
+    """r16 (ADVICE r15): the sweep must not corrupt ids > 2^53 when a NULL
+    id shares the batch. The old mapInPandas form let Arrow widen
+    long-with-null to float64 (silently rounding big ids); the mapInArrow
+    form passes the id column through with its validity bitmap intact."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        _signature_sweep,
+        bucket_signature,
+    )
+
+    big = (1 << 60) + 12345  # not representable in float64
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (None, [0.5] * 8), (2, None), (big, [0.25] * 8)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)  # one batch: the NULL id and the big id MUST co-batch
+    out = _signature_sweep(df, "vec_id", "embedding", 4, 8).collect()
+    ids = [r.vec_id for r in out]
+    assert big in ids and None in ids and sorted(
+        i for i in ids if i is not None
+    ) == [1, 2, big]
+    by_id = {r.vec_id: r.bucket for r in out}
+    assert by_id[2] == "0000"  # whole-NULL vector → all-zeros bucket
+    expr = {
+        r.vec_id: r.b
+        for r in df.filter(F.col("embedding").isNotNull()).select(
+            "vec_id", bucket_signature("embedding", 4, 8).alias("b")
+        ).collect()
+    }
+    for i in (1, big):
+        assert by_id[i] == expr[i]
+    # carry_vec passes the vector through the Arrow boundary unchanged
+    cv = {
+        r.vec_id: r.embedding
+        for r in _signature_sweep(
+            df, "vec_id", "embedding", 4, 8, carry_vec=True
+        ).collect()
+    }
+    assert cv[big] == [0.25] * 8 and cv[2] is None
+
+
 def test_numpy_signatures_match_expression_tier(spark, embs):
     expr_sig = {
         r.vec_id: r.b
