@@ -639,6 +639,7 @@ def _rerank_candidates(
     vec_col: str,
     k: int,
     q_vecs: DataFrame | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Exact cosine rerank of a distinct (q_id, n_id) candidate set.
 
@@ -650,7 +651,29 @@ def _rerank_candidates(
     would silently join to nothing against ``vecs``, returning an empty
     result; found by tools/scale_ann_run.py's offset-id planted queries).
     Defaults to ``vecs`` for the self-join ANN form.
+
+    ``arrow`` (default OFF; ``SPARK_GRAFT_RERANK_ARROW=1`` flips the
+    default) swaps the per-pair JVM ``_dot`` fold for a ``mapInArrow``
+    :func:`_sweep_rows` kernel — the bit-exact FP-sequence replication from
+    the r15 sweep tiers, so every emitted sim is identical (pytest-pinned).
+
+    NOTE (r16, measured NEGATIVE at every probed shape — the tier stays
+    OFF; do not flip without new evidence): interleaved noop A/Bs via
+    tools/rerank_probe_r16.py show the kernel 1.5× slower at 200k pairs
+    (dim 64), 2.1× at 2M pairs, 2.6× at 500k pairs dim 256. Root cause:
+    the rerank is ROW-PAIRED — bytes crossing the Arrow boundary scale
+    with the work (2×dim doubles per pair), unlike the x05/x32 sweep
+    tiers whose n×k cross kernels move n+k vectors for n×k dots — and the
+    warm whole-stage-codegen fold already does ~17 ns/element, so there
+    is no arithmetic-intensity leverage for a copy to buy back. The arm
+    is kept (with its parity pytest) as the measured record. Whole-NULL
+    vectors route around the kernel with a NULL raw sim (expression-tier
+    parity); zero norms raise (DIVIDE_BY_ZERO loudness parity).
     """
+    import os as _os
+
+    if arrow is None:
+        arrow = _os.environ.get("SPARK_GRAFT_RERANK_ARROW", "") == "1"
     q_vecs = vecs if q_vecs is None else q_vecs
     # norms ride the vector projections (one fold per vector) instead of
     # being re-folded per candidate pair — bit-identical, k-fold less work
@@ -662,12 +685,65 @@ def _rerank_candidates(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__cn"),
     )
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn"))
+    joined = cand.join(q, "q_id").join(n, "n_id")
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    if arrow:
+        from pyspark.sql import types as T
+
+        raw_schema = T.StructType(
+            [
+                joined.schema["q_id"],
+                joined.schema["n_id"],
+                T.StructField("__raw", T.DoubleType()),
+            ]
+        )
+        both = F.col("q_vec").isNotNull() & F.col("c_vec").isNotNull()
+        src = joined.filter(both).select(
+            "q_id", "n_id",
+            F.col("q_vec").cast("array<double>").alias("q_vec"),
+            F.col("c_vec").cast("array<double>").alias("c_vec"),
+            "__qn", "__cn",
+        )
+
+        def _pair_batches(it):
+            import numpy as np
+            import pyarrow as pa
+
+            for b in it:
+                rows = b.num_rows
+                if rows == 0:
+                    continue
+                Q = np.asarray(b.column(2).flatten(), dtype=np.float64).reshape(rows, -1)
+                C = np.asarray(b.column(3).flatten(), dtype=np.float64).reshape(rows, -1)
+                qn = np.asarray(b.column(4), dtype=np.float64)
+                cn = np.asarray(b.column(5), dtype=np.float64)
+                den = qn * cn
+                if (den == 0.0).any():
+                    # loudness parity with the expression tier's ANSI divide
+                    raise ArithmeticError(
+                        "_rerank_candidates: zero-norm vector in candidate "
+                        "pair (DIVIDE_BY_ZERO parity with the ANSI divide)"
+                    )
+                raw = _sweep_rows(Q, C) / den
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(0), b.column(1), pa.array(raw, type=pa.float64())],
+                    names=["q_id", "n_id", "__raw"],
+                )
+
+        scored = src.mapInArrow(_pair_batches, schema=raw_schema).unionByName(
+            joined.filter(~both).select(
+                "q_id", "n_id", F.lit(None).cast("double").alias("__raw")
+            )
+        )
+        return (
+            scored.withColumn("sim", F.round(F.col("__raw"), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "n_id", "rnk", "sim")
+        )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn"))
     return (
-        cand.join(q, "q_id")
-        .join(n, "n_id")
-        .withColumn("sim", F.round(sim, 6))
+        joined.withColumn("sim", F.round(sim, 6))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", "sim")

@@ -104,26 +104,6 @@ GROUP BY l_returnflag, l_linestatus
 # q02 revenue by nation — multi-way join; dims broadcast
 # --------------------------------------------------------------------------
 
-def _plan_size_estimate(df: DataFrame) -> int | None:
-    """Catalyst's sizeInBytes estimate for *df* (file-size-based for bare
-    scans); None when the private API is unavailable (Connect mode)."""
-    try:
-        sib = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        return int(sib if isinstance(sib, int) else sib.toString())
-    except Exception:  # pragma: no cover - connect mode
-        return None
-
-
-def _autobroadcast_threshold(spark: SparkSession) -> int:
-    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
-    try:
-        return int(spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold())
-    except Exception:  # pragma: no cover - connect mode
-        v = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(v[-1:].lower(), 1)
-        return int(v.rstrip("bkmgBKMG")) * mult
-
-
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -131,28 +111,22 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Pre-aggregate lineitem by orderkey ONLY when orders will not broadcast
-    # (r16, guide §2.3 "aggregate before you shuffle"): with orders above the
-    # broadcast threshold the orderkey join is a shuffle of BOTH sides, and
-    # pre-reducing lineitem to one (rev, cnt) row per order shuffles ~4x
-    # fewer rows — and the join then reuses the groupBy's hash partitioning,
-    # so lineitem bytes cross the wire once, already reduced. When orders
-    # DOES broadcast (every local/bench SF), the pre-agg would ADD an
-    # exchange to an otherwise shuffle-free join, so the plan is unchanged
-    # there. Oracle parity of the re-associated FP sum is pinned at all
-    # three SFs with the arm forced on (tests + selfcheck --q02-preagg).
-    mode = os.environ.get("SPARK_GRAFT_Q02_PREAGG", "auto")
-    if mode == "auto":
-        # estimate the PRUNED projection — the planner's broadcast decision
-        # is made on the two join columns that actually ship, not the full
-        # table width; None (Connect mode) conservatively keeps the
-        # broadcast-join shape, matching pre-r16 behavior
-        osz = _plan_size_estimate(orders.select("o_orderkey", "o_custkey"))
-        thr = _autobroadcast_threshold(spark)
-        preagg = osz is not None and (thr <= 0 or osz > thr)
-    else:
-        preagg = mode == "on"
-    if preagg:
+    # NOTE (r16, measured NEGATIVE — do not re-try without new evidence):
+    # pre-aggregating lineitem by orderkey before the orders join (guide
+    # §2.3) was prototyped behind SPARK_GRAFT_Q02_PREAGG and A/B'd at a 20×
+    # rung where the pruned orders projection (16 MB) exceeds the broadcast
+    # threshold, so both arms plan the real orderkey SortMergeJoin
+    # (tools/q02_rung_r16.py, interleaved fresh sessions, best-of-3 noop):
+    # pre-agg 1.922 s vs straight join 1.579 s best (ratio 1.22; reps mixed,
+    # never a win). Why it cannot win here: lineitem averages ~4 rows per
+    # order SCATTERED across map tasks, so map-side partial aggregation
+    # reduces almost nothing before the exchange, and the pre-agg row
+    # (orderkey, rev, cnt — 24 B) is no narrower than the projected
+    # lineitem row (orderkey, extendedprice, discount — 24 B): same shuffle
+    # bytes, plus a 3M-distinct-key hash aggregate on top. The arm was
+    # oracle-green at all three SFs (re-associated FP sum stable), so the
+    # blocker is performance, not correctness.
+    if os.environ.get("SPARK_GRAFT_Q02_PREAGG", "off") == "on":
         li_pre = li.groupBy("l_orderkey").agg(
             F.sum(revenue).alias("__rev"), F.count(F.lit(1)).alias("__cnt")
         )
@@ -1308,23 +1282,37 @@ def q30_stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         passthrough_cols=["value", "event_id"],
         n_buckets=32,
     )
-    name = "q30_stream_bars_sink"
     # state-store count is frozen at query start; size it to the ~150
     # instrument keys, not the core count (see session.state_partitions)
     from ..session import state_partitions
 
+    # r16 (guide §5 "the driver should do almost no data work"): the sink is
+    # foreachBatch + eager checkpoint, NOT a memory sink. The memory sink
+    # serialized every assigned EVENT row (|events|/2 rows) to the driver,
+    # and the downstream bar-level groupBy then re-parallelized them from a
+    # driver-local relation — measured 0.6-0.7 s of q30's ~2.4 s warm wall
+    # at sf0.1, and at production volume an O(events) driver materialization
+    # is exactly what §5 forbids. The checkpointed micro-batch blocks stay
+    # on executors; rows, schema, and the bar assignment are identical
+    # (same stream, same state trajectory — oracle + pytest unchanged).
+    from ..materialize import checkpoint_nostats
+
+    batches: list[DataFrame] = []
+
+    def _capture(bdf: DataFrame, _bid: int) -> None:
+        batches.append(checkpoint_nostats(bdf, eager=True))
+
     with state_partitions(spark, 8):
-        q = (
-            assigned.writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-        )
+        q = assigned.writeStream.foreachBatch(_capture).outputMode("append").start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+    out = batches[0]
+    for b in batches[1:]:  # single-batch replay today; future-proof the union
+        out = out.unionByName(b)
     return (
-        spark.table(name)
-        .groupBy("user_id", "bar_num")
+        out.groupBy("user_id", "bar_num")
         .agg(
             *ohlcv_aggs("value", "ts_us", ["event_id"], volume_cents_col="cents"),
             F.max("ts_us").alias("bar_end_us"),

@@ -292,6 +292,40 @@ def test_sign_lsh_family_sweep_null_vector_parity(spark, embs):
         assert sorted(map(tuple, sweep)) == sorted(map(tuple, expr)), name
 
 
+def test_rerank_arrow_tier_bit_parity(spark, embs, monkeypatch):
+    """r16 (VERDICT r15 #6): the env-gated Arrow rerank tier — _sweep_rows
+    over candidate pairs instead of the per-pair JVM fold — must emit the
+    IDENTICAL full output (ids, ranks, 6dp sims) across the ANN family,
+    including whole-NULL vectors (NULL sim routes around the kernel). It is
+    default-off (the x13 lesson: both vectors cross the Arrow boundary, a
+    loss at fixture pair counts; tools/rerank_probe_r16.py holds the
+    probe-scale evidence for when to flip it)."""
+    from crypto_market_data_etl_spark.operators.similarity import (
+        lsh_ann_multiprobe,
+        lsh_ann_bandor,
+    )
+
+    nul = spark.createDataFrame(
+        [(900001, None, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    dfn = embs.unionByName(nul)
+    qs = dfn.filter((F.col("vec_id") % 25 == 0) | F.col("embedding").isNull())
+    # x13 (lsh_ann_topk) computes its sims inline, not via
+    # _rerank_candidates — the knob intentionally does not reach it
+    cases = [
+        ("x17", lambda: lsh_ann_multiprobe(dfn, qs, n_planes=6, k=3)),
+        ("x18", lambda: lsh_ann_bandor(
+            dfn, qs, planes_per_table=4, n_tables=3, k=3)),
+    ]
+    for name, fn in cases:
+        monkeypatch.setenv("SPARK_GRAFT_RERANK_ARROW", "1")
+        arrow = fn().collect()
+        monkeypatch.delenv("SPARK_GRAFT_RERANK_ARROW")
+        expr = fn().collect()
+        assert len(arrow) > 0, name
+        assert sorted(map(tuple, arrow)) == sorted(map(tuple, expr)), name
+
+
 def test_signature_sweep_id_exactness_past_2_53(spark):
     """r16 (ADVICE r15): the sweep must not corrupt ids > 2^53 when a NULL
     id shares the batch. The old mapInPandas form let Arrow widen

@@ -24,33 +24,20 @@ def test_q02_dimension_joins_broadcast(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q02_preagg_arm_bit_equal_and_auto_gated(spark, monkeypatch):
-    """r16: the scale arm pre-aggregates lineitem by orderkey BEFORE the
-    orders join (guide §2.3) — it must produce identical rows to the
-    broadcast arm, must NOT engage while orders fits the broadcast
-    threshold (local SFs keep the r15 plan), and must engage when the
-    threshold says orders would shuffle."""
+def test_q02_preagg_arm_bit_equal_and_default_off(spark, monkeypatch):
+    """r16: the orderkey pre-aggregate arm (kept behind SPARK_GRAFT_Q02_PREAGG
+    for the measured-negative record — see the NOTE in q02) must produce
+    identical rows to the default broadcast arm, and the DEFAULT plan must
+    not contain it."""
     monkeypatch.setenv("SPARK_GRAFT_Q02_PREAGG", "on")
     on_rows = sorted(map(tuple, core.q02_revenue_by_nation(spark, SF_SMOKE).collect()))
-    monkeypatch.setenv("SPARK_GRAFT_Q02_PREAGG", "off")
+    monkeypatch.delenv("SPARK_GRAFT_Q02_PREAGG")
     off_rows = sorted(map(tuple, core.q02_revenue_by_nation(spark, SF_SMOKE).collect()))
     assert on_rows == off_rows and len(on_rows) > 0
-    monkeypatch.delenv("SPARK_GRAFT_Q02_PREAGG")
-    # auto at test scale: orders broadcasts, so no orderkey pre-aggregate
-    auto_opt = core.q02_revenue_by_nation(
+    default_opt = core.q02_revenue_by_nation(
         spark, SF_SMOKE
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert "Aggregate [l_orderkey" not in auto_opt
-    # auto with a 1 KiB threshold: orders would shuffle -> pre-agg engages
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
-    try:
-        low_opt = core.q02_revenue_by_nation(
-            spark, SF_SMOKE
-        )._jdf.queryExecution().optimizedPlan().toString()
-        assert "Aggregate [l_orderkey" in low_opt
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Aggregate [l_orderkey" not in default_opt
 
 
 def test_q09_asof_is_equi_join_not_nested_loop(spark):
