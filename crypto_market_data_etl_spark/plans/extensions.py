@@ -2337,6 +2337,25 @@ WHERE n.nrm > 0 AND round(c.v / n.nrm, 6) <> 0.0
 # parent's oracle.
 # --------------------------------------------------------------------------
 
+def _overlap2(spark: SparkSession, fa, fb):
+    """Run two independent eager plan-builders concurrently (guide §2.6) —
+    each keeps its own job/FP sequence, so results are bit-identical to the
+    sequential composition. Same pinned-thread guard as ``pq_train``: in
+    classic mode with PYSPARK_PIN_THREAD=false the session-argument wrapper
+    returns its argument unwrapped, in which case run plainly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession as _SparkSession
+
+    wrapper = inheritable_thread_target(spark)
+    if callable(wrapper) and not isinstance(wrapper, _SparkSession):
+        fa, fb = wrapper(fa), wrapper(fb)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ra, rb = pool.submit(fa), pool.submit(fb)
+        return ra.result(), rb.result()
+
+
 def x52_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         ivfpq_index,
@@ -2347,8 +2366,22 @@ def x52_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    cents = kmeans_train(embs, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2)
-    books = pq_train(embs, m=8, k=16, n_iters=2, dim=DIM)
+    # r16 (guide §2.6, VERDICT r15 #7): the coarse k-means and the PQ
+    # codebook trainings are INDEPENDENT here (non-residual — the books
+    # train on raw sub-vectors, not on coarse residuals like x55/x59), and
+    # each is a chain of driver-blocking eager jobs; submitting both from a
+    # 2-thread pool overlaps one chain's small-agg tails with the other's
+    # jobs. Each training's own job sequence — and FP op sequence — is
+    # unchanged, so centroids/codebooks are bit-identical (the pq_train
+    # pooled-blocks argument); the residual variants stay sequential
+    # (books depend on cents there).
+    cents, books = _overlap2(
+        spark,
+        lambda: kmeans_train(
+            embs, centroid_filter=F.col("vec_id") % 50 == 1, n_iters=2
+        ),
+        lambda: pq_train(embs, m=8, k=16, n_iters=2, dim=DIM),
+    )
     idx = ivfpq_index(embs, cents, books)
     exhaustive = 10**9  # > any cell/corpus count: probe all, cut nothing
     return ivfpq_topk(
