@@ -2228,6 +2228,13 @@ GROUP BY g.source
 def x48_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_image_metadata, synthesize_image_blobs
 
+    # NOTE (r16, measured): spread_small_input before the synthesis was
+    # tried (the single-split fixture runs both mapInPandas passes as ONE
+    # task; a stage profile showed 740 ms run / 26 ms JVM-CPU) and measured
+    # 1.09× SLOWER interleaved (0.778 → 0.845 s best-of-3×3) — the profiled
+    # "run" was mostly one-time Python-worker startup, not per-row decode
+    # work, so the repartition bought nothing a warm worker didn't already
+    # have. Do not re-add without a blob-scale probe showing it wins.
     blobs = synthesize_image_blobs(_docs(spark, sf_dir), id_col="doc_id")
     return decode_image_metadata(blobs)
 
